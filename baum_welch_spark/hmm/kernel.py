@@ -1,0 +1,144 @@
+"""NumPy DP kernel: scaled forward-backward + E-step expected counts.
+
+This is the vectorized re-expression of the reference's E-step
+(BaumWelchMapper.java:143,151 forward/backward; 157-240 stripe computation),
+with three deliberate semantic corrections over the reference (SURVEY §2.6):
+
+  Q2: the initial-distribution gamma uses t=0 (first observation), not t=1
+      (reference reads alphaFactors.get(1, q), BaumWelchMapper.java:159-160).
+  Q3: posteriors are normalized per sequence by P(O|λ) — with Rabiner scaling
+      this falls out of the scaled recurrences for free; the reference sums
+      raw alpha*beta across sequences (BaumWelchMapper.java:157-240).
+  Q5: Rabiner per-t scaling replaces the reference's unscaled DP
+      (forwardAlgorithm(..., false), BaumWelchMapper.java:143,151), which
+      underflows for T beyond a few hundred.
+
+Scaling convention used throughout (Rabiner 1989 §V):
+  scale[t]  = sum_q alpha_raw[t, q] given alpha_hat[t-1]  (so P(O) = prod scale)
+  alpha_hat[t, q] = P(o_0..o_t, s_t=q) / P(o_0..o_t)
+  beta_hat[t, q]  = beta[t, q] / prod_{s>t} scale[s]
+  => gamma[t, q]  = alpha_hat[t, q] * beta_hat[t, q]            (sums to 1 per t)
+     xi[t, i, j]  = alpha_hat[t,i] A[i,j] B[j,o_{t+1}] beta_hat[t+1,j] / scale[t+1]
+     loglik       = sum_t log scale[t]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from baum_welch_spark.hmm.model import HMM
+
+
+def forward_backward(
+    pi: np.ndarray, A: np.ndarray, B: np.ndarray, obs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Scaled forward/backward for one sequence.
+
+    Returns (alpha_hat (T,N), beta_hat (T,N), scale (T,), loglik).
+    Vectorized recurrences (reference M2/M3, BaumWelchMapper.java:143,151):
+      alpha[t] = (alpha[t-1] @ A) * B[:, o[t]]
+      beta[t]  = A @ (B[:, o[t+1]] * beta[t+1])
+    """
+    obs = np.asarray(obs, dtype=np.int64)
+    T = obs.shape[0]
+    N = pi.shape[0]
+    alpha = np.empty((T, N))
+    beta = np.empty((T, N))
+    scale = np.empty(T)
+
+    a = pi * B[:, obs[0]]
+    scale[0] = a.sum()
+    alpha[0] = a / scale[0]
+    for t in range(1, T):
+        a = (alpha[t - 1] @ A) * B[:, obs[t]]
+        scale[t] = a.sum()
+        alpha[t] = a / scale[t]
+
+    beta[T - 1] = 1.0
+    for t in range(T - 2, -1, -1):
+        beta[t] = (A @ (B[:, obs[t + 1]] * beta[t + 1])) / scale[t + 1]
+
+    return alpha, beta, scale, float(np.log(scale).sum())
+
+
+def e_step_counts(
+    pi: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    obs: np.ndarray,
+    out_pi: np.ndarray,
+    out_A: np.ndarray,
+    out_B: np.ndarray,
+) -> float:
+    """Accumulate one sequence's expected counts into (out_pi, out_A, out_B).
+
+    The stripe computations of the reference mapper, emitted once per sequence
+    (the reference emits them T times — duplicate-emission bug, SURVEY §2.6 Q1,
+    BaumWelchMapper.java:151-258):
+      M4 initial stripe: gamma[0]                    (BaumWelchMapper.java:157-162)
+      M5 emission stripe: sum_t gamma[t] by symbol   (BaumWelchMapper.java:186-210)
+      M6 transition stripe: sum_t xi[t]              (BaumWelchMapper.java:214-240)
+
+    Returns the sequence log-likelihood.
+    """
+    obs = np.asarray(obs, dtype=np.int64)
+    T = obs.shape[0]
+    alpha, beta, scale, loglik = forward_backward(pi, A, B, obs)
+    gamma = alpha * beta  # (T, N), rows sum to 1
+
+    out_pi += gamma[0]
+    # emission counts: out_B[q, k] += sum_{t: o_t=k} gamma[t, q]
+    np.add.at(out_B, (slice(None), obs), gamma.T)
+    if T > 1:
+        # xi summed over t without materializing (T, N, N):
+        # sum_t xi[t] = sum_t outer(alpha[t], w[t+1]) * A
+        #   where w[t+1] = B[:, o[t+1]] * beta[t+1] / scale[t+1]
+        w = B[:, obs[1:]].T * beta[1:] / scale[1:, None]  # (T-1, N)
+        out_A += (alpha[:-1].T @ w) * A
+    return loglik
+
+
+def m_step(
+    count_pi: np.ndarray, count_A: np.ndarray, count_B: np.ndarray
+) -> HMM:
+    """Normalize expected counts to distributions (reference reducer A4,
+    BaumWelchReducer.java:133-149). Rows with zero mass stay uniform."""
+
+    def norm(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        s = x.sum(axis=-1, keepdims=True)
+        safe = np.where(s > 0, s, 1.0)
+        out = x / safe
+        uniform = np.full_like(out, 1.0 / x.shape[-1])
+        return np.where(s > 0, out, uniform)
+
+    return HMM(pi=norm(count_pi), A=norm(count_A), B=norm(count_B)).validate()
+
+
+def sequential_baum_welch(
+    init: HMM,
+    sequences: list[np.ndarray],
+    max_iter: int = 10,
+    tol: float = 0.0,
+) -> tuple[HMM, list[float]]:
+    """Single-process EM — the oracle the distributed fit must match to 1e-8
+    (SURVEY §5.2; replaces the missing Mahout sequential-vs-MR check).
+
+    Returns (model, per-iteration total log-likelihood trace).
+    """
+    model = init.validate()
+    trace: list[float] = []
+    for _ in range(max_iter):
+        cpi = np.zeros(model.n_hidden)
+        cA = np.zeros((model.n_hidden, model.n_hidden))
+        cB = np.zeros((model.n_hidden, model.n_observed))
+        ll = 0.0
+        for obs in sequences:
+            ll += e_step_counts(model.pi, model.A, model.B, obs, cpi, cA, cB)
+        trace.append(ll)
+        new_model = m_step(cpi, cA, cB)
+        delta = model.distance(new_model)
+        model = new_model
+        if tol > 0 and delta < tol:
+            break
+    return model, trace
