@@ -1,0 +1,187 @@
+"""Distributed Baum-Welch EM on Spark DataFrames.
+
+The reference's dataflow (one Hadoop MR job per EM iteration,
+BaumWelchDriver.java:114-184) re-expressed Spark-first:
+
+  E-step  (reference mapper M2-M6, BaumWelchMapper.java:143-258)
+      -> mapInPandas over the cached ``sequences`` DataFrame. Each Arrow
+         batch accumulates expected counts for *all* its sequences into
+         local NumPy arrays and emits ONE flattened count block
+         (~N + N^2 + N*M rows). This is the map-side combine the reference
+         wrote but disabled (BaumWelchCombiner.java, off at
+         BaumWelchDriver.java:171) — done in-UDF, so per-iteration shuffle
+         volume is O(partitions * N * (N + M)) regardless of corpus size.
+         The reference shuffles O(S*T*(2N+1)) stripe records (its T-fold
+         duplicate-emission bug included, SURVEY §2.6 Q1).
+
+  shuffle + M-step  (reference A1-A4, BaumWelchReducer.java:49-149)
+      -> groupBy(kind, i, j).sum(weight) + window normalize. Catalyst runs
+         partial aggregation before the exchange automatically.
+
+  model distribution  (reference: every map task re-reads the model from
+      HDFS, BaumWelchMapper.java:54-117)
+      -> one sc.broadcast of the (pi, A, B) NumPy triple per iteration.
+
+  convergence  (reference D4: two full model re-scans + Frobenius test,
+      BaumWelchDriver.java:196-207)
+      -> driver-side NumPy on the already-collected tiny model.
+
+Scale posture: the only per-iteration actions are one job over the cached
+sequences (scan stays resident via persist) and a collect of ~N*(N+M)+N rows.
+Nothing data-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from baum_welch_spark.hmm.kernel import e_step_counts, m_step
+from baum_welch_spark.hmm.model import (
+    HMM,
+    KIND_EMISSION,
+    KIND_INITIAL,
+    KIND_TRANSITION,
+)
+
+COUNTS_SCHEMA = "kind string, i int, j int, weight double"
+KIND_LOGLIK = "loglik"  # side-channel row: per-batch partial log-likelihood
+
+
+def e_step_udf(bc_model):
+    """Build the mapInPandas function for one E-step pass.
+
+    One output block per Arrow batch: flattened expected-count rows
+    (kind, i, j, weight) plus a single (loglik, 0, 0, sum) row.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pi, A, B = bc_model.value
+        n, m = A.shape[0], B.shape[1]
+        cpi = np.zeros(n)
+        cA = np.zeros((n, n))
+        cB = np.zeros((n, m))
+        ll = 0.0
+        saw_data = False
+        for pdf in batches:
+            for obs in pdf["obs"]:
+                if obs is None or len(obs) == 0:
+                    continue
+                saw_data = True
+                ll += e_step_counts(pi, A, B, np.asarray(obs, dtype=np.int64), cpi, cA, cB)
+        if not saw_data:
+            return
+        kinds = [KIND_INITIAL] * n
+        iis = [0] * n
+        jjs = list(range(n))
+        weights = list(cpi)
+        for i in range(n):
+            kinds += [KIND_TRANSITION] * n
+            iis += [i] * n
+            jjs += list(range(n))
+            weights += list(cA[i])
+        for i in range(n):
+            kinds += [KIND_EMISSION] * m
+            iis += [i] * m
+            jjs += list(range(m))
+            weights += list(cB[i])
+        kinds.append(KIND_LOGLIK)
+        iis.append(0)
+        jjs.append(0)
+        weights.append(ll)
+        yield pd.DataFrame(
+            {"kind": kinds, "i": np.array(iis, dtype=np.int32),
+             "j": np.array(jjs, dtype=np.int32), "weight": weights}
+        )
+
+    return compute
+
+
+def expected_counts(sequences: DataFrame, bc_model) -> DataFrame:
+    """One E-step over the corpus -> aggregated count DataFrame
+    (kind, i, j, weight), including the loglik side-channel row."""
+    raw = sequences.select("obs").mapInPandas(e_step_udf(bc_model), schema=COUNTS_SCHEMA)
+    return raw.groupBy("kind", "i", "j").agg(F.sum("weight").alias("weight"))
+
+
+def normalize_counts(counts: DataFrame) -> DataFrame:
+    """M-step normalize as a Catalyst window — the DuckDB-checkable face of
+    the reference reducer's normalize (BaumWelchReducer.java:133-149)."""
+    w = Window.partitionBy("kind", "i")
+    return (
+        counts.filter(F.col("kind") != KIND_LOGLIK)
+        .withColumn("prob", F.col("weight") / F.sum("weight").over(w))
+        .select("kind", "i", "j", "prob")
+    )
+
+
+@dataclass
+class FitResult:
+    model: HMM
+    loglik_trace: list[float]
+    iterations: int
+    converged: bool
+
+
+def fit(
+    spark: SparkSession,
+    sequences: DataFrame,
+    init: HMM,
+    max_iter: int = 10,
+    tol: float = 0.0,
+    model_out: str | None = None,
+) -> FitResult:
+    """Distributed EM loop (reference driver D2, BaumWelchDriver.java:114-134).
+
+    Per iteration: broadcast model -> E-step mapInPandas -> groupBy sum ->
+    collect tiny counts -> NumPy M-step -> convergence test. Optionally writes
+    ``{model_out}/model-{it}`` parquet per iteration (reference S3/S4 sinks,
+    BaumWelchUtils.java:147-226, BaumWelchDriver.java:128,178).
+    """
+    model = init.validate()
+    sc = spark.sparkContext
+    sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
+    trace: list[float] = []
+    converged = False
+    iterations = 0
+    try:
+        for it in range(max_iter):
+            bc = sc.broadcast((model.pi, model.A, model.B))
+            try:
+                rows = expected_counts(sequences, bc).collect()
+            finally:
+                bc.unpersist()
+            n, m = model.n_hidden, model.n_observed
+            cpi = np.zeros(n)
+            cA = np.zeros((n, n))
+            cB = np.zeros((n, m))
+            ll = 0.0
+            for r in rows:
+                if r.kind == KIND_LOGLIK:
+                    ll += r.weight
+                elif r.kind == KIND_INITIAL:
+                    cpi[r.j] += r.weight
+                elif r.kind == KIND_TRANSITION:
+                    cA[r.i, r.j] += r.weight
+                elif r.kind == KIND_EMISSION:
+                    cB[r.i, r.j] += r.weight
+            trace.append(ll)
+            new_model = m_step(cpi, cA, cB)
+            if model_out is not None:
+                new_model.write(spark, f"{model_out}/model-{it}")
+            delta = model.distance(new_model)
+            model = new_model
+            iterations = it + 1
+            if tol > 0 and delta < tol:
+                converged = True
+                break
+    finally:
+        sequences.unpersist()
+    return FitResult(model=model, loglik_trace=trace, iterations=iterations, converged=converged)

@@ -1,0 +1,43 @@
+"""SparkSession factory with the engine's scale-posture defaults.
+
+Defaults chosen for correctness-vs-oracle and 100 TB readiness:
+  * AQE on (runtime partition coalescing, skew-join splitting)
+  * session timezone pinned UTC (oracle comparison: DuckDB is UTC-naive)
+  * Arrow enabled for pandas UDF exchange
+  * shuffle partitions sized to the local core count (on a real cluster this
+    is overridden by AQE's coalescing from a higher initial value)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "baum-welch-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata is written with nanosecond timestamps; read them as
+        # long and convert in sources.io.load_table (micros truncation, matching
+        # DuckDB's nanos->micros behavior)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

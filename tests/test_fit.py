@@ -1,0 +1,85 @@
+"""Distributed fit vs sequential NumPy oracle (SURVEY §5.2, §5.3):
+same init + same iteration count -> parameters equal to 1e-8."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.hmm import HMM, sequential_baum_welch
+from baum_welch_spark.hmm.fit import fit, expected_counts, normalize_counts
+from baum_welch_spark.operators.sequences import build_sequences, symbol_dict
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+N_HIDDEN, N_OBSERVED = 3, 5
+
+
+@pytest.fixture(scope="module")
+def sequences_df(spark):
+    events = load_table(spark, SF0001, "events")
+    return build_sequences(events).cache()
+
+
+@pytest.fixture(scope="module")
+def sequences_np(sequences_df):
+    rows = sequences_df.orderBy("seq_id").collect()
+    return [np.array(r.obs, dtype=np.int64) for r in rows]
+
+
+def test_sequences_built_correctly(spark, sequences_df):
+    events = load_table(spark, SF0001, "events")
+    n_users = events.select("user_id").distinct().count()
+    assert sequences_df.count() == n_users
+    total = sequences_df.select(F.sum(F.size("obs")).alias("n")).collect()[0].n
+    assert total == events.count()
+    d = symbol_dict(events)
+    assert sorted(d.values()) == list(range(len(d)))
+    assert list(d) == sorted(d)  # lexicographic coding
+
+
+def test_distributed_matches_sequential(spark, sequences_df, sequences_np):
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=42)
+    expected, expected_trace = sequential_baum_welch(init, sequences_np, max_iter=5)
+    result = fit(spark, sequences_df, init, max_iter=5)
+    assert result.iterations == 5
+    np.testing.assert_allclose(result.model.pi, expected.pi, atol=1e-8)
+    np.testing.assert_allclose(result.model.A, expected.A, atol=1e-8)
+    np.testing.assert_allclose(result.model.B, expected.B, atol=1e-8)
+    np.testing.assert_allclose(result.loglik_trace, expected_trace, rtol=1e-10)
+
+
+def test_fit_partition_invariant(spark, sequences_df):
+    """Repartitioning must not change the result (SURVEY §7 hard part #2)."""
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=7)
+    a = fit(spark, sequences_df, init, max_iter=2)
+    b = fit(spark, sequences_df.repartition(13), init, max_iter=2)
+    np.testing.assert_allclose(a.model.A, b.model.A, atol=1e-10)
+    np.testing.assert_allclose(a.model.B, b.model.B, atol=1e-10)
+    np.testing.assert_allclose(a.loglik_trace, b.loglik_trace, rtol=1e-12)
+
+
+def test_fit_loglik_monotone_and_convergence(spark, sequences_df):
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=3)
+    result = fit(spark, sequences_df, init, max_iter=8, tol=1e-6)
+    assert np.all(np.diff(result.loglik_trace) > -1e-8)
+    result.model.validate()
+
+
+def test_normalize_counts_window(spark, sequences_df):
+    """The window-normalize path (A4 as Catalyst, the oracle-checked form)."""
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=1)
+    bc = spark.sparkContext.broadcast((init.pi, init.A, init.B))
+    model_df = normalize_counts(expected_counts(sequences_df, bc)).collect()
+    bc.unpersist()
+    m = HMM.from_rows([(r.kind, r.i, r.j, r.prob) for r in model_df])
+    m.validate()  # rows sum to 1 within each (kind, i)
+
+
+def test_model_parquet_roundtrip(spark, sequences_df, tmp_path):
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=5)
+    out = str(tmp_path / "models")
+    result = fit(spark, sequences_df, init, max_iter=2, model_out=out)
+    reloaded = HMM.read(spark, f"{out}/model-1")
+    np.testing.assert_allclose(reloaded.A, result.model.A, atol=1e-12)
+    np.testing.assert_allclose(reloaded.B, result.model.B, atol=1e-12)
