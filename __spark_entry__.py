@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Implemented operators are inventoried in SURVEY.md §2 / §2.7.
 """
 
 from __future__ import annotations
@@ -13,26 +12,225 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str):
+    from baum_welch_spark.sources.io import load_table
+
+    return [load_table(spark, sf_dir, n) for n in names]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed Baum-Welch fit (4 hidden states) on sequences
+    built from sf0.001 events; returns the tidy trained model DataFrame."""
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import fit
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, SF0001, "events")
+    seqs = build_sequences(events)
+    result = fit(spark, seqs, HMM.random(4, 5, seed=42), max_iter=3)
+    return result.model.to_df(spark)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_seq_build(spark, sf):
+    from baum_welch_spark.operators.markov import seq_build
+
+    return seq_build(*_tables(spark, sf, "events"))
+
+
+def _q_transition_counts(spark, sf):
+    from baum_welch_spark.operators.markov import transition_counts
+
+    return transition_counts(*_tables(spark, sf, "events"))
+
+
+def _q_transition_model(spark, sf):
+    from baum_welch_spark.operators.markov import transition_model
+
+    return transition_model(*_tables(spark, sf, "events"))
+
+
+def _q_model_half_distance(spark, sf):
+    from baum_welch_spark.operators.markov import model_half_distance
+
+    return model_half_distance(*_tables(spark, sf, "events"))
+
+
+def _q_q1(spark, sf):
+    from baum_welch_spark.operators.relational import q1_pricing_summary
+
+    return q1_pricing_summary(*_tables(spark, sf, "lineitem"))
+
+
+def _q_q3(spark, sf):
+    from baum_welch_spark.operators.relational import q3_top_orders
+
+    return q3_top_orders(*_tables(spark, sf, "customer", "orders", "lineitem"))
+
+
+def _q_q5(spark, sf):
+    from baum_welch_spark.operators.relational import q5_region_revenue
+
+    return q5_region_revenue(*_tables(spark, sf, "customer", "orders", "lineitem", "nation", "region"))
+
+
+def _q_top_event(spark, sf):
+    from baum_welch_spark.operators.relational import top_event_type_per_user
+
+    return top_event_type_per_user(*_tables(spark, sf, "events"))
+
+
+def _q_sessionize(spark, sf):
+    from baum_welch_spark.operators.relational import sessionize
+
+    return sessionize(*_tables(spark, sf, "events"))
+
+
+def _q_dedup_exact(spark, sf):
+    from baum_welch_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(*_tables(spark, sf, "documents"))
+
+
+def _q_fingerprint_clusters(spark, sf):
+    from baum_welch_spark.operators.dedup import fingerprint_clusters
+
+    return fingerprint_clusters(*_tables(spark, sf, "documents"))
+
+
+def _q_neardup_jaccard(spark, sf):
+    from baum_welch_spark.operators.dedup import neardup_jaccard
+
+    return neardup_jaccard(*_tables(spark, sf, "documents"))
+
+
+def _q_token_stats(spark, sf):
+    from baum_welch_spark.operators.text import token_stats
+
+    return token_stats(*_tables(spark, sf, "documents"))
+
+
+def _q_doc_quality(spark, sf):
+    from baum_welch_spark.operators.text import doc_quality
+
+    return doc_quality(*_tables(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    from baum_welch_spark.operators.text import lang_id
+
+    return lang_id(*_tables(spark, sf, "documents"))
+
+
+def _q_fingerprint(spark, sf):
+    from baum_welch_spark.operators.text import fingerprint
+
+    return fingerprint(*_tables(spark, sf, "documents"))
+
+
+def _q_emb_norms(spark, sf):
+    from baum_welch_spark.operators.similarity import emb_norms
+
+    return emb_norms(*_tables(spark, sf, "embeddings"))
+
+
+def _q_knn_brute(spark, sf):
+    from baum_welch_spark.operators.similarity import knn_brute
+
+    return knn_brute(*_tables(spark, sf, "embeddings"))
+
+
+# -- non-SQL-expressible (rows-only check) ----------------------------------
+
+
+def _q_hmm_fit(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import fit
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    result = fit(spark, build_sequences(events), HMM.random(4, 5, seed=42), max_iter=3)
+    return result.model.to_df(spark)
+
+
+def _q_minhash(spark, sf):
+    from baum_welch_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(*_tables(spark, sf, "documents"))
+
+
+def _q_simhash(spark, sf):
+    from baum_welch_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(*_tables(spark, sf, "documents"))
+
+
+def _q_knn_ivf(spark, sf):
+    from baum_welch_spark.operators.similarity import knn_ivf
+
+    return knn_ivf(*_tables(spark, sf, "embeddings"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # HMM dataflow faces (SURVEY §2.1-2.4)
+        "seq_build": _q_seq_build,
+        "stripe_agg": _q_transition_counts,
+        "normalize": _q_transition_model,
+        "convergence_distance": _q_model_half_distance,
+        "hmm_fit": _q_hmm_fit,
+        # relational surface (SURVEY §2.7)
+        "q1_pricing_summary": _q_q1,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "top_event_per_user": _q_top_event,
+        "sessionize": _q_sessionize,
+        # dedup suite
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint_clusters": _q_fingerprint_clusters,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "minhash_lsh": _q_minhash,
+        "simhash": _q_simhash,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        # similarity search
+        "emb_norms": _q_emb_norms,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from baum_welch_spark.operators import dedup, markov, relational, similarity, text
+
+    return {
+        "seq_build": markov.SEQ_BUILD_SQL,
+        "stripe_agg": markov.TRANSITION_COUNTS_SQL,
+        "normalize": markov.TRANSITION_MODEL_SQL,
+        "convergence_distance": markov.MODEL_HALF_DISTANCE_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_region_revenue": relational.Q5_SQL,
+        "top_event_per_user": relational.TOP_EVENT_SQL,
+        "sessionize": relational.sessionize_sql(),
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "fingerprint_clusters": dedup.FINGERPRINT_CLUSTERS_SQL,
+        "neardup_jaccard": dedup.NEARDUP_JACCARD_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
+        "doc_quality": text.DOC_QUALITY_SQL,
+        "lang_id": text.LANG_ID_SQL,
+        "doc_fingerprint": text.FINGERPRINT_SQL,
+        "emb_norms": similarity.EMB_NORMS_SQL,
+        "knn_brute": similarity.KNN_BRUTE_SQL,
+        # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
+        # (iterative EM with a pandas-UDF E-step; engine-specific hash
+        # functions) -> rows-only check by design.
+    }

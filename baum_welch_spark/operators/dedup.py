@@ -1,0 +1,247 @@
+"""Deduplication operators over ``documents`` (north-star §2.7):
+
+  * exact dedup            — md5 hash groupBy (oracle-checked)
+  * fingerprint clusters   — sorted-distinct-word key collisions (oracle-checked)
+  * n-gram Jaccard near-dup— word-trigram shingle self-join (oracle-checked)
+  * MinHash + LSH near-dup — signature/band/bucket-join (rows-only check:
+                             hash functions are engine-specific)
+  * SimHash near-dup       — 64-bit simhash + banded hamming join (rows-only)
+
+All pure Catalyst: shingling is explode/transform, signatures are plain
+aggregates, banding is an explode + equi-join. No Python UDFs anywhere.
+
+Scale notes: exact/fingerprint dedup shuffle once on the hash key. The
+Jaccard self-join is the textbook |shingle| equi-join — at 100 TB you bound
+it by banding (the MinHash path) rather than joining raw shingles; both
+forms are implemented here, the exact one doubling as the oracle for the
+approximate one's candidate quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a_k * h + b_k far below the long range (ANSI overflow checks)
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash; canonical = min doc_id.
+
+    (reference has no dedup; this is the `dropDuplicates`/sha-groupBy shape
+    from SURVEY §2.7 with a portable md5 key.)
+    """
+    return (
+        documents.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM (SELECT doc_id, md5(text) AS h FROM documents)
+GROUP BY h
+"""
+
+
+def fingerprint_clusters(documents: DataFrame) -> DataFrame:
+    """Near-dup clusters whose canonical fingerprint (sorted distinct lowercase
+    words) collides; returns clusters with >1 member."""
+    fp = documents.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ").alias("fp"),
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("canonical_doc_id", "n_docs")
+    )
+
+
+FINGERPRINT_CLUSTERS_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS fp
+  FROM documents
+)
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document (docs with >= k words)."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(words, g + i + 1) for i in range(k)]))
+    return (
+        documents.filter(F.size(words) >= k)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+    )
+
+
+def neardup_jaccard(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle self-join.
+
+    Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct word trigrams.
+    """
+    sh = _shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NEARDUP_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
+"""
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures over word-trigram shingles, entirely in Catalyst:
+    base hash = xxhash64(shingle), permutation k = (a_k*h + b_k) mod 2^61-1,
+    signature component k = min over the doc's shingles.
+
+    Deterministic coefficients derived from k (odd multipliers), so the
+    operator needs no driver-side randomness.
+    """
+    sh = _shingles(documents)
+    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P))
+    mins = [
+        F.min((h * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P)).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified with exact Jaccard.
+
+    band key = hash of the band's signature slice; candidate pairs share at
+    least one band bucket; candidates are then verified against the exact
+    trigram Jaccard (so the output is exact over an approximate candidate
+    set — the standard 100 TB recipe where the all-pairs join is infeasible).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = neardup_jaccard(documents, threshold=0.0).withColumnRenamed("jaccard", "jaccard_exact")
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard_exact") >= verify_threshold)
+        .select("doc_a", "doc_b", F.col("jaccard_exact").alias("jaccard"))
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from word unigram hashes, banded
+    into 4 x 16-bit chunks for the candidate join (pigeonhole: hamming <= 3
+    guarantees a shared chunk; larger radii trade recall), hamming distance
+    verified with bit_count(xor).
+    """
+    word = documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("w")
+    )
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = word.groupBy("doc_id").agg(*bit_sums)
+    sig_expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    sig = agg.select("doc_id", sig_expr.alias("sig"))
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"),
+                         F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,157 @@
+"""SQL-expressible faces of the HMM dataflow — the DuckDB-checkable forms of
+the reference's aggregation stages (SURVEY §5.4).
+
+The E-step UDF itself is non-relational, but its downstream stages are pure
+Catalyst and are checked exactly through these queries:
+
+  * ``seq_build``          — S1/M1: corpus construction from events
+  * ``transition_counts``  — A1-A3: group-by-stripe-key + sum, on the
+    fully-observed analogue (empirical symbol bigrams — the M-step of a
+    degenerate HMM whose states are observed)
+  * ``transition_model``   — A4: normalize-to-distribution window
+  * ``model_half_distance``— D4: convergence metric as an equi-join +
+    Frobenius norm (reference isConverged, BaumWelchDriver.java:196-207,
+    expressed relationally as promised in SURVEY §2.5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from baum_welch_spark.operators.sequences import build_sequences, symbol_dictionary
+
+# shared SQL fragment: dense-code event_type lexicographically (matches
+# operators.sequences.symbol_dictionary)
+CODED_SQL = """
+  SELECT user_id, event_id, ts,
+         (dense_rank() OVER (ORDER BY event_type) - 1) AS sym
+  FROM events
+"""
+
+
+def seq_build(events: DataFrame) -> DataFrame:
+    """Oracle face of build_sequences: scalar columns only (length + the
+    comma-joined symbol string) so value hashing is array-free."""
+    seqs = build_sequences(events)
+    return seqs.select(
+        "seq_id",
+        F.size("obs").alias("t_len"),
+        F.array_join(F.transform("obs", lambda x: x.cast("string")), ",").alias("obs_str"),
+    )
+
+
+SEQ_BUILD_SQL = f"""
+WITH coded AS ({CODED_SQL})
+SELECT user_id AS seq_id, count(*) AS t_len,
+       string_agg(sym::VARCHAR, ',' ORDER BY ts, event_id) AS obs_str
+FROM coded
+GROUP BY user_id
+"""
+
+
+def _coded(events: DataFrame) -> DataFrame:
+    d = symbol_dictionary(events)
+    return events.join(F.broadcast(d), "event_type").select("user_id", "event_id", "ts", "sym")
+
+
+def transition_counts(events: DataFrame) -> DataFrame:
+    """Empirical bigram transition counts (i -> j) over per-user event streams.
+
+    The A1-A3 shape: a window lead over the sequence ordering, then
+    groupBy + sum with map-side partial aggregation. Scale: one shuffle on
+    user_id for the window, one tiny aggregation on (i, j).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = _coded(events).withColumn("j", F.lead("sym").over(w))
+    return (
+        pairs.filter(F.col("j").isNotNull())
+        .groupBy(F.col("sym").alias("i"), "j")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+TRANSITION_COUNTS_SQL = f"""
+WITH coded AS ({CODED_SQL}),
+pairs AS (
+  SELECT sym AS i,
+         lead(sym) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+  FROM coded
+)
+SELECT i, j, CAST(count(*) AS DOUBLE) AS weight
+FROM pairs WHERE j IS NOT NULL
+GROUP BY i, j
+"""
+
+
+def transition_model(events: DataFrame) -> DataFrame:
+    """A4 normalize: P(j|i) = count(i,j) / sum_j count(i,j) via a window.
+
+    count/count division is exact, so no rounding is needed for the oracle.
+    """
+    w = Window.partitionBy("i")
+    return (
+        transition_counts(events)
+        .withColumn("prob", F.col("weight") / F.sum("weight").over(w))
+        .select("i", "j", "prob")
+    )
+
+
+TRANSITION_MODEL_SQL = f"""
+WITH counts AS ({TRANSITION_COUNTS_SQL})
+SELECT i, j, weight / sum(weight) OVER (PARTITION BY i) AS prob
+FROM counts
+"""
+
+
+def model_half_distance(events: DataFrame) -> DataFrame:
+    """D4 as a join: fit the bigram model on two disjoint halves of the
+    corpus (users split by parity) and compute the Frobenius distance
+    between the two transition matrices.
+
+    This is the relational expression of the reference's convergence test
+    (two model scans + ||A1 - A2||_F, BaumWelchDriver.java:196-207 /
+    BaumWelchUtils.java:237-266). Missing (i, j) cells count as prob 0 via
+    the full outer join + coalesce.
+    """
+    def half_model(df: DataFrame) -> DataFrame:
+        w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w_norm = Window.partitionBy("i")
+        pairs = df.withColumn("j", F.lead("sym").over(w_ord))
+        return (
+            pairs.filter(F.col("j").isNotNull())
+            .groupBy(F.col("sym").alias("i"), "j")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+            .withColumn("prob", F.col("w") / F.sum("w").over(w_norm))
+            .select("i", "j", "prob")
+        )
+
+    coded = _coded(events)
+    m1 = half_model(coded.filter(F.col("user_id") % 2 == 0)).withColumnRenamed("prob", "p1")
+    m2 = half_model(coded.filter(F.col("user_id") % 2 == 1)).withColumnRenamed("prob", "p2")
+    joined = m1.join(m2, ["i", "j"], "full_outer").select(
+        F.coalesce("p1", F.lit(0.0)).alias("p1"), F.coalesce("p2", F.lit(0.0)).alias("p2")
+    )
+    return joined.agg(
+        F.round(F.sqrt(F.sum(F.pow(F.col("p1") - F.col("p2"), 2))), 9).alias("frob_dist")
+    )
+
+
+MODEL_HALF_DISTANCE_SQL = f"""
+WITH coded AS ({CODED_SQL}),
+pairs AS (
+  SELECT user_id, sym AS i,
+         lead(sym) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+  FROM coded
+),
+m1 AS (
+  SELECT i, j, CAST(count(*) AS DOUBLE) / sum(CAST(count(*) AS DOUBLE)) OVER (PARTITION BY i) AS p1
+  FROM pairs WHERE j IS NOT NULL AND user_id % 2 = 0 GROUP BY i, j
+),
+m2 AS (
+  SELECT i, j, CAST(count(*) AS DOUBLE) / sum(CAST(count(*) AS DOUBLE)) OVER (PARTITION BY i) AS p2
+  FROM pairs WHERE j IS NOT NULL AND user_id % 2 = 1 GROUP BY i, j
+)
+SELECT round(sqrt(sum(pow(coalesce(p1, 0) - coalesce(p2, 0), 2))), 9) AS frob_dist
+FROM m1 FULL OUTER JOIN m2 USING (i, j)
+"""

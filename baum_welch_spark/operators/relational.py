@@ -1,0 +1,223 @@
+"""Relational query surface (SURVEY §2.7): the standard OLAP operators the
+driver's TPC-H-ish tables invite — filter/project/join/agg/window/top-k —
+expressed declaratively so Catalyst handles pushdown, pruning, join
+selection, and partial aggregation.
+
+The reference has no joins/sorts/windows at all (SURVEY §2.5); these are the
+capability extensions a usable engine needs. All floating aggregate outputs
+are rounded in BOTH the Spark and oracle form so order-of-summation ulps
+don't flip the value hash.
+
+Scale notes per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    Scale: single shuffle on two low-cardinality keys; partial aggregation
+    collapses everything map-side, the filter and 7-column projection push
+    into the parquet scan.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                           AS sum_qty,
+       round(sum(l_extendedprice), 4)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)     AS sum_charge,
+       round(avg(l_quantity), 6)                                           AS avg_qty,
+       round(avg(l_extendedprice), 6)                                      AS avg_price,
+       round(avg(l_discount), 6)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue.
+
+    Scale: the filtered customer side broadcasts (Catalyst auto-broadcast;
+    explicit hint keeps it at any statistics quality); lineitem joins orders
+    on the shuffle key both sides already share. Deterministic top-10 via
+    (revenue desc, o_orderkey asc).
+    """
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join, dims broadcast, revenue per nation.
+
+    Scale: region/nation/customer are tiny -> broadcast chain; the only
+    shuffle is lineitem|><|orders plus the final small aggregation.
+    """
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def top_event_type_per_user(events: DataFrame) -> DataFrame:
+    """Top-1-per-group via window rank (the engine's top-k pattern).
+
+    Deterministic tiebreak (count desc, event_type asc). Scale: one shuffle
+    on user_id; the window reuses the groupBy partitioning.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+TOP_EVENT_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS top_event, n FROM ranked WHERE rk = 1
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_minutes`` (lag + running sum of
+    boundary flags — the classic Catalyst-only formulation).
+
+    Scale: two windows over the same (user_id) partitioning -> a single
+    shuffle; no UDF. The streaming twin is
+    baum_welch_spark.streaming.sessionize (session_window).
+    """
+    us = F.unix_micros(F.col("ts"))
+    _US_EXPR = "unix_micros(ts)"
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w_order) > F.lit(gap_us), 1)
+        .when(F.lag(us).over(w_order).isNull(), 1)
+        .otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # integer division: DuckDB's CAST(double AS BIGINT) rounds while
+            # Spark's truncates, so keep the arithmetic integral on both sides
+            F.expr(f"(max({_US_EXPR}) - min({_US_EXPR})) div 1000000").alias("duration_s"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select("user_id", "session_seq", "n_events", "duration_s", "first_event_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       (max(us) - min(us)) // 1000000 AS duration_s,
+       min(event_id) AS first_event_id
+FROM sid
+GROUP BY user_id, session_seq
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return SESSIONIZE_SQL.format(gap_us=gap_minutes * 60 * 1_000_000)
