@@ -132,21 +132,26 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
 """
 
 
+def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
+    # hoist the base hash out of the aggregates: computed once per shingle,
+    # not once per (shingle, k) — Catalyst doesn't CSE across agg expressions
+    hashed = sh.withColumn("h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P)))
+    mins = [
+        F.min((F.col("h") * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P)).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signatures over word-trigram shingles, entirely in Catalyst:
-    base hash = xxhash64(shingle), permutation k = (a_k*h + b_k) mod 2^61-1,
+    base hash = xxhash64(shingle), permutation k = (a_k*h + b_k) mod 2^31-1,
     signature component k = min over the doc's shingles.
 
     Deterministic coefficients derived from k (odd multipliers), so the
     operator needs no driver-side randomness.
     """
-    sh = _shingles(documents)
-    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P))
-    mins = [
-        F.min((h * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P)).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return _minhash_signatures_from(_shingles(documents), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -163,7 +168,8 @@ def minhash_lsh_pairs(
     set — the standard 100 TB recipe where the all-pairs join is infeasible).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes)
+    sh = _shingles(documents)
+    sig = _minhash_signatures_from(sh, num_hashes)
     band_cols = F.array(
         *[
             F.struct(
@@ -188,11 +194,37 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = neardup_jaccard(documents, threshold=0.0).withColumnRenamed("jaccard", "jaccard_exact")
+    # verify ONLY the candidate pairs: shingle sets of candidate docs are
+    # semi-join-pruned, collected per doc, and compared with array_intersect.
+    # The full all-pairs shingle join never runs — that's the 100 TB point.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # prune documents to candidates BEFORE shingling: the verify path then
+    # re-shingles only the handful of candidate docs instead of the corpus
+    sets = (
+        _shingles(documents.join(F.broadcast(cand_docs), "doc_id"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard_exact") >= verify_threshold)
-        .select("doc_a", "doc_b", F.col("jaccard_exact").alias("jaccard"))
+        candidates.join(
+            F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))),
+            "doc_b",
+        )
+        .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.size("sh_a") + F.size("sh_b") - F.col("c")), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}.
+
+Each query is forced with a noop-format write (full execution, no driver
+transfer). ``hmm_fit`` runs 3 EM iterations; its own actions are its cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from baum_welch_spark.session import get_spark
+
+# queries whose callable already executes internally (collect-based loop)
+SELF_EXECUTING = {"hmm_fit"}
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_event_per_user",
+    "sessionize",
+    "seq_build",
+    "stripe_agg",
+    "normalize",
+    "convergence_distance",
+    "dedup_exact",
+    "fingerprint_clusters",
+    "neardup_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "token_stats",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "emb_norms",
+    "knn_brute",
+    "knn_ivf",
+    "hmm_fit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="baum-welch-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name not in SELF_EXECUTING:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
