@@ -1,0 +1,117 @@
+"""CLI entry point — parity with the reference driver's options
+(BaumWelchDriver.java:48-79: input/output/modelIn/numHidden/numObserved/
+convergenceDelta/maxIterations), plus decode/score subcommands.
+
+Usage:
+  python -m baum_welch_spark.cli train -i /root/testdata/sf0.001 -o /tmp/out \
+      --num-hidden 4 --num-observed 5 --max-iterations 10 --convergence-delta 1e-4
+  python -m baum_welch_spark.cli decode -i /root/testdata/sf0.001 --model /tmp/out/model-final
+  python -m baum_welch_spark.cli score  -i /root/testdata/sf0.001 --model /tmp/out/model-final
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from baum_welch_spark.hmm.model import HMM
+from baum_welch_spark.session import get_spark
+
+
+def _build_sequences(spark, sf_dir: str):
+    from baum_welch_spark.operators.sequences import build_sequences
+    from baum_welch_spark.sources.io import load_table
+
+    return build_sequences(load_table(spark, sf_dir, "events"))
+
+
+def cmd_train(args) -> int:
+    from baum_welch_spark.hmm.fit import fit
+
+    spark = get_spark(app_name="baum-welch-train")
+    seqs = _build_sequences(spark, args.input)
+    if args.model_in:
+        init = HMM.read(spark, args.model_in)
+    else:
+        # random seed model when none supplied (reference S6,
+        # BaumWelchUtils.BuildRandomModel / BaumWelchDriver.java:74-76)
+        init = HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
+    result = fit(
+        spark, seqs, init,
+        max_iter=args.max_iterations,
+        tol=args.convergence_delta,
+        model_out=args.output,
+    )
+    result.model.write(spark, f"{args.output}/model-final")
+    print(json.dumps({
+        "iterations": result.iterations,
+        "converged": result.converged,
+        "loglik_trace": result.loglik_trace,
+        "model_dir": f"{args.output}/model-final",
+    }))
+    spark.stop()
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from baum_welch_spark.hmm.decode import viterbi_decode
+
+    spark = get_spark(app_name="baum-welch-decode")
+    model = HMM.read(spark, args.model)
+    out = viterbi_decode(spark, _build_sequences(spark, args.input), model)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20, truncate=80)
+    spark.stop()
+    return 0
+
+
+def cmd_score(args) -> int:
+    from baum_welch_spark.hmm.decode import score_sequences
+
+    spark = get_spark(app_name="baum-welch-score")
+    model = HMM.read(spark, args.model)
+    out = score_sequences(spark, _build_sequences(spark, args.input), model)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="baum_welch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="distributed Baum-Welch EM training")
+    t.add_argument("-i", "--input", required=True, help="sf dir with events.parquet")
+    t.add_argument("-o", "--output", required=True, help="output dir for per-iteration models")
+    t.add_argument("--model-in", help="initial model parquet dir (default: random)")
+    t.add_argument("--num-hidden", type=int, default=4)
+    t.add_argument("--num-observed", type=int, default=5)
+    t.add_argument("--convergence-delta", type=float, default=0.0)
+    t.add_argument("--max-iterations", type=int, default=10)
+    t.add_argument("--seed", type=int, default=42)
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("decode", help="Viterbi decode sequences under a model")
+    d.add_argument("-i", "--input", required=True)
+    d.add_argument("--model", required=True)
+    d.add_argument("-o", "--output")
+    d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("score", help="per-sequence log-likelihood under a model")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("--model", required=True)
+    s.add_argument("-o", "--output")
+    s.set_defaults(fn=cmd_score)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

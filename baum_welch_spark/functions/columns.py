@@ -1,0 +1,45 @@
+"""Reusable column-expression library (the engine's scalar-function surface).
+
+The reference has no scalar function library (SURVEY §2.5 — int/double
+arithmetic plus charAt key surgery only); this module is the engine's
+equivalent of a functions catalog: vector math, tokenization, shingling —
+all pure Catalyst expressions that stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    """array<float> -> array<double> (vector math in double precision)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def words(col: Column | str = "text", lower: bool = True) -> Column:
+    """Whitespace tokenization (optionally lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c) if lower else c, " ")
+
+
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array column (docs shorter than k
+    words yield an empty array)."""
+    ws = words(text_col, lower=False)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(-1)))
+    grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)]))
+    return F.when(F.size(ws) >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))

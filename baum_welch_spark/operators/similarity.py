@@ -19,17 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+from baum_welch_spark.functions.columns import as_double_array as _as_double
+from baum_welch_spark.functions.columns import dot as _dot
+from baum_welch_spark.functions.columns import l2_norm as _norm
 
 
 def emb_norms(embeddings: DataFrame) -> DataFrame:

@@ -1,0 +1,3 @@
+from baum_welch_spark.plans.audit import explain_str, plan_report
+
+__all__ = ["explain_str", "plan_report"]

@@ -1,0 +1,85 @@
+"""Structured Streaming surface (SURVEY §2.5: absent in the reference —
+batch SequenceFiles only; this is the engine's streaming extension).
+
+  * stream_events          — file-stream source over the events parquet with
+                             the pinned schema (no inference in streaming)
+  * session_agg            — event-time sessionization via session_window +
+                             watermark (the streaming twin of
+                             operators.relational.sessionize)
+  * windowed_event_counts  — tumbling-window counts per event type
+
+All are writeStream-agnostic: callers pick sink/trigger. Tests drive them
+with a memory sink + processAllAvailable (synchronous batch-of-parquet).
+
+Scale: state is keyed by (user_id) / (window, event_type); watermarking
+bounds state size, and shuffle partitioning follows the grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (testdata parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .load(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Event-time sessions: session_window(ts, gap) per user with a watermark
+    for late data. Emits one row per closed session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming query over the (finite) file source to completion
+    synchronously; results land in the in-memory table ``name``."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,151 @@
+"""Operator-level tests: dedup/similarity/text/multimodal semantics plus
+plan-audit assertions (the scale posture is part of the contract)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.operators import dedup, multimodal, relational, similarity, text
+from baum_welch_spark.plans.audit import assert_plan, executed_plan_report, plan_report
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF0001, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF0001, "embeddings").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.keep_doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert rows == {1: 3, 2: 1, 5: 1}
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely different words entirely here now then")],
+        schema="doc_id bigint, text string",
+    )
+    rows = dedup.neardup_jaccard(df, threshold=0.9).collect()
+    assert len(rows) == 1 and rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert rows[0].jaccard == 1.0
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, documents):
+    """LSH with these band parameters must recover every pair the exact
+    join scores >= 0.4 (high-similarity recall check)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.neardup_jaccard(documents, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(documents, verify_threshold=0.4).collect()
+    }
+    assert exact <= lsh | exact  # lsh may miss some (approx), but...
+    recall = len(exact & lsh) / max(len(exact), 1)
+    assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} pairs"
+
+
+def test_simhash_pairs_symmetric_bounds(spark, documents):
+    rows = dedup.simhash_pairs(documents, max_hamming=8).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 8
+
+
+def test_knn_brute_matches_numpy(spark, embeddings):
+    got = similarity.knn_brute(embeddings, n_queries=3, k=4).collect()
+    pdf = embeddings.toPandas().set_index("vec_id")["embedding"]
+    M = np.vstack([np.array(v, dtype=np.float64) for v in pdf])
+    ids = np.array(pdf.index)
+    unit = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        cand = [(round(sims[qi, j], 6), int(ids[j])) for j in range(len(ids)) if ids[j] >= 3]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        expect = [c_id for _, c_id in cand[:4]]
+        mine = [r.c_id for r in sorted(got, key=lambda r: r.rk) if r.q_id == q]
+        assert mine == expect, f"query {q}"
+
+
+def test_knn_ivf_recall_vs_brute(spark, embeddings):
+    brute = {(r.q_id, r.c_id) for r in similarity.knn_brute(embeddings, n_queries=5, k=5).collect()}
+    ivf = {(r.q_id, r.c_id) for r in similarity.knn_ivf(embeddings, n_queries=5, k=5).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall {recall}"  # approximate by design
+
+
+def test_lang_id_deterministic_and_total(spark, documents):
+    rows = text.lang_id(documents).collect()
+    assert len(rows) == documents.count()
+    assert all(r.pred_lang in text.LANG_MARKERS for r in rows)
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = multimodal.synthetic_assets(spark, n=24)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+        assert len(r.sha256) == 64
+    # determinism: same payload -> same feature
+    again = {r.asset_id: r.feature for r in multimodal.extract_features(assets).collect()}
+    for r in feats:
+        assert again[r.asset_id] == r.feature
+
+
+def test_multimodal_real_decode_is_marked_stub(spark):
+    assets = multimodal.synthetic_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(assets, decode_stub=False).collect()
+
+
+def test_multimodal_frame_plan_and_dedup(spark):
+    assets = multimodal.synthetic_assets(spark, n=12)
+    frames = multimodal.frame_sample_plan(assets, every_ms=500).collect()
+    assert all(r.frame_ms % 500 == 0 for r in frames)
+    d = multimodal.dedup_assets_exact(assets).collect()
+    assert sum(r.n_copies for r in d) == 12
+
+
+# -- plan audits (scale posture, SURVEY §4) --------------------------------
+
+
+def test_q1_plan_pushdown_and_partial_agg(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    rep = assert_plan(relational.q1_pricing_summary(li), max_shuffles=3, require_pushdown=True)
+    assert rep["python_stages"] == 0
+    rep = executed_plan_report(relational.q1_pricing_summary(li))
+    assert rep["wholestage_codegen"]
+
+
+def test_q5_plan_broadcasts_dims(spark):
+    dfs = [load_table(spark, SF0001, t) for t in ("customer", "orders", "lineitem", "nation", "region")]
+    rep = assert_plan(relational.q5_region_revenue(*dfs), require_broadcast=True)
+    assert rep["sortmerge_joins"] <= 1  # only the two fact tables may SMJ
+
+
+def test_knn_plan_broadcasts_queries_no_shuffle_on_corpus(spark, embeddings):
+    rep = plan_report(similarity.knn_brute(embeddings))
+    assert rep["broadcast_joins"] >= 1
+    assert rep["python_stages"] == 0  # pure Catalyst vector math
+
+
+def test_doc_quality_plan_stays_codegen(spark, documents):
+    rep = plan_report(text.doc_quality(documents))
+    assert rep["python_stages"] == 0
+    assert rep["shuffles"] == 0  # narrow projection only

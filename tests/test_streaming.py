@@ -1,0 +1,52 @@
+"""Structured Streaming tests: drive the file-stream to completion with a
+memory sink and compare against batch results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.sources.io import load_table
+from baum_welch_spark.streaming.sessionize import (
+    run_to_memory,
+    session_agg,
+    stream_events,
+    windowed_event_counts,
+)
+
+from conftest import SF0001
+
+
+def test_stream_windowed_counts_match_batch(spark):
+    stream = windowed_event_counts(stream_events(spark, SF0001))
+    run_to_memory(stream, "win_counts")
+    got = {
+        (r.w_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF0001, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+    expect = {(r.w_start, r.event_type): (r.n, r.total_value) for r in batch.collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_stream_sessionize_total_events_preserved(spark):
+    stream = session_agg(stream_events(spark, SF0001), gap="30 minutes")
+    run_to_memory(stream, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert sum(r.n_events for r in rows) == load_table(spark, SF0001, "events").count()
+    for r in rows:
+        assert r.session_end >= r.session_start
+
+
+def test_stream_session_count_matches_batch_sessionize(spark):
+    from baum_welch_spark.operators.relational import sessionize
+
+    stream = session_agg(stream_events(spark, SF0001), gap="30 minutes")
+    run_to_memory(stream, "sessions2")
+    n_stream = spark.sql("SELECT count(*) AS n FROM sessions2").collect()[0].n
+    n_batch = sessionize(load_table(spark, SF0001, "events"), gap_minutes=30).count()
+    assert n_stream == n_batch
