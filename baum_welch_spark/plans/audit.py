@@ -47,7 +47,8 @@ def executed_plan_report(df: DataFrame) -> dict[str, object]:
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     rep = plan_report(df)
-    rep["wholestage_codegen"] = "WholeStageCodegen" in executed
+    # codegen stages appear as "*(N) Operator" in the executed-plan string
+    rep["wholestage_codegen"] = "WholeStageCodegen" in executed or "*(" in executed
     rep["executed_shuffles"] = executed.count("Exchange")
     return rep
 
