@@ -29,7 +29,7 @@ def plan_report(df: DataFrame) -> dict[str, object]:
     codegen = explain_str(df, "codegen")
     return {
         "has_pushed_filters": "PushedFilters: [" in formatted and "PushedFilters: []" not in formatted,
-        "broadcast_joins": tree.count("BroadcastHashJoin"),
+        "broadcast_joins": tree.count("BroadcastHashJoin") + tree.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": tree.count("SortMergeJoin"),
         "shuffles": tree.count("Exchange"),
         "wholestage_codegen": "Found 0 WholeStageCodegen" not in codegen,

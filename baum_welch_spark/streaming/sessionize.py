@@ -34,10 +34,12 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-stream sources need a directory; glob-filter down to the events file
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
@@ -71,11 +73,17 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming query over the (finite) file source to completion
-    synchronously; results land in the in-memory table ``name``."""
+    synchronously; results land in the in-memory table ``name``.
+
+    Default output mode is ``complete``: in append mode the windows past the
+    final watermark would stay in state forever on a finite source (the last
+    windows never emit). Production sinks with unbounded sources would use
+    append + watermark eviction.
+    """
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
