@@ -79,6 +79,30 @@ def _q_q5(spark, sf):
     return q5_region_revenue(*_tables(spark, sf, "customer", "orders", "lineitem", "nation", "region"))
 
 
+def _q_q6(spark, sf):
+    from baum_welch_spark.operators.relational import q6_forecast_revenue
+
+    return q6_forecast_revenue(*_tables(spark, sf, "lineitem"))
+
+
+def _q_event_pivot(spark, sf):
+    from baum_welch_spark.operators.relational import event_pivot
+
+    return event_pivot(*_tables(spark, sf, "events"))
+
+
+def _q_events_rollup(spark, sf):
+    from baum_welch_spark.operators.relational import events_rollup
+
+    return events_rollup(*_tables(spark, sf, "events"))
+
+
+def _q_asof(spark, sf):
+    from baum_welch_spark.operators.asof import purchases_with_last_view
+
+    return purchases_with_last_view(*_tables(spark, sf, "events"))
+
+
 def _q_top_event(spark, sf):
     from baum_welch_spark.operators.relational import top_event_type_per_user
 
@@ -188,6 +212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
+        "q6_forecast_revenue": _q_q6,
+        "event_pivot": _q_event_pivot,
+        "events_rollup": _q_events_rollup,
+        "asof_purchase_view": _q_asof,
         "top_event_per_user": _q_top_event,
         "sessionize": _q_sessionize,
         # dedup suite
@@ -209,9 +237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from baum_welch_spark.operators import dedup, markov, relational, similarity, text
+    from baum_welch_spark.operators import asof, dedup, markov, relational, similarity, text
 
     return {
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "event_pivot": relational.EVENT_PIVOT_SQL,
+        "events_rollup": relational.EVENTS_ROLLUP_SQL,
+        "asof_purchase_view": asof.PURCHASES_LAST_VIEW_SQL,
         "seq_build": markov.SEQ_BUILD_SQL,
         "stripe_agg": markov.TRANSITION_COUNTS_SQL,
         "normalize": markov.TRANSITION_MODEL_SQL,

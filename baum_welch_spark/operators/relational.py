@@ -221,3 +221,73 @@ GROUP BY user_id, session_seq
 
 def sessionize_sql(gap_minutes: int = 30) -> str:
     return SESSIONIZE_SQL.format(gap_us=gap_minutes * 60 * 1_000_000)
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + multi-predicate filter + single-row agg.
+    Everything pushes into the parquet scan; zero-shuffle partial agg."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: per-user event-type count matrix. Expressed with an explicit
+    value list so the plan is a single pass (no distinct-values pre-query);
+    the oracle uses the equivalent portable CASE-sum formulation."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+EVENT_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Rollup: event counts + value sums by (event_type, day) with subtotals
+    and a grand total (grouping-sets coverage; NULL marks the rolled level)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    return (
+        events.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select("event_type", "day", "n", "total_value")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""

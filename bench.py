@@ -26,6 +26,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "event_pivot",
+    "events_rollup",
+    "asof_purchase_view",
     "top_event_per_user",
     "sessionize",
     "seq_build",
