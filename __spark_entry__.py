@@ -103,6 +103,18 @@ def _q_asof(spark, sf):
     return purchases_with_last_view(*_tables(spark, sf, "events"))
 
 
+def _q_viewers_no_purchase(spark, sf):
+    from baum_welch_spark.operators.relational import viewers_without_purchase
+
+    return viewers_without_purchase(*_tables(spark, sf, "events"))
+
+
+def _q_value_quantiles(spark, sf):
+    from baum_welch_spark.operators.relational import value_quantiles
+
+    return value_quantiles(*_tables(spark, sf, "events"))
+
+
 def _q_top_event(spark, sf):
     from baum_welch_spark.operators.relational import top_event_type_per_user
 
@@ -216,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": _q_event_pivot,
         "events_rollup": _q_events_rollup,
         "asof_purchase_view": _q_asof,
+        "viewers_no_purchase": _q_viewers_no_purchase,
+        "value_quantiles": _q_value_quantiles,
         "top_event_per_user": _q_top_event,
         "sessionize": _q_sessionize,
         # dedup suite
@@ -244,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
         "event_pivot": relational.EVENT_PIVOT_SQL,
         "events_rollup": relational.EVENTS_ROLLUP_SQL,
         "asof_purchase_view": asof.PURCHASES_LAST_VIEW_SQL,
+        "viewers_no_purchase": relational.VIEWERS_NO_PURCHASE_SQL,
+        "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "seq_build": markov.SEQ_BUILD_SQL,
         "stripe_agg": markov.TRANSITION_COUNTS_SQL,
         "normalize": markov.TRANSITION_MODEL_SQL,

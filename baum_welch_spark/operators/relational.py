@@ -291,3 +291,48 @@ SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
 FROM events
 GROUP BY ROLLUP (event_type, day)
 """
+
+
+def viewers_without_purchase(events: DataFrame) -> DataFrame:
+    """Set-op surface: (user, day) pairs with a view but no purchase that
+    day (EXCEPT — Catalyst plans subtract as an aggregate + anti-join)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day")
+    viewers = events.filter(F.col("event_type") == "view").select("user_id", day).distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return viewers.exceptAll(buyers).orderBy("user_id", "day")
+
+
+VIEWERS_NO_PURCHASE_SQL = """
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated quantiles of event value per event type (the
+    engine's quantile surface; the approximate twin is percentile_approx,
+    checked rows-only because sketches differ across engines)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
