@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from baum_welch_spark.hmm.kernel import e_step_counts, m_step
+from baum_welch_spark.hmm.kernel import e_step_counts_batch, m_step
 from baum_welch_spark.hmm.model import (
     HMM,
     KIND_EMISSION,
@@ -71,11 +71,17 @@ def e_step_udf(bc_model):
         ll = 0.0
         saw_data = False
         for pdf in batches:
-            for obs in pdf["obs"]:
-                if obs is None or len(obs) == 0:
-                    continue
-                saw_data = True
-                ll += e_step_counts(pi, A, B, np.asarray(obs, dtype=np.int64), cpi, cA, cB)
+            obs_list = [
+                np.asarray(o, dtype=np.int64)
+                for o in pdf["obs"]
+                if o is not None and len(o) > 0
+            ]
+            if not obs_list:
+                continue
+            saw_data = True
+            # batched padded DP: Python loop is O(max_T) per Arrow batch,
+            # not O(sum T) — see kernel.e_step_counts_batch
+            ll += e_step_counts_batch(pi, A, B, obs_list, cpi, cA, cB)
         if not saw_data:
             return
         kinds = [KIND_INITIAL] * n

@@ -142,3 +142,78 @@ def sequential_baum_welch(
         if tol > 0 and delta < tol:
             break
     return model, trace
+
+
+def e_step_counts_batch(
+    pi: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    obs_list: list[np.ndarray],
+    out_pi: np.ndarray,
+    out_A: np.ndarray,
+    out_B: np.ndarray,
+) -> float:
+    """Batched E-step: the same expected counts as looping e_step_counts over
+    obs_list, but vectorized ACROSS sequences (padded to the batch max
+    length) so the Python-level loop runs max_T times, not sum(T_s) times.
+    This is the hot kernel inside the distributed fit's Arrow batches.
+
+    Padding semantics: for t beyond a sequence's end, scale is pinned to 1
+    (no loglik contribution), alpha is carried forward unchanged, and beta's
+    don't-care region is 1 (which also seeds beta[len-1] = 1 exactly);
+    gamma/xi contributions are masked by validity, so the result matches the
+    per-sequence kernel to machine precision (asserted in tests).
+
+    Returns the summed log-likelihood of the batch.
+    """
+    S = len(obs_list)
+    if S == 0:
+        return 0.0
+    N, M = A.shape[0], B.shape[1]
+    lens = np.array([len(o) for o in obs_list], dtype=np.int64)
+    Tmax = int(lens.max())
+    obs_pad = np.zeros((Tmax, S), dtype=np.int64)
+    for s_i, o in enumerate(obs_list):
+        obs_pad[: len(o), s_i] = o
+    valid = np.arange(Tmax)[:, None] < lens[None, :]  # (T, S)
+
+    alpha = np.empty((Tmax, S, N))
+    scale = np.ones((Tmax, S))
+    a = pi[None, :] * B[:, obs_pad[0]].T  # (S, N); every sequence has T >= 1
+    sc = a.sum(axis=1)
+    alpha[0] = a / sc[:, None]
+    scale[0] = sc
+    for t in range(1, Tmax):
+        a = (alpha[t - 1] @ A) * B[:, obs_pad[t]].T
+        v = valid[t]
+        sc = np.where(v, a.sum(axis=1), 1.0)
+        alpha[t] = np.where(v[:, None], a / sc[:, None], alpha[t - 1])
+        scale[t] = sc
+
+    beta = np.empty((Tmax, S, N))
+    beta[Tmax - 1] = 1.0
+    w = np.empty((Tmax, S, N))  # w[t] = B[:,o_t] * beta[t] / scale[t]
+    w[Tmax - 1] = (B[:, obs_pad[Tmax - 1]].T * beta[Tmax - 1]) / scale[Tmax - 1][:, None]
+    for t in range(Tmax - 2, -1, -1):
+        bt = (B[:, obs_pad[t + 1]].T * beta[t + 1]) @ A.T / scale[t + 1][:, None]
+        # invalid t+1 (t >= len-1): beta[t] = 1 — exact for t == len-1,
+        # don't-care (masked) beyond
+        beta[t] = np.where(valid[t + 1][:, None], bt, 1.0)
+        w[t] = (B[:, obs_pad[t]].T * beta[t]) / scale[t][:, None]
+
+    gamma = alpha * beta  # (T, S, N); rows at valid t sum to 1
+    out_pi += gamma[0].sum(axis=0)
+
+    flat_obs = obs_pad[valid]          # (K,)
+    flat_gamma = gamma[valid]          # (K, N)
+    BT = np.zeros((M, N))
+    np.add.at(BT, flat_obs, flat_gamma)
+    out_B += BT.T
+
+    if Tmax > 1:
+        trans_valid = valid[1:]        # transition t -> t+1 exists iff valid[t+1]
+        wa = alpha[:-1][trans_valid]   # (K2, N)
+        wb = w[1:][trans_valid]        # (K2, N)
+        out_A += A * (wa.T @ wb)
+
+    return float(np.log(scale).sum())

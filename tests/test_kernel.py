@@ -152,3 +152,22 @@ def test_single_observation_sequence():
     assert cA.sum() == 0.0  # no transitions in a length-1 sequence
     assert np.isclose(cB.sum(), 1.0)
     assert np.isclose(np.exp(ll), m.pi @ m.B[:, 1])
+
+
+def test_batch_e_step_matches_per_sequence():
+    """Batched (padded) kernel == per-sequence kernel to machine precision,
+    including length-1 and max-length sequences in the same batch."""
+    rng = np.random.default_rng(17)
+    m = HMM.random(4, 6, seed=17)
+    seqs = [rng.integers(0, 6, size=n) for n in [1, 3, 50, 50, 7, 29, 1, 64]]
+
+    from baum_welch_spark.hmm.kernel import e_step_counts_batch
+
+    p1 = np.zeros(4); A1 = np.zeros((4, 4)); B1 = np.zeros((4, 6))
+    ll1 = sum(e_step_counts(m.pi, m.A, m.B, o, p1, A1, B1) for o in seqs)
+    p2 = np.zeros(4); A2 = np.zeros((4, 4)); B2 = np.zeros((4, 6))
+    ll2 = e_step_counts_batch(m.pi, m.A, m.B, seqs, p2, A2, B2)
+    assert np.isclose(ll1, ll2, rtol=1e-12)
+    np.testing.assert_allclose(p1, p2, atol=1e-12)
+    np.testing.assert_allclose(A1, A2, atol=1e-12)
+    np.testing.assert_allclose(B1, B2, atol=1e-12)
