@@ -181,7 +181,49 @@ def _q_knn_brute(spark, sf):
     return knn_brute(*_tables(spark, sf, "embeddings"))
 
 
+def _q_q4(spark, sf):
+    from baum_welch_spark.operators.relational import q4_late_orders
+
+    return q4_late_orders(*_tables(spark, sf, "orders", "lineitem"))
+
+
+def _q_daily_revenue_ma7(spark, sf):
+    from baum_welch_spark.operators.relational import daily_revenue_ma7
+
+    return daily_revenue_ma7(*_tables(spark, sf, "orders"))
+
+
+def _q_user_type_stats(spark, sf):
+    from baum_welch_spark.operators.relational import user_type_stats
+
+    return user_type_stats(*_tables(spark, sf, "events"))
+
+
+def _q_purchase_view_context(spark, sf):
+    from baum_welch_spark.operators.rangejoin import purchase_view_context
+
+    return purchase_view_context(*_tables(spark, sf, "events"))
+
+
+def _q_cosine_neardup(spark, sf):
+    from baum_welch_spark.operators.similarity import cosine_neardup
+
+    return cosine_neardup(*_tables(spark, sf, "embeddings"))
+
+
 # -- non-SQL-expressible (rows-only check) ----------------------------------
+
+
+def _q_cosine_neardup_lsh(spark, sf):
+    from baum_welch_spark.operators.similarity import cosine_neardup_lsh
+
+    return cosine_neardup_lsh(*_tables(spark, sf, "embeddings"))
+
+
+def _q_approx_distinct_users(spark, sf):
+    from baum_welch_spark.operators.relational import approx_distinct_users
+
+    return approx_distinct_users(*_tables(spark, sf, "events"))
 
 
 def _q_hmm_fit(spark, sf):
@@ -232,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": _q_value_quantiles,
         "top_event_per_user": _q_top_event,
         "sessionize": _q_sessionize,
+        "q4_late_orders": _q_q4,
+        "daily_revenue_ma7": _q_daily_revenue_ma7,
+        "user_type_stats": _q_user_type_stats,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "purchase_view_context": _q_purchase_view_context,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -247,11 +294,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
+        "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from baum_welch_spark.operators import asof, dedup, markov, relational, similarity, text
+    from baum_welch_spark.operators import asof, dedup, markov, rangejoin, relational, similarity, text
 
     return {
         "q6_forecast_revenue": relational.Q6_SQL,
@@ -278,6 +327,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
+        "cosine_neardup": similarity.COSINE_NEARDUP_SQL,
+        "q4_late_orders": relational.Q4_SQL,
+        "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
+        "user_type_stats": relational.USER_TYPE_STATS_SQL,
+        "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
         # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
         # (iterative EM with a pandas-UDF E-step; engine-specific hash
         # functions) -> rows-only check by design.

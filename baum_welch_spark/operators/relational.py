@@ -336,3 +336,108 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def q4_late_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
+
+    Orders counted per priority when at least one lineitem shipped more than
+    30 days after the order date. Scale: the semi-join shuffles on
+    l_orderkey only once and never materializes the multiplicity of matching
+    lineitems; the priority agg is a tiny second shuffle.
+    """
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def daily_revenue_ma7(orders: DataFrame) -> DataFrame:
+    """Window-frame surface: daily gross revenue with a 7-row trailing moving
+    average (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over the day order).
+
+    Scale: one shuffle for the daily agg; the window then runs over ~days
+    rows — trivially small forever. Day is unique in the frame ordering, so
+    the frame content (hence the average) is deterministic across engines.
+    """
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 4).alias("revenue_ma7")
+    ).orderBy("day")
+
+
+DAILY_REVENUE_MA7_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR) AS day,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS revenue_ma7
+FROM daily ORDER BY day
+"""
+
+
+def user_type_stats(events: DataFrame) -> DataFrame:
+    """DISTINCT-aggregate surface: per event type, distinct users and events
+    per active user. Scale: count(DISTINCT) expands to a two-phase agg
+    (distinct on (type, user) then count) — both shuffles partial-aggregated;
+    no driver-side anything.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("events_per_user", F.round(F.col("n_events") / F.col("n_users"), 6))
+        .orderBy("event_type")
+    )
+
+
+USER_TYPE_STATS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(count(*) * 1.0 / count(DISTINCT user_id), 6) AS events_per_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the sketch
+    face of :func:`user_type_stats` (rows-only check: sketch estimates are
+    engine-specific). Scale: HLL sketches merge map-side, so the shuffle
+    carries one ~1.5/rsd² register set per (type, partition), independent of
+    user cardinality — THE pattern for distincts at 100 TB.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -91,6 +91,128 @@ SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 5
 """
 
 
+def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) with
+    cos(a, b) >= threshold (north-star dedup suite, SURVEY §2.7).
+
+    Norms are computed once per vector before the pair join, so the O(n²)
+    inner loop is a single dot product per pair, all JVM-side Catalyst fold
+    (zip_with + aggregate) — no Python. The pair join itself is the exact
+    O(n²) baseline; at 100 TB use :func:`cosine_neardup_lsh`, which feeds the
+    same verify expression from an LSH-bucketed candidate set instead.
+    """
+    v = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+COSINE_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+             / (a.nrm * b.nrm), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+            / (a.nrm * b.nrm), 6) >= 0.35
+"""
+
+
+def cosine_neardup_lsh(
+    embeddings: DataFrame, threshold: float = 0.35, bits: int = 4, tables: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH: ``tables``
+    independent sign-bucket keys of ``bits`` bits each; a pair is a candidate
+    if it collides in ANY table; candidates (only) are verified exactly.
+
+    Same output schema/semantics as :func:`cosine_neardup` restricted to the
+    candidate set — the scale path: the corpus self-join becomes ``tables``
+    equi-joins each touching ~1/2^bits of the pairs. Hyperplanes are
+    deterministic ±1 Rademacher directions seeded per (table, bit) via
+    murmur3 of the component index — reproducible with no driver randomness,
+    and well-mixed (a biased/correlated sign pattern collapses recall).
+
+    Recall for a pair at angle θ is 1 − (1 − (1 − θ/π)^bits)^tables: ≈1.0
+    for true near-dups (cos ≥ 0.9), ~0.7 at the loose default threshold
+    0.35 the synthetic corpus needs — tune (bits, tables) per workload.
+
+    Scale shape: the bucket self-join and the pair dedup carry ONLY
+    ``(vec_id, vec_id)`` — never the vectors — so candidate-shuffle bytes are
+    O(pairs × 16B), not O(pairs × dim × 8B). Vectors re-enter for the exact
+    verify via two joins against the (small) normed-vector table; at corpus
+    scale that side stays a per-id shuffle join of the original table, and
+    here Catalyst broadcasts it.
+    """
+    v = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    )
+
+    def proj_sign(col, seed: int):
+        proj = F.aggregate(
+            F.zip_with(
+                col,
+                F.sequence(F.lit(0), F.size(col) - 1),
+                lambda x, i: x
+                * F.when(F.pmod(F.hash(i, F.lit(seed)), F.lit(2)) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sum(
+                    (proj_sign(F.col("v"), t * bits + b) * F.lit(1 << b) for b in range(bits)),
+                    F.lit(0),
+                ).alias("key"),
+            )
+            for t in range(tables)
+        ]
+    )
+    bucketed = v.select("vec_id", F.explode(keys).alias("tk")).select(
+        "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        candidates.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def knn_ivf(embeddings: DataFrame, n_queries: int = 5, k: int = 5, bits: int = 2) -> DataFrame:
     """Approximate top-k: random-projection sign buckets (an IVF/LSH hybrid).
 

@@ -30,6 +30,7 @@ def plan_report(df: DataFrame) -> dict[str, object]:
     return {
         "has_pushed_filters": "PushedFilters: [" in formatted and "PushedFilters: []" not in formatted,
         "broadcast_joins": tree.count("BroadcastHashJoin") + tree.count("BroadcastNestedLoopJoin"),
+        "nested_loop_joins": tree.count("BroadcastNestedLoopJoin") + tree.count("CartesianProduct"),
         "sortmerge_joins": tree.count("SortMergeJoin"),
         "shuffles": tree.count("Exchange"),
         "wholestage_codegen": "Found 0 WholeStageCodegen" not in codegen,

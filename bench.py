@@ -48,6 +48,13 @@ HEADLINE = [
     "emb_norms",
     "knn_brute",
     "knn_ivf",
+    "q4_late_orders",
+    "daily_revenue_ma7",
+    "user_type_stats",
+    "approx_distinct_users",
+    "purchase_view_context",
+    "cosine_neardup",
+    "cosine_neardup_lsh",
     "hmm_fit",
 ]
 

@@ -149,3 +149,62 @@ def test_doc_quality_plan_stays_codegen(spark, documents):
     rep = plan_report(text.doc_quality(documents))
     assert rep["python_stages"] == 0
     assert rep["shuffles"] == 0  # narrow projection only
+
+
+def test_cosine_neardup_matches_numpy(spark, embeddings):
+    got = {(r.vec_a, r.vec_b): r.cos for r in similarity.cosine_neardup(embeddings).collect()}
+    pdf = embeddings.toPandas().set_index("vec_id")["embedding"]
+    M = np.vstack([np.array(v, dtype=np.float64) for v in pdf])
+    ids = list(pdf.index)
+    unit = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and round(sims[i, j], 6) >= 0.35:
+                expect[(ids[i], ids[j])] = round(sims[i, j], 6)
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_cosine_neardup_lsh_subset_and_recall(spark, embeddings):
+    """LSH output must be a strict subset of the exact pairs (candidates are
+    verified exactly) with recall >= 0.6 at the default (bits=4, tables=8)."""
+    exact = {(r.vec_a, r.vec_b) for r in similarity.cosine_neardup(embeddings).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in similarity.cosine_neardup_lsh(embeddings).collect()}
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.6, f"LSH recall {recall} over {len(exact)} exact pairs"
+
+
+def test_cosine_neardup_lsh_plan_id_only_candidates(spark, embeddings):
+    """Scale shape: the candidate self-join must broadcast-verify against the
+    vector table (2 broadcast joins) and contain no nested-loop join."""
+    rep = plan_report(similarity.cosine_neardup_lsh(embeddings))
+    assert rep["nested_loop_joins"] == 0, rep
+    assert rep["broadcast_joins"] >= 2, rep
+    assert rep["python_stages"] == 0
+
+
+def test_q4_plan_is_semi_join(spark):
+    orders = load_table(spark, SF0001, "orders")
+    lineitem = load_table(spark, SF0001, "lineitem")
+    df = relational.q4_late_orders(orders, lineitem)
+    tree_rep = plan_report(df)
+    assert tree_rep["nested_loop_joins"] == 0
+    from baum_welch_spark.plans.audit import explain_str
+
+    assert "LeftSemi" in explain_str(df, "simple")
+    # correctness vs per-order python check at sf0.001
+    got = {r.o_orderpriority: r.order_count for r in df.collect()}
+    li = {}
+    for r in lineitem.select("l_orderkey", "l_shipdate").collect():
+        li.setdefault(r.l_orderkey, []).append(r.l_shipdate)
+    import datetime as dt
+
+    expect = {}
+    for r in orders.select("o_orderkey", "o_orderdate", "o_orderpriority").collect():
+        if any(s > r.o_orderdate + dt.timedelta(days=30) for s in li.get(r.o_orderkey, [])):
+            expect[r.o_orderpriority] = expect.get(r.o_orderpriority, 0) + 1
+    assert got == expect
