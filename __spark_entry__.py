@@ -211,6 +211,12 @@ def _q_cosine_neardup(spark, sf):
     return cosine_neardup(*_tables(spark, sf, "embeddings"))
 
 
+def _q_salted_value_stats(spark, sf):
+    from baum_welch_spark.operators.skew import user_value_stats_salted
+
+    return user_value_stats_salted(*_tables(spark, sf, "events"))
+
+
 # -- non-SQL-expressible (rows-only check) ----------------------------------
 
 
@@ -279,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_stats": _q_user_type_stats,
         "approx_distinct_users": _q_approx_distinct_users,
         "purchase_view_context": _q_purchase_view_context,
+        "salted_value_stats": _q_salted_value_stats,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -300,7 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from baum_welch_spark.operators import asof, dedup, markov, rangejoin, relational, similarity, text
+    from baum_welch_spark.operators import asof, dedup, markov, rangejoin, relational, similarity, skew, text
 
     return {
         "q6_forecast_revenue": relational.Q6_SQL,
@@ -332,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
+        "salted_value_stats": skew.USER_VALUE_STATS_SALTED_SQL,
         # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
         # (iterative EM with a pandas-UDF E-step; engine-specific hash
         # functions) -> rows-only check by design.

@@ -1,0 +1,120 @@
+"""Skew-aware shuffle patterns: salted aggregation and salted joins.
+
+The reference shuffles all stripes to at most 2N+1 distinct Text keys
+(`BaumWelchDriver.java:163-166`, SURVEY §2.3 A1) — with N=4 hidden states
+that is 9 reducer keys for the whole corpus, the canonical skew disaster at
+cluster scale. Our engine's E-step avoids it structurally (in-UDF combine +
+Catalyst partial aggregation), but a general engine still needs explicit
+skew tools for hot keys the optimizer can't see. Two standard patterns:
+
+  * ``salted_agg``  — two-phase aggregation: spread each group over
+    ``n_salt`` sub-groups keyed by a hash of a high-cardinality spread
+    column, partially aggregate, then merge. First shuffle carries
+    ``n_salt`` rows per hot key instead of every record; second shuffle is
+    tiny. Only valid for mergeable aggregates (sum/count/min/max — the
+    algebraic ones, exactly what Catalyst partial agg exploits).
+  * ``salted_join`` — replicate the small side over all salt values and
+    salt the big side's key by row hash, turning one hot join key into
+    ``n_salt`` evenly loaded keys. (Spark's AQE skew-join splits oversized
+    *partitions* at runtime; explicit salting also fixes single-KEY
+    hotspots, which partition splitting cannot.)
+
+Both produce results identical to their unsalted forms — asserted by tests
+and by the DuckDB oracle on the unsalted SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    spread_col: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (fn, input column) with fn in
+    {sum, count, min, max}. count is re-aggregated with sum in phase 2.
+    """
+    phase1_exprs = []
+    phase2_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_exprs.append(F.count(col).alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif fn in ("sum", "min", "max"):
+            f = getattr(F, fn)
+            phase1_exprs.append(f(col).alias(out))
+            phase2_exprs.append(f(out).alias(out))
+        else:
+            raise ValueError(f"non-mergeable aggregate: {fn}")
+    salted = df.withColumn(SALT, F.pmod(F.hash(spread_col), F.lit(n_salt)))
+    partial = salted.groupBy(*keys, SALT).agg(*phase1_exprs)
+    return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big`` to ``small`` on ``key`` with the small side
+    replicated ``n_salt`` times, so a hot key spreads over ``n_salt``
+    shuffle partitions. Output columns = big's then small's (minus its key).
+    """
+    salted_big = big.withColumn(SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt)))
+    replicated = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumnRenamed(key, f"__{key}_r")
+    joined = salted_big.join(
+        replicated,
+        (F.col(key) == F.col(f"__{key}_r")) & (salted_big[SALT] == replicated[SALT]),
+        how,
+    )
+    return joined.drop(SALT).drop(f"__{key}_r")
+
+
+def user_value_stats_salted(events: DataFrame, n_salt: int = 16) -> DataFrame:
+    """Per event_type value stats via salted two-phase agg — identical to the
+    plain groupBy (the DuckDB oracle below runs the unsalted SQL). The
+    spread column is event_id (unique, so sub-groups are uniform)."""
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        spread_col="event_id",
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salt=n_salt,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+USER_VALUE_STATS_SALTED_SQL = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -41,3 +41,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# -- multi-format sinks/sources ---------------------------------------------
+#
+# The reference supports exactly one format (SequenceFile, SURVEY §2.1
+# S1-S3); a usable engine needs the interchange formats too. Parquet/ORC are
+# the columnar paths (pushdown + pruning); CSV/JSON are row formats for
+# interchange — schema-pinned on read (never inferred), timestamps written
+# with explicit microsecond format so round-trips are lossless.
+
+FORMATS = ("parquet", "orc", "json", "csv")
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _format_options(fmt: str) -> dict[str, str]:
+    if fmt == "csv":
+        return {"header": "true", "timestampFormat": _TS_FMT}
+    if fmt == "json":
+        return {"timestampFormat": _TS_FMT}
+    return {}
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "csv":
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))]
+        if bad:
+            raise ValueError(f"CSV cannot hold nested/binary columns: {bad}; use parquet/orc/json")
+    df.write.format(fmt).options(**_format_options(fmt)).mode(mode).save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -> DataFrame:
+    """Schema-pinned read (SURVEY §1.3: the engine never infers core-table
+    schemas — the Writable-class discipline, kept)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    return (
+        spark.read.format(fmt).options(**_format_options(fmt)).schema(schema).load(path)
+    )

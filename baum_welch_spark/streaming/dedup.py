@@ -1,0 +1,34 @@
+"""Streaming deduplication: the streaming face of ``operators.dedup``
+(absent in the reference — SURVEY §2.5; part of the north-star training-data
+pipeline, §2.7).
+
+``dedup_stream`` drops repeated keys within a watermark horizon via
+``dropDuplicatesWithinWatermark`` — state holds one entry per key only
+until the watermark passes it, so state size is bounded by the duplicate
+horizon, not the stream length (plain ``dropDuplicates`` on a stream keeps
+every key forever — unusable at 100 TB/day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baum_welch_spark.streaming.sessionize import EVENTS_SCHEMA
+
+
+def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
+    """File-stream over a directory of events-schema parquet files (nanos ts
+    normalized to timestamp, as in ``stream_events``)."""
+    raw = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(directory)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Emit each key's first-seen row; duplicates arriving within the
+    watermark horizon are dropped. Keys default to ``event_id``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

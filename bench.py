@@ -53,6 +53,7 @@ HEADLINE = [
     "user_type_stats",
     "approx_distinct_users",
     "purchase_view_context",
+    "salted_value_stats",
     "cosine_neardup",
     "cosine_neardup_lsh",
     "hmm_fit",
