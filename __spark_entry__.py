@@ -217,6 +217,30 @@ def _q_salted_value_stats(spark, sf):
     return user_value_stats_salted(*_tables(spark, sf, "events"))
 
 
+def _q_props_k_stats(spark, sf):
+    from baum_welch_spark.operators.relational import props_k_stats
+
+    return props_k_stats(*_tables(spark, sf, "events"))
+
+
+def _q_user_spend_rank(spark, sf):
+    from baum_welch_spark.operators.relational import user_spend_rank
+
+    return user_spend_rank(*_tables(spark, sf, "events"))
+
+
+def _q_events_cube(spark, sf):
+    from baum_welch_spark.operators.relational import events_cube
+
+    return events_cube(*_tables(spark, sf, "events"))
+
+
+def _q_value_approx_quantiles(spark, sf):
+    from baum_welch_spark.operators.relational import value_approx_quantiles
+
+    return value_approx_quantiles(*_tables(spark, sf, "events"))
+
+
 # -- non-SQL-expressible (rows-only check) ----------------------------------
 
 
@@ -286,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "purchase_view_context": _q_purchase_view_context,
         "salted_value_stats": _q_salted_value_stats,
+        "props_k_stats": _q_props_k_stats,
+        "user_spend_rank": _q_user_spend_rank,
+        "events_cube": _q_events_cube,
+        "value_approx_quantiles": _q_value_approx_quantiles,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -340,6 +368,9 @@ def oracle_sql() -> dict[str, str]:
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
         "salted_value_stats": skew.USER_VALUE_STATS_SALTED_SQL,
+        "props_k_stats": relational.PROPS_K_STATS_SQL,
+        "user_spend_rank": relational.USER_SPEND_RANK_SQL,
+        "events_cube": relational.EVENTS_CUBE_SQL,
         # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
         # (iterative EM with a pandas-UDF E-step; engine-specific hash
         # functions) -> rows-only check by design.

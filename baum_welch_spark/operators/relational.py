@@ -441,3 +441,110 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+def props_k_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured surface: parse the ``props`` JSON column with a pinned
+    schema (from_json, not inference) and aggregate the extracted field.
+
+    Scale: from_json is a codegen projection — extraction happens in the
+    scan stage before the (only) shuffle; never parse JSON after a shuffle
+    when the field is groupable earlier.
+    """
+    k = F.from_json(F.col("props"), "struct<k:int>")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_K_STATS_SQL = """
+SELECT event_type,
+       round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+       min(CAST(props->>'k' AS INTEGER)) AS min_k,
+       max(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def user_spend_rank(events: DataFrame, top_percent: float = 0.1) -> DataFrame:
+    """Rank users by total purchase value; keep the top decile by
+    percent_rank. Two window shapes (rank + percent_rank) over one
+    aggregation."""
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("user_id"))
+    return (
+        spend.withColumn("rk", F.rank().over(w))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct_rank") <= top_percent)
+        .select("user_id", "total_spend", "rk", "pct_rank")
+        .orderBy("rk", "user_id")
+    )
+
+
+USER_SPEND_RANK_SQL = """
+WITH spend AS (
+  SELECT user_id, round(sum(value), 4) AS total_spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, total_spend,
+         rank() OVER (ORDER BY total_spend DESC, user_id ASC) AS rk,
+         round(percent_rank() OVER (ORDER BY total_spend DESC, user_id ASC), 6) AS pct_rank
+  FROM spend
+)
+SELECT user_id, total_spend, rk, pct_rank FROM ranked
+WHERE pct_rank <= 0.1 ORDER BY rk, user_id
+"""
+
+
+def value_approx_quantiles(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch face of :func:`value_quantiles`: approx_percentile
+    (KLL/GK-style mergeable quantile sketch). Rows-only check — sketch
+    internals are engine-specific. Scale: the sketch merges map-side;
+    shuffle volume is O(partitions x sketch), independent of row count —
+    exact percentile needs a full sort instead.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.95], accuracy).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 2).alias("p50"),
+            F.round(F.col("q")[1], 2).alias("p90"),
+            F.round(F.col("q")[2], 2).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, weekday): all 4 grouping sets in one pass
+    (partial-aggregated expansion, one shuffle)."""
+    base = events.select("event_type", F.dayofweek("ts").alias("weekday"), "value")
+    return (
+        base.cube("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("weekday"))
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, dayofweek(ts) + 1 AS weekday, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST
+"""

@@ -54,6 +54,10 @@ HEADLINE = [
     "approx_distinct_users",
     "purchase_view_context",
     "salted_value_stats",
+    "props_k_stats",
+    "user_spend_rank",
+    "events_cube",
+    "value_approx_quantiles",
     "cosine_neardup",
     "cosine_neardup_lsh",
     "hmm_fit",
