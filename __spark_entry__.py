@@ -256,6 +256,30 @@ def _q_approx_distinct_users(spark, sf):
     return approx_distinct_users(*_tables(spark, sf, "events"))
 
 
+def _q_knn_ivf_kmeans(spark, sf):
+    from baum_welch_spark.operators.clustering import knn_ivf_kmeans
+
+    return knn_ivf_kmeans(*_tables(spark, sf, "embeddings"))
+
+
+def _q_viterbi_decode(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import viterbi_decode
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return viterbi_decode(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
+def _q_seq_scores(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import score_sequences
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return score_sequences(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
 def _q_hmm_fit(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.fit import fit
@@ -314,6 +338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_spend_rank": _q_user_spend_rank,
         "events_cube": _q_events_cube,
         "value_approx_quantiles": _q_value_approx_quantiles,
+        "viterbi_decode": _q_viterbi_decode,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "seq_scores": _q_seq_scores,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,

@@ -1,0 +1,196 @@
+"""K-means over the embeddings table + IVF ANN probing trained centroids.
+
+A second iterative EM-style algorithm expressed in the engine's house style
+(the HMM fit, hmm/fit.py, is the first): per-iteration dataflow is
+
+  assignment (E-step)  — mapInPandas GEMM against broadcast centroids
+                         (one BLAS call per Arrow batch, no per-row Python)
+  partial sums         — emitted FLATTENED as (cluster, pos, val) rows plus
+                         (cluster, -1, count) — the stripes-to-rows mapping
+                         of SURVEY §1.3, combined in-UDF so shuffle volume
+                         is O(partitions × k × d), corpus-size-independent
+  M-step               — groupBy(cluster, pos).sum, collect k×(d+1) rows,
+                         new centroids on the driver (model-sized only)
+
+``knn_ivf_kmeans`` then uses the trained centroids as a real IVF index:
+corpus vectors partition by nearest centroid; each query probes its
+``n_probe`` nearest cells only, so the verify join touches ~n_probe/k of
+the corpus instead of all of it — the trained-index upgrade over the
+hash-bucket :func:`~baum_welch_spark.operators.similarity.knn_ivf`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+COUNT_POS = -1  # sentinel pos for the per-cluster count row
+
+
+def _init_centroids(embeddings: DataFrame, k: int, seed: int) -> np.ndarray:
+    """Deterministic seeding: the k vectors with the smallest
+    murmur3(vec_id, seed) — a uniform pseudo-random sample with no driver
+    RNG (Date-free, partitioning-independent)."""
+    rows = (
+        embeddings.select("vec_id", "embedding", F.hash("vec_id", F.lit(seed)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = 16, max_iter: int = 10, seed: int = 7, tol: float = 1e-6
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd iterations; returns (centroids (k, d), per-iteration inertia).
+
+    Inertia (sum of squared distances to the assigned centroid) is
+    non-increasing across iterations — asserted by tests, the k-means
+    analogue of the EM log-likelihood guarantee (SURVEY §5.3).
+    """
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
+    src = embeddings.select("vec_id", "embedding")
+    centroids = _init_centroids(src, k, seed)
+    d = centroids.shape[1]
+    inertia_trace: list[float] = []
+
+    for _ in range(max_iter):
+        bc = sc.broadcast(centroids)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            kk, dd = C.shape
+            sums = np.zeros((kk, dd))
+            counts = np.zeros(kk)
+            sse = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                sse += float(d2[np.arange(len(a)), a].sum())
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1.0)
+            nz = np.nonzero(counts)[0]
+            clusters = np.concatenate([np.repeat(nz, d), nz, [-1]]).astype(np.int32)
+            pos = np.concatenate(
+                [np.tile(np.arange(d), len(nz)), np.full(len(nz), COUNT_POS), [COUNT_POS]]
+            ).astype(np.int32)
+            vals = np.concatenate([sums[nz].ravel(), counts[nz], [sse]])
+            # last row (cluster=-1) is the sse side channel
+            yield pd.DataFrame({"cluster": clusters, "pos": pos, "val": vals})
+
+        agg = (
+            src.mapInPandas(partial_sums, schema="cluster int, pos int, val double")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        bc.unpersist()
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        sse = 0.0
+        for r in agg:
+            if r.cluster == -1:
+                sse = r.val
+            elif r.pos == COUNT_POS:
+                counts[r.cluster] = r.val
+            else:
+                sums[r.cluster, r.pos] = r.val
+        inertia_trace.append(sse)
+        new_centroids = centroids.copy()  # empty clusters keep their old position
+        nz = counts > 0
+        new_centroids[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.linalg.norm(new_centroids - centroids))
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, inertia_trace
+
+
+def assign_clusters(
+    embeddings: DataFrame, centroids: np.ndarray, include_vector: bool = False
+) -> DataFrame:
+    """(vec_id, cluster[, cv]) assignment via broadcast GEMM. Passing the
+    vector through avoids a corpus self-join when the caller needs both."""
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": np.argmin(d2, axis=1).astype(np.int32),
+            }
+            if include_vector:
+                out["cv"] = [list(map(float, x)) for x in X]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, cluster int" + (", cv array<double>" if include_vector else "")
+    return embeddings.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
+
+
+def knn_ivf_kmeans(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k with a trained IVF index.
+
+    queries = vec_id < n_queries (as in knn_brute); each probes its
+    ``n_probe`` nearest centroid cells. The candidate join is an equi-join
+    on cluster id between the corpus assignment and the broadcast probe
+    list; only candidates get the exact cosine. Output schema matches
+    :func:`similarity.knn_brute` (q_id, c_id, cos, rk) for recall tests.
+    """
+    spark = embeddings.sparkSession
+    centroids, _ = kmeans_fit(embeddings, k=n_clusters, max_iter=train_iter, seed=seed)
+    corpus = embeddings.filter(F.col("vec_id") >= n_queries)
+    assigned = assign_clusters(corpus, centroids, include_vector=True)
+
+    q_rows = embeddings.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        d2 = ((centroids - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probe]:
+            probes.append((int(r.vec_id), list(map(float, qv)), int(c)))
+    probe_df = spark.createDataFrame(probes, schema="q_id bigint, qv array<double>, cluster int")
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .withColumn("cos", F.round(dot / (nrm(F.col("qv")) * nrm(F.col("cv"))), 6))
+        .select(F.col("q_id"), F.col("vec_id").alias("c_id"), "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos", "rk")
+    )

@@ -58,6 +58,9 @@ HEADLINE = [
     "user_spend_rank",
     "events_cube",
     "value_approx_quantiles",
+    "knn_ivf_kmeans",
+    "viterbi_decode",
+    "seq_scores",
     "cosine_neardup",
     "cosine_neardup_lsh",
     "hmm_fit",
