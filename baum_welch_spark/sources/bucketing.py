@@ -43,3 +43,15 @@ def cobucketed_join(
     """Join two same-bucket-count tables on their bucket column. With
     bucketing metadata present, Catalyst plans this without any Exchange."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``).
+
+    The partition column becomes directory structure, so filters on it never
+    touch non-matching files at all (partition pruning — visible as
+    PartitionFilters in the scan, distinct from row-group predicate
+    pushdown). The right layout for time-series at 100 TB: a day filter
+    prunes 364/365ths of the input before a single byte is read.
+    """
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)

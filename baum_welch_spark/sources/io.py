@@ -82,3 +82,11 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -
     return (
         spark.read.format(fmt).options(**_format_options(fmt)).schema(schema).load(path)
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every core table as a temp view so the whole engine surface
+    is reachable from plain ``spark.sql`` — the SQL face of the API
+    (DuckDB-oracle SQL in the driver contract runs near-verbatim here)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -67,3 +67,36 @@ def test_bucketed_groupby_on_bucket_key_zero_shuffles(spark, bucketed_tables):
     agg = spark.table(left).groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("t"))
     rep = plan_report(agg)
     assert rep["shuffles"] == 0, rep
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from baum_welch_spark.plans.audit import explain_str
+    from baum_welch_spark.sources.bucketing import write_partitioned
+
+    events = load_table(spark, SF0001, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(events, path, ["day"])
+    back = spark.read.parquet(path)
+    # partition-column values come back type-inferred (string day -> date)
+    days = sorted(str(r.day) for r in back.select("day").distinct().collect())
+    assert len(days) > 1
+    one = back.filter(F.col("day") == days[0])
+    formatted = explain_str(one, "formatted")
+    assert "PartitionFilters" in formatted and days[0] not in formatted.split("PartitionFilters")[0]
+    # pruned scan reads only that day's rows
+    expect = events.filter(F.col("day") == days[0]).count()
+    assert one.count() == expect > 0
+
+
+def test_register_views_sql_face(spark):
+    from baum_welch_spark.sources.io import register_views
+
+    register_views(spark, SF0001)
+    n_sql = spark.sql("SELECT count(*) AS n FROM events").first().n
+    assert n_sql == load_table(spark, SF0001, "events").count()
+    top = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC LIMIT 1"
+    ).first()
+    assert top.n > 0
