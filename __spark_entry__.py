@@ -211,6 +211,18 @@ def _q_cosine_neardup(spark, sf):
     return cosine_neardup(*_tables(spark, sf, "embeddings"))
 
 
+def _q_customers_without_orders(spark, sf):
+    from baum_welch_spark.operators.relational import customers_without_orders
+
+    return customers_without_orders(*_tables(spark, sf, "customer", "orders"))
+
+
+def _q_repeat_buyer_days(spark, sf):
+    from baum_welch_spark.operators.relational import repeat_buyer_days
+
+    return repeat_buyer_days(*_tables(spark, sf, "events"))
+
+
 def _q_salted_value_stats(spark, sf):
     from baum_welch_spark.operators.skew import user_value_stats_salted
 
@@ -334,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "purchase_view_context": _q_purchase_view_context,
         "salted_value_stats": _q_salted_value_stats,
+        "customers_without_orders": _q_customers_without_orders,
+        "repeat_buyer_days": _q_repeat_buyer_days,
         "props_k_stats": _q_props_k_stats,
         "user_spend_rank": _q_user_spend_rank,
         "events_cube": _q_events_cube,
@@ -395,6 +409,8 @@ def oracle_sql() -> dict[str, str]:
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
         "salted_value_stats": skew.USER_VALUE_STATS_SALTED_SQL,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "repeat_buyer_days": relational.REPEAT_BUYER_DAYS_SQL,
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "user_spend_rank": relational.USER_SPEND_RANK_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,

@@ -548,3 +548,45 @@ FROM events
 GROUP BY CUBE (event_type, dayofweek(ts) + 1)
 ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST
 """
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti-join surface: customers that never placed an order, with
+    their market segment. Scale: anti-join shuffles on the key once and
+    short-circuits on first match — never materializes order multiplicity
+    (the NOT-EXISTS plan, complement of the q4 semi-join)."""
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def repeat_buyer_days(events: DataFrame) -> DataFrame:
+    """INTERSECT surface: (user, day) pairs that had BOTH a view and a
+    purchase that day — the set-op complement of
+    :func:`viewers_without_purchase`."""
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day")
+    viewers = events.filter(F.col("event_type") == "view").select("user_id", day).distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return viewers.intersect(buyers).orderBy("user_id", "day")
+
+
+REPEAT_BUYER_DAYS_SQL = """
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""

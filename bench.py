@@ -54,6 +54,8 @@ HEADLINE = [
     "approx_distinct_users",
     "purchase_view_context",
     "salted_value_stats",
+    "customers_without_orders",
+    "repeat_buyer_days",
     "props_k_stats",
     "user_spend_rank",
     "events_cube",

@@ -208,3 +208,25 @@ def test_q4_plan_is_semi_join(spark):
         if any(s > r.o_orderdate + dt.timedelta(days=30) for s in li.get(r.o_orderkey, [])):
             expect[r.o_orderpriority] = expect.get(r.o_orderpriority, 0) + 1
     assert got == expect
+
+
+def test_customers_without_orders_anti_semantics(spark):
+    from baum_welch_spark.plans.audit import explain_str
+
+    cust = spark.createDataFrame(
+        [(1, "a", "S1"), (2, "b", "S2"), (3, "c", "S1")],
+        schema="c_custkey bigint, c_name string, c_mktsegment string",
+    )
+    orders = spark.createDataFrame([(10, 1), (11, 1), (12, 3)], schema="o_orderkey bigint, o_custkey bigint")
+    got = relational.customers_without_orders(cust, orders).collect()
+    assert [r.c_custkey for r in got] == [2]
+    df = relational.customers_without_orders(cust, orders)
+    assert "LeftAnti" in explain_str(df, "simple")
+
+
+def test_repeat_buyer_days_disjoint_from_viewers_without_purchase(spark):
+    ev = load_table(spark, SF0001, "events")
+    both = {(r.user_id, r.day) for r in relational.repeat_buyer_days(ev).collect()}
+    only_view = {(r.user_id, r.day) for r in relational.viewers_without_purchase(ev).collect()}
+    assert both and only_view
+    assert not (both & only_view)  # INTERSECT and EXCEPT partition the viewer-days
