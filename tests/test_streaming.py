@@ -50,3 +50,32 @@ def test_stream_session_count_matches_batch_sessionize(spark):
     n_stream = spark.sql("SELECT count(*) AS n FROM sessions2").collect()[0].n
     n_batch = sessionize(load_table(spark, SF0001, "events"), gap_minutes=30).count()
     assert n_stream == n_batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream view→purchase join over the finite file source must
+    emit exactly the batch join's pairs."""
+    from baum_welch_spark.streaming.join import view_purchase_stream_join
+
+    joined = view_purchase_stream_join(stream_events(spark, SF0001), window_minutes=240)
+    run_to_memory(joined, "ss_join", output_mode="append")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = load_table(spark, SF0001, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 240 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    expect = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got == expect
+    assert len(expect) > 0
