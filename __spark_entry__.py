@@ -292,6 +292,12 @@ def _q_seq_scores(spark, sf):
     return score_sequences(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_dedup_clusters(spark, sf):
+    from baum_welch_spark.operators.dedup import dedup_clusters_jaccard
+
+    return dedup_clusters_jaccard(*_tables(spark, sf, "documents"))
+
+
 def _q_hmm_fit(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.fit import fit
@@ -354,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_approx_quantiles": _q_value_approx_quantiles,
         "viterbi_decode": _q_viterbi_decode,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "dedup_clusters": _q_dedup_clusters,
         "seq_scores": _q_seq_scores,
         # dedup suite
         "dedup_exact": _q_dedup_exact,

@@ -296,3 +296,81 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup PAIRS into dedup groups: (node, component) where
+    component = min node id reachable from the node.
+
+    The pipeline step after any pair-producing dedup op (Jaccard / MinHash /
+    SimHash / cosine): groups, not pairs, are what a dedup job acts on
+    (keep one doc per component).
+
+    Algorithm: iterative min-label propagation to a fixpoint — each round
+    every node adopts min(own label, neighbors' labels); rounds needed =
+    graph diameter (near-dup graphs are small-diameter in practice).
+    Per round: one join on the edge list + one groupBy min — both plain
+    shuffles on node id, AQE-coalesced; label state is 2 columns per node.
+    Spark-first alternative to GraphX (JVM-RDD) and to driver-side
+    union-find (which needs all edges on one machine).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            # candidate labels flowing along edges this round
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("n_comp"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", "component")
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters_jaccard(documents: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """End-to-end dedup grouping: exact Jaccard pairs -> connected
+    components -> (component, n_docs, keep_doc_id). Rows-only in the driver
+    contract (iterative fixpoint); component semantics are tested against a
+    Python union-find oracle."""
+    pairs = neardup_jaccard(documents, threshold=threshold)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("node").alias("keep_doc_id"))
+        .select("keep_doc_id", "n_docs")
+        .orderBy("keep_doc_id")
+    )

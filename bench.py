@@ -61,6 +61,7 @@ HEADLINE = [
     "events_cube",
     "value_approx_quantiles",
     "knn_ivf_kmeans",
+    "dedup_clusters",
     "viterbi_decode",
     "seq_scores",
     "cosine_neardup",

@@ -230,3 +230,35 @@ def test_repeat_buyer_days_disjoint_from_viewers_without_purchase(spark):
     only_view = {(r.user_id, r.day) for r in relational.viewers_without_purchase(ev).collect()}
     assert both and only_view
     assert not (both & only_view)  # INTERSECT and EXCEPT partition the viewer-days
+
+
+def test_connected_components_matches_union_find(spark, documents):
+    pairs = dedup.neardup_jaccard(documents, threshold=0.3)
+    rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in rows:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    assert got == expect and len(got) > 0
+
+
+def test_dedup_clusters_cover_all_paired_docs(spark, documents):
+    pairs = dedup.neardup_jaccard(documents, threshold=0.3)
+    n_nodes = pairs.select(F.col("doc_a").alias("d")).unionByName(
+        pairs.select(F.col("doc_b").alias("d"))
+    ).distinct().count()
+    clusters = dedup.dedup_clusters_jaccard(documents, threshold=0.3).collect()
+    assert sum(r.n_docs for r in clusters) == n_nodes
+    assert all(r.n_docs >= 2 for r in clusters)  # singletons never form edges
