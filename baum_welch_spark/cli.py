@@ -82,6 +82,55 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from baum_welch_spark.operators.dedup import dedup_clusters_jaccard, exact_dedup
+    from baum_welch_spark.sources.io import load_table
+
+    spark = get_spark(app_name="baum-welch-dedup")
+    docs = load_table(spark, args.input, "documents")
+    out = (
+        exact_dedup(docs)
+        if args.method == "exact"
+        else dedup_clusters_jaccard(docs, threshold=args.threshold)
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
+    spark.stop()
+    return 0
+
+
+def cmd_kmeans(args) -> int:
+    from baum_welch_spark.operators.clustering import assign_clusters, kmeans_fit
+    from baum_welch_spark.sources.io import load_table
+
+    spark = get_spark(app_name="baum-welch-kmeans")
+    emb = load_table(spark, args.input, "embeddings")
+    centroids, inertia = kmeans_fit(emb, k=args.k, max_iter=args.max_iterations, seed=args.seed)
+    assigned = assign_clusters(emb, centroids)
+    if args.output:
+        assigned.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"k": args.k, "iterations": len(inertia), "inertia_trace": inertia}))
+    spark.stop()
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from baum_welch_spark.operators.similarity import knn_brute
+    from baum_welch_spark.sources.io import load_table
+
+    spark = get_spark(app_name="baum-welch-knn")
+    emb = load_table(spark, args.input, "embeddings")
+    out = knn_brute(emb, n_queries=args.n_queries, k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.n_queries * args.k)
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baum_welch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,6 +157,28 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--model", required=True)
     s.add_argument("-o", "--output")
     s.set_defaults(fn=cmd_score)
+
+    dd = sub.add_parser("dedup", help="document dedup: exact groups or jaccard clusters")
+    dd.add_argument("-i", "--input", required=True)
+    dd.add_argument("--method", choices=["exact", "jaccard"], default="exact")
+    dd.add_argument("--threshold", type=float, default=0.4)
+    dd.add_argument("-o", "--output")
+    dd.set_defaults(fn=cmd_dedup)
+
+    km = sub.add_parser("kmeans", help="distributed k-means over embeddings")
+    km.add_argument("-i", "--input", required=True)
+    km.add_argument("-k", type=int, default=16)
+    km.add_argument("--max-iterations", type=int, default=10)
+    km.add_argument("--seed", type=int, default=7)
+    km.add_argument("-o", "--output")
+    km.set_defaults(fn=cmd_kmeans)
+
+    kn = sub.add_parser("knn", help="exact cosine top-k similarity search")
+    kn.add_argument("-i", "--input", required=True)
+    kn.add_argument("--n-queries", type=int, default=5)
+    kn.add_argument("-k", type=int, default=5)
+    kn.add_argument("-o", "--output")
+    kn.set_defaults(fn=cmd_knn)
 
     args = p.parse_args(argv)
     return args.fn(args)
