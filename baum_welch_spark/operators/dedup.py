@@ -315,6 +315,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     Spark-first alternative to GraphX (JVM-RDD) and to driver-side
     union-find (which needs all edges on one machine).
     """
+    # persist the pair source first: the two union branches would otherwise
+    # re-execute the (potentially expensive) pair-producing plan twice
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -359,6 +362,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         return labels.select("node", "component")
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def dedup_clusters_jaccard(documents: DataFrame, threshold: float = 0.4) -> DataFrame:
