@@ -292,6 +292,16 @@ def _q_seq_scores(spark, sf):
     return score_sequences(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_stratified_sample(spark, sf):
+    from baum_welch_spark.operators.sampling import stratified_sample
+
+    (events,) = _tables(spark, sf, "events")
+    return stratified_sample(
+        events, "event_type", {"view": 0.25, "purchase": 1.0, "click": 0.5},
+        key_col="event_id", seed=3,
+    ).select("event_id", "event_type")
+
+
 def _q_dedup_clusters(spark, sf):
     from baum_welch_spark.operators.dedup import dedup_clusters_jaccard
 
@@ -361,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_decode": _q_viterbi_decode,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
         "seq_scores": _q_seq_scores,
         # dedup suite
         "dedup_exact": _q_dedup_exact,

@@ -62,6 +62,7 @@ HEADLINE = [
     "value_approx_quantiles",
     "knn_ivf_kmeans",
     "dedup_clusters",
+    "stratified_sample",
     "viterbi_decode",
     "seq_scores",
     "cosine_neardup",

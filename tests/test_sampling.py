@@ -1,0 +1,70 @@
+"""Sampling/split tests: determinism, disjoint+exhaustive partition,
+fraction accuracy, and the AQE skew-join split proof."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.operators.sampling import hash_split, stratified_sample
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF0001, "events").cache()
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark, events):
+    train, val, test = hash_split(events, "event_id", [0.8, 0.1, 0.1], seed=1)
+    n = events.count()
+    ids = [set(r.event_id for r in d.select("event_id").collect()) for d in (train, val, test)]
+    assert len(ids[0] | ids[1] | ids[2]) == n
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    # 80/10/10 within sampling noise
+    assert abs(len(ids[0]) / n - 0.8) < 0.05
+    # determinism across recomputation and repartitioning
+    again = hash_split(events.repartition(7), "event_id", [0.8, 0.1, 0.1], seed=1)
+    assert {r.event_id for r in again[1].select("event_id").collect()} == ids[1]
+    # a different seed moves the boundary
+    other = hash_split(events, "event_id", [0.8, 0.1, 0.1], seed=2)
+    assert {r.event_id for r in other[1].select("event_id").collect()} != ids[1]
+
+
+def test_stratified_sample_fractions_and_drop(spark, events):
+    got = stratified_sample(
+        events, "event_type", {"view": 0.5, "purchase": 1.0}, key_col="event_id", seed=3
+    )
+    counts = {r.event_type: r.n for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    base = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"view", "purchase"}  # unlisted strata dropped
+    assert counts["purchase"] == base["purchase"]
+    assert abs(counts["view"] / base["view"] - 0.5) < 0.1
+    # sample is a subset of the source and stable
+    assert got.count() == stratified_sample(
+        events, "event_type", {"view": 0.5, "purchase": 1.0}, key_col="event_id", seed=3
+    ).count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Prove the session's AQE skew-join posture: an extreme hot key gets
+    split at runtime (OptimizeSkewedJoin marks the SMJ with isSkew=true)."""
+    left = spark.range(0, 400_000).select(
+        F.when(F.col("id") < 390_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2_000).select(F.col("id").alias("k"), F.lit(1).alias("r"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        # collect() on the joined frame itself finalizes THIS df's QE under
+        # AQE (a write/noop spawns a separate QueryExecution — audit.py)
+        j = left.join(right, "k")
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
