@@ -126,3 +126,34 @@ def dedup_assets_exact(assets: DataFrame) -> DataFrame:
         .agg(F.min("asset_id").alias("keep_asset_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_asset_id", "n_copies")
     )
+
+
+def neardup_assets_by_feature(
+    assets: DataFrame, threshold: float = 0.98, decode_stub: bool = True
+) -> DataFrame:
+    """Near-duplicate assets by feature-vector cosine — the multimodal twin
+    of document near-dup: decode (stub) -> feature vector -> exact cosine
+    pairs over the (small) feature table.
+
+    Composition: extract_features (narrow mapInPandas) feeds the same
+    pair-verify shape as similarity.cosine_neardup. At corpus scale the
+    pair stage swaps to the LSH candidate path — features are just another
+    embedding column once extracted.
+    """
+    from baum_welch_spark.functions.columns import as_double_array, dot, l2_norm
+
+    feats = extract_features(assets, decode_stub=decode_stub).select(
+        "asset_id", as_double_array(F.col("feature")).alias("v")
+    )
+    a = feats.select(
+        F.col("asset_id").alias("asset_a"), F.col("v").alias("va"), l2_norm(F.col("v")).alias("na")
+    )
+    b = feats.select(
+        F.col("asset_id").alias("asset_b"), F.col("v").alias("vb"), l2_norm(F.col("v")).alias("nb")
+    )
+    return (
+        a.join(b, F.col("asset_a") < F.col("asset_b"))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("asset_a", "asset_b", "cos")
+    )

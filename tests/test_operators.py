@@ -262,3 +262,20 @@ def test_dedup_clusters_cover_all_paired_docs(spark, documents):
     clusters = dedup.dedup_clusters_jaccard(documents, threshold=0.3).collect()
     assert sum(r.n_docs for r in clusters) == n_nodes
     assert all(r.n_docs >= 2 for r in clusters)  # singletons never form edges
+
+
+def test_multimodal_neardup_finds_planted_payload_dups(spark):
+    """Identical payloads -> identical stub features -> cos == 1.0 pairs."""
+    assets = multimodal.synthetic_assets(spark, n=16)
+    two = assets.limit(2).collect()
+    import pyspark.sql.functions as SF
+
+    dup = assets.unionByName(
+        spark.createDataFrame(
+            [(100 + r.asset_id, r.modality, r.payload, r.meta) for r in two],
+            schema=assets.schema,
+        )
+    )
+    pairs = {(r.asset_a, r.asset_b): r.cos for r in multimodal.neardup_assets_by_feature(dup).collect()}
+    for r in two:
+        assert pairs.get((r.asset_id, 100 + r.asset_id)) == 1.0
