@@ -32,6 +32,13 @@ _TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # self-sufficient under ANY session (e.g. a driver-owned one without our
+    # session.py defaults): without nanosAsLong, reading the testdata's
+    # TIMESTAMP(NANOS) columns throws PARQUET_TYPE_ILLEGAL outright, and a
+    # non-UTC session timezone would shift date-derived results away from
+    # the (UTC-naive) DuckDB oracle. Both are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
