@@ -19,6 +19,18 @@ from baum_welch_spark.hmm.model import HMM
 from baum_welch_spark.session import get_spark
 
 
+def _session(app_name: str):
+    """(spark, should_stop): reuse a live session if the caller has one
+    (notebook / test harness) and leave its lifecycle alone; otherwise
+    create one and own it."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
+    return get_spark(app_name=app_name), True
+
+
 def _build_sequences(spark, sf_dir: str):
     from baum_welch_spark.operators.sequences import build_sequences
     from baum_welch_spark.sources.io import load_table
@@ -29,7 +41,7 @@ def _build_sequences(spark, sf_dir: str):
 def cmd_train(args) -> int:
     from baum_welch_spark.hmm.fit import fit
 
-    spark = get_spark(app_name="baum-welch-train")
+    spark, _own = _session("baum-welch-train")
     seqs = _build_sequences(spark, args.input)
     if args.model_in:
         init = HMM.read(spark, args.model_in)
@@ -50,35 +62,38 @@ def cmd_train(args) -> int:
         "loglik_trace": result.loglik_trace,
         "model_dir": f"{args.output}/model-final",
     }))
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 
 def cmd_decode(args) -> int:
     from baum_welch_spark.hmm.decode import viterbi_decode
 
-    spark = get_spark(app_name="baum-welch-decode")
+    spark, _own = _session("baum-welch-decode")
     model = HMM.read(spark, args.model)
     out = viterbi_decode(spark, _build_sequences(spark, args.input), model)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.show(20, truncate=80)
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 
 def cmd_score(args) -> int:
     from baum_welch_spark.hmm.decode import score_sequences
 
-    spark = get_spark(app_name="baum-welch-score")
+    spark, _own = _session("baum-welch-score")
     model = HMM.read(spark, args.model)
     out = score_sequences(spark, _build_sequences(spark, args.input), model)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.show(20)
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 
@@ -86,7 +101,7 @@ def cmd_dedup(args) -> int:
     from baum_welch_spark.operators.dedup import dedup_clusters_jaccard, exact_dedup
     from baum_welch_spark.sources.io import load_table
 
-    spark = get_spark(app_name="baum-welch-dedup")
+    spark, _own = _session("baum-welch-dedup")
     docs = load_table(spark, args.input, "documents")
     out = (
         exact_dedup(docs)
@@ -97,7 +112,8 @@ def cmd_dedup(args) -> int:
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.show(20)
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 
@@ -105,14 +121,15 @@ def cmd_kmeans(args) -> int:
     from baum_welch_spark.operators.clustering import assign_clusters, kmeans_fit
     from baum_welch_spark.sources.io import load_table
 
-    spark = get_spark(app_name="baum-welch-kmeans")
+    spark, _own = _session("baum-welch-kmeans")
     emb = load_table(spark, args.input, "embeddings")
     centroids, inertia = kmeans_fit(emb, k=args.k, max_iter=args.max_iterations, seed=args.seed)
     assigned = assign_clusters(emb, centroids)
     if args.output:
         assigned.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"k": args.k, "iterations": len(inertia), "inertia_trace": inertia}))
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 
@@ -120,14 +137,15 @@ def cmd_knn(args) -> int:
     from baum_welch_spark.operators.similarity import knn_brute
     from baum_welch_spark.sources.io import load_table
 
-    spark = get_spark(app_name="baum-welch-knn")
+    spark, _own = _session("baum-welch-knn")
     emb = load_table(spark, args.input, "embeddings")
     out = knn_brute(emb, n_queries=args.n_queries, k=args.k)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.show(args.n_queries * args.k)
-    spark.stop()
+    if _own:
+        spark.stop()
     return 0
 
 

@@ -1,0 +1,61 @@
+"""CLI end-to-end tests (reference driver D1 parity): run main() in-process
+against sf0.001 and check artifacts land and chain (train -> model dir ->
+decode/score under that model)."""
+
+import json
+
+import pytest
+
+from baum_welch_spark.cli import main
+
+from conftest import SF0001
+
+
+def test_cli_train_decode_score_chain(spark, tmp_path, capsys):
+    out = str(tmp_path / "hmm_out")
+    rc = main([
+        "train", "-i", SF0001, "-o", out,
+        "--num-hidden", "3", "--num-observed", "5",
+        "--max-iterations", "3", "--seed", "7",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["iterations"] == 3
+    assert len(summary["loglik_trace"]) == 3
+    # EM guarantee visible at the CLI: non-decreasing loglik
+    t = summary["loglik_trace"]
+    assert all(b >= a - 1e-9 for a, b in zip(t, t[1:]))
+
+    dec = str(tmp_path / "decoded")
+    assert main(["decode", "-i", SF0001, "--model", summary["model_dir"], "-o", dec]) == 0
+    decoded = spark.read.parquet(dec)
+    assert decoded.count() > 0
+    assert set(decoded.columns) == {"seq_id", "loglik", "path"}
+
+    sc = str(tmp_path / "scored")
+    assert main(["score", "-i", SF0001, "--model", summary["model_dir"], "-o", sc]) == 0
+    scored = spark.read.parquet(sc)
+    assert scored.count() == decoded.count()
+
+
+def test_cli_dedup_kmeans_knn(spark, tmp_path, capsys):
+    dd = str(tmp_path / "dedup_out")
+    assert main(["dedup", "-i", SF0001, "--method", "jaccard", "-o", dd]) == 0
+    assert spark.read.parquet(dd).count() > 0
+
+    km = str(tmp_path / "km_out")
+    assert main(["kmeans", "-i", SF0001, "-k", "4", "--max-iterations", "2", "-o", km]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["k"] == 4 and len(out["inertia_trace"]) == 2
+    assigned = spark.read.parquet(km)
+    assert assigned.select("cluster").distinct().count() <= 4
+
+    kn = str(tmp_path / "knn_out")
+    assert main(["knn", "-i", SF0001, "--n-queries", "3", "-k", "4", "-o", kn]) == 0
+    knn = spark.read.parquet(kn)
+    assert knn.count() == 12  # 3 queries x top-4
+
+
+def test_cli_rejects_unknown_subcommand():
+    with pytest.raises(SystemExit):
+        main(["compact"])
