@@ -145,6 +145,12 @@ def _q_neardup_jaccard(spark, sf):
     return neardup_jaccard(*_tables(spark, sf, "documents"))
 
 
+def _q_bpe_token_stats(spark, sf):
+    from baum_welch_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(*_tables(spark, sf, "documents"))
+
+
 def _q_token_stats(spark, sf):
     from baum_welch_spark.operators.text import token_stats
 
@@ -381,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         # text analysis
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -419,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": text.DOC_QUALITY_SQL,
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
+        "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,

@@ -157,3 +157,34 @@ SELECT doc_id,
        array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS fp
 FROM documents
 """
+
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """BPE-ish tokenization stats: GPT-style pre-tokenizer approximation
+    (letter runs | single digits | punctuation marks) via regexp_extract_all
+    — the unit a byte-pair vocabulary would start merging from. Both Java
+    and RE2 regex agree on this character-class-only pattern, so the DuckDB
+    oracle is exact. Pure codegen projection, shuffle-free."""
+    # F.lit pattern, not an F.expr SQL literal: SQL string escaping would
+    # swallow the backslash in \s and make spaces match the negated class
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    ws = F.split(F.col("text"), r"\s+")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(toks) / F.size(ws), 6).alias("fertility"),
+    )
+
+
+BPE_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1.0
+             / len(regexp_split_to_array(text, '\s+')), 6) AS fertility
+FROM documents
+"""

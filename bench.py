@@ -42,6 +42,7 @@ HEADLINE = [
     "minhash_lsh",
     "simhash",
     "token_stats",
+    "bpe_token_stats",
     "doc_quality",
     "lang_id",
     "doc_fingerprint",

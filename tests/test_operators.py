@@ -279,3 +279,13 @@ def test_multimodal_neardup_finds_planted_payload_dups(spark):
     pairs = {(r.asset_a, r.asset_b): r.cos for r in multimodal.neardup_assets_by_feature(dup).collect()}
     for r in two:
         assert pairs.get((r.asset_id, 100 + r.asset_id)) == 1.0
+
+
+def test_bpe_token_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 tokens"), (2, "a b")], schema="doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in text.bpe_token_stats(df).collect()}
+    # Hello , world ! 4 2 tokens -> 7 bpe; 4 ws
+    assert rows[1].n_bpe_tokens == 7 and rows[1].n_ws_tokens == 4
+    assert rows[2].n_bpe_tokens == 2 and rows[2].fertility == 1.0
