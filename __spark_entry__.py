@@ -282,11 +282,11 @@ def _q_knn_ivf_kmeans(spark, sf):
 
 def _q_viterbi_decode(spark, sf):
     from baum_welch_spark.hmm import HMM
-    from baum_welch_spark.hmm.decode import viterbi_decode
+    from baum_welch_spark.hmm.decode import viterbi_decode_face
     from baum_welch_spark.operators.sequences import build_sequences
 
     (events,) = _tables(spark, sf, "events")
-    return viterbi_decode(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+    return viterbi_decode_face(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
 def _q_seq_scores(spark, sf):

