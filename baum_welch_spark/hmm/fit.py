@@ -153,7 +153,11 @@ def fit(
     """
     model = init.validate()
     sc = spark.sparkContext
-    sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
+    # respect a caller-managed cache: persisting is fit's job only when the
+    # caller didn't already, and then so is the unpersist (ADVICE r1)
+    caller_persisted = sequences.storageLevel.useMemory or sequences.storageLevel.useDisk
+    if not caller_persisted:
+        sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
     trace: list[float] = []
     converged = False
     iterations = 0
@@ -189,5 +193,6 @@ def fit(
                 converged = True
                 break
     finally:
-        sequences.unpersist()
+        if not caller_persisted:
+            sequences.unpersist()
     return FitResult(model=model, loglik_trace=trace, iterations=iterations, converged=converged)

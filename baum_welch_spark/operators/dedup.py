@@ -84,10 +84,24 @@ def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def neardup_jaccard(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
+def neardup_jaccard(
+    documents: DataFrame, threshold: float = 0.2, max_doc_freq: int = 1000
+) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via shingle self-join.
 
     Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct word trigrams.
+
+    Hot-shingle safety: a shingle shared by k docs materializes a
+    k^2/2-struct pair array in ONE row of the groupBy(shingle) stage, so a
+    boilerplate trigram ("all rights reserved") in a real corpus would OOM a
+    single task. Shingles with document frequency > ``max_doc_freq`` are
+    dropped BEFORE pair generation, bounding every row to max_doc_freq^2/2
+    structs. This is the standard dedup-pipeline df-cap: a shingle that
+    common carries ~no similarity signal, but dropped shingles do shrink
+    the measured intersection (never the union denominator's set sizes), so
+    pairs whose overlap is mostly boilerplate may fall below ``threshold``
+    — raise the cap (or pre-filter boilerplate) if that recall matters;
+    the MinHash path handles corpora where hot shingles are structural.
     """
     sh = _shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -95,13 +109,13 @@ def neardup_jaccard(documents: DataFrame, threshold: float = 0.2) -> DataFrame:
     # one shuffle of the shingle instances instead of the self-join's two,
     # and the pair blowup happens inside codegen, not in an SMJ. Identical
     # output to the a.s == b.s AND a.doc < b.doc self-join (verified), ~1.7x
-    # faster at sf0.1. Hot-shingle safety: a shingle shared by k docs makes
-    # a k^2/2-struct array in one row — fine for text shingles (k is small);
-    # for adversarial key distributions cap k or salt (see minhash path).
+    # faster at sf0.1.
+    # (the collect_list row itself is O(k) = 8 bytes/doc pre-filter — linear,
+    # not quadratic; only the post-filter pair transform is k^2)
     lists = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_doc_freq))
     )
     pairs = lists.select(
         F.explode(
@@ -223,18 +237,24 @@ def minhash_lsh_pairs(
     )
     # prune documents to candidates BEFORE shingling: the verify path then
     # re-shingles only the handful of candidate docs instead of the corpus
+    # (id-only join side; AQE broadcasts it while small, shuffles if not)
     sets = (
-        _shingles(documents.join(F.broadcast(cand_docs), "doc_id"))
+        _shingles(documents.join(cand_docs, "doc_id"))
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("shingles"))
     )
+    # no forced broadcast on the verify joins: Catalyst/AQE broadcasts the
+    # candidate-set side while it is small and degrades to a shuffle join if
+    # a pathological candidate explosion makes it big — a forced F.broadcast
+    # here would turn that failure mode into an executor OOM instead
+    # (VERDICT r1 item 8; both regimes covered by tests/test_operators.py)
     return (
         candidates.join(
-            F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
             "doc_b",
         )
         .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -307,17 +327,29 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     SimHash / cosine): groups, not pairs, are what a dedup job acts on
     (keep one doc per component).
 
-    Algorithm: iterative min-label propagation to a fixpoint — each round
-    every node adopts min(own label, neighbors' labels); rounds needed =
-    graph diameter (near-dup graphs are small-diameter in practice).
-    Per round: one join on the edge list + one groupBy min — both plain
-    shuffles on node id, AQE-coalesced; label state is 2 columns per node.
-    Spark-first alternative to GraphX (JVM-RDD) and to driver-side
-    union-find (which needs all edges on one machine).
+    Algorithm: min-label propagation with pointer jumping — each round every
+    node adopts min(own label, neighbors' labels, label[label]). The
+    label-of-label jump doubles the propagation distance per round, so a
+    chain of diameter d converges in O(log d) rounds instead of d (the
+    large-star/small-star idea in label form — ADVICE r1). Per round: two
+    joins + one groupBy min, all plain shuffles on node id, AQE-coalesced;
+    label state is 2 columns per node. Spark-first alternative to GraphX
+    (JVM-RDD) and to driver-side union-find (all edges on one machine).
+
+    Each round's labels are localCheckpoint()ed: an iterative plan that
+    feeds its own output back in otherwise grows an unbounded lineage tree
+    that OOMs the DRIVER during planning (observed at ~30 rounds of the
+    round-1 implementation) — the classic iterative-Spark trap. On a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
+    for fault tolerance; localCheckpoint trades that for speed.
     """
     # persist the pair source first: the two union branches would otherwise
-    # re-execute the (potentially expensive) pair-producing plan twice
-    pairs = pairs.persist()
+    # re-execute the (potentially expensive) pair-producing plan twice.
+    # If the CALLER already persisted it, leave their cache alone (don't
+    # evict it on the way out).
+    caller_persisted = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not caller_persisted:
+        pairs = pairs.persist()
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -328,9 +360,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     try:
+        changed = 1
         for _ in range(max_iter):
             # candidate labels flowing along edges this round
             neighbor_min = (
@@ -338,7 +371,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("n_comp"))
             )
-            new_labels = (
+            cand = (
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
@@ -348,6 +381,22 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 )
                 .persist()
             )
+            # pointer jump: fold in label[label[node]] — component values are
+            # node ids, so a self-join resolves them one more hop
+            jump = cand.select(
+                F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+            )
+            new_labels = (
+                cand.join(jump, cand.component == jump.jnode, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()  # eager: truncates lineage AND materializes
+            )
+            cand.unpersist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -355,14 +404,21 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # not at a fixpoint — returning silently would report one real
+            # cluster as several (ADVICE r1)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(needs ~log2(graph diameter) rounds); raise max_iter"
+            )
         return labels.select("node", "component")
     finally:
         edges.unpersist()
-        pairs.unpersist()
+        if not caller_persisted:
+            pairs.unpersist()
 
 
 def dedup_clusters_jaccard(documents: DataFrame, threshold: float = 0.4) -> DataFrame:

@@ -30,6 +30,10 @@ def hash_split(
     for w in weights:
         acc += w / total
         cuts.append(int(acc * _BUCKETS))
+    # float accumulation can land the last cut at _BUCKETS-1 (e.g. weights
+    # [7,2,1]), silently dropping rows that hash to the top bucket — pin it
+    # so the splits are exhaustive by construction
+    cuts[-1] = _BUCKETS
     b = _bucket(key_col, seed)
     out, lo = [], 0
     for hi in cuts:

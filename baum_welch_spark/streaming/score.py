@@ -39,7 +39,9 @@ def hmm_stream_scorer(model, symbol_to_id: dict[str, int]):
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             alpha_list, loglik, t = state.get
-            alpha = np.asarray(alpha_list, dtype=np.float64)
+            # alpha_list is None when every prior event was an unknown
+            # symbol — state was persisted before the first real update
+            alpha = np.asarray(alpha_list, dtype=np.float64) if alpha_list is not None else None
         else:
             alpha, loglik, t = None, 0.0, 0
         rows = pd.concat(list(pdfs))

@@ -38,6 +38,14 @@ def test_sequences_built_correctly(spark, sequences_df):
     assert list(d) == sorted(d)  # lexicographic coding
 
 
+def test_fit_preserves_caller_cache(spark, sequences_df):
+    """fit() must not evict a cache the caller manages (ADVICE r1): the
+    module-scoped sequences_df fixture is .cache()d — after fit it must
+    still be persisted."""
+    fit(spark, sequences_df, HMM.random(N_HIDDEN, N_OBSERVED, seed=1), max_iter=1)
+    assert sequences_df.storageLevel.useMemory or sequences_df.storageLevel.useDisk
+
+
 def test_distributed_matches_sequential(spark, sequences_df, sequences_np):
     init = HMM.random(N_HIDDEN, N_OBSERVED, seed=42)
     expected, expected_trace = sequential_baum_welch(init, sequences_np, max_iter=5)

@@ -31,6 +31,24 @@ def test_hash_split_disjoint_exhaustive_deterministic(spark, events):
     assert {r.event_id for r in other[1].select("event_id").collect()} != ids[1]
 
 
+def test_hash_split_exhaustive_with_uneven_weights(spark):
+    """weights like [7,2,1] used to leave the last cut at 999_999 / 1_000_000
+    via float accumulation, silently dropping rows hashing to the very top
+    bucket (ADVICE r1). Plant keys that land in bucket 999_999 and assert
+    they survive the split."""
+    from baum_welch_spark.operators.sampling import _BUCKETS, _bucket
+
+    universe = spark.range(0, 3_000_000).select(F.col("id").alias("key"))
+    top = universe.filter(_bucket("key", seed=1) == _BUCKETS - 1).limit(5)
+    df = top.unionByName(universe.limit(100)).distinct().cache()
+    n = df.count()
+    assert n > 100  # at least one planted top-bucket key
+    for weights in ([7, 2, 1], [1 / 3, 1 / 3, 1 / 3], [0.8, 0.1, 0.1]):
+        splits = hash_split(df, "key", weights, seed=1)
+        assert sum(d.count() for d in splits) == n, weights
+    df.unpersist()
+
+
 def test_stratified_sample_fractions_and_drop(spark, events):
     got = stratified_sample(
         events, "event_type", {"view": 0.5, "purchase": 1.0}, key_col="event_id", seed=3
