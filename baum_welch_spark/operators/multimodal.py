@@ -2,12 +2,14 @@
 opaque ``binary`` payloads with a typed metadata struct, processed by
 Arrow-batched mapInPandas operators.
 
-The image/audio decode libraries are not in this container, so the decode
-kernel is STUBBED: ``decode_stub=True`` (default) derives deterministic fake
-features from the payload bytes; ``decode_stub=False`` raises
-NotImplementedError at the point a real codec would run. Everything
-Spark-side — schema, partitioning, UDF signature, Arrow batch shape — is
-real and tested.
+Real decode is implemented IN-CONTAINER for the uncompressed formats whose
+codecs need nothing beyond the stdlib + NumPy: WAV (stdlib ``wave``) and
+binary PPM (P6). ``decode_stub=False`` decodes those for real (bytes ->
+samples/pixels -> band features); compressed formats (mp4, png, mp3...)
+still raise NotImplementedError at the point a real codec library would
+run — a clearly-marked stub, since the container has no ffmpeg/PIL.
+``decode_stub=True`` (default) derives deterministic fake features from the
+payload digest for any modality.
 
 Scale: assets are opaque bytes; feature extraction is a narrow map (no
 shuffle), and batch size is bounded by
@@ -18,6 +20,8 @@ one Arrow batch of payloads at a time.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -49,19 +53,115 @@ ASSET_SCHEMA = T.StructType(
 FEATURES_SCHEMA = "asset_id bigint, modality string, n_bytes int, sha256 string, feature array<float>"
 
 
+# --- real codecs (uncompressed formats; stdlib + NumPy only) ---------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> 16-bit mono WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.round(np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float32 mono samples in [-1, 1], sample rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width, ch, rate = w.getsampwidth(), w.getnchannels(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6) bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (h, w, 3) uint8 RGB. Handles comments and
+    arbitrary whitespace in the header per the netpbm spec."""
+    tokens: list[bytes] = []
+    pos = 0
+    while len(tokens) < 4:  # magic, width, height, maxval
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    if tokens[0] != b"P6":
+        raise NotImplementedError(f"only binary PPM (P6) supported, got {tokens[0]!r}")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    pos += 1  # single whitespace byte after maxval
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def _wav_features(payload: bytes, dim: int) -> np.ndarray:
+    """Band-RMS envelope: dim equal time bands, RMS per band (in [0, 1])."""
+    x, _ = decode_wav(payload)
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    x = np.pad(x, (0, (-len(x)) % dim))
+    return np.sqrt((x.reshape(dim, -1) ** 2).mean(axis=1)).astype(np.float32)
+
+
+def _ppm_features(payload: bytes, dim: int) -> np.ndarray:
+    """Mean luminance over dim horizontal bands (in [0, 1])."""
+    gray = decode_ppm(payload).astype(np.float32).mean(axis=2) / 255.0
+    cuts = np.linspace(0, gray.shape[0], dim + 1).astype(int)
+    return np.array(
+        [gray[cuts[i] : max(cuts[i + 1], cuts[i] + 1)].mean() for i in range(dim)],
+        dtype=np.float32,
+    )
+
+
 def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table (the container has no real media)."""
+    """Deterministic asset table with REAL payloads where the container can
+    encode them: audio rows are genuine 16-bit WAV (sine + seeded noise),
+    image rows are genuine binary PPM (seeded gradient); video rows are
+    opaque bytes (no in-container mp4 encoder)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8).tobytes()
-        meta = {
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
-            "width": 64 if modality != "audio" else None,
-            "height": 64 if modality != "audio" else None,
-            "duration_ms": None if modality == "image" else 1000 + i,
-        }
+        if modality == "audio":
+            t = np.arange(1600) / 8000.0
+            samples = 0.5 * np.sin(2 * np.pi * (200 + 25 * i) * t) + 0.01 * rng.standard_normal(1600)
+            payload = encode_wav(samples)
+            meta = {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200}
+        elif modality == "image":
+            gx = np.linspace(0, 255, 16)[None, :] + (i * 7) % 64
+            px = np.stack(
+                [
+                    np.clip(gx + rng.integers(0, 8, (16, 16)), 0, 255),
+                    np.full((16, 16), (i * 13) % 256),
+                    np.clip(gx.T + rng.integers(0, 8, (16, 16)), 0, 255),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_ppm(px)
+            meta = {"mime": "image/x-portable-pixmap", "width": 16, "height": 16, "duration_ms": None}
+        else:
+            payload = rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8).tobytes()
+            meta = {"mime": "video/mp4", "width": 64, "height": 64, "duration_ms": 1000 + i}
         rows.append((i, modality, payload, meta))
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
 
@@ -73,22 +173,35 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.frombuffer(digest[:dim], dtype=np.uint8).astype(np.float32) / 256.0
 
 
+def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
+    if mime == "audio/wav":
+        return _wav_features(payload, dim)
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return _ppm_features(payload, dim)
+    raise NotImplementedError(
+        f"real media decode for {mime!r} requires PIL/librosa/ffmpeg (not in "
+        "container); in-container codecs cover audio/wav and binary PPM — "
+        "filter to those or run with decode_stub=True"
+    )
+
+
 def extract_features(assets: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
     """Decode / feature-extract over binary payloads via mapInPandas.
 
-    With decode_stub=False this is where a real codec (PIL/librosa/ffmpeg)
-    would decode ``payload`` per ``meta.mime``; the container lacks those
-    libs, so it raises NotImplementedError (clearly marked stub).
+    decode_stub=False decodes WAV and PPM payloads for real (stdlib wave /
+    NumPy PPM parser -> band features) and raises NotImplementedError for
+    mimes that need an absent codec library (mp4, png, ...).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg (not in container); "
-                    "run with decode_stub=True for the deterministic fake kernel"
-                )
-            feats = [_fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            if decode_stub:
+                feats = [_fake_decode(p, dim).tolist() for p in pdf["payload"]]
+            else:
+                feats = [
+                    _real_decode(p, m["mime"], dim).tolist()
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

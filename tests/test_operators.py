@@ -167,10 +167,53 @@ def test_multimodal_feature_extraction(spark):
         assert again[r.asset_id] == r.feature
 
 
-def test_multimodal_real_decode_is_marked_stub(spark):
-    assets = multimodal.synthetic_assets(spark, n=3)
+def test_multimodal_real_decode_stubbed_only_for_absent_codecs(spark):
+    """Compressed formats (mp4) still hit the declared stub; WAV/PPM do not."""
+    assets = multimodal.synthetic_assets(spark, n=9)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(assets, decode_stub=False).collect()
+    decodable = assets.filter(F.col("modality") != "video")
+    rows = multimodal.extract_features(decodable, decode_stub=False).collect()
+    assert len(rows) == 6 and all(len(r.feature) == 8 for r in rows)
+
+
+def test_wav_codec_roundtrip():
+    t = np.arange(800) / 8000.0
+    samples = 0.25 * np.sin(2 * np.pi * 440 * t)
+    decoded, rate = multimodal.decode_wav(multimodal.encode_wav(samples, rate=8000))
+    assert rate == 8000 and len(decoded) == 800
+    assert np.allclose(decoded, samples, atol=1.0 / 32767)
+
+
+def test_ppm_codec_roundtrip_and_header_comments():
+    px = ((np.arange(16 * 16 * 3).reshape(16, 16, 3) * 3) % 256).astype(np.uint8)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(px)), px)
+    # netpbm headers may carry comments and arbitrary whitespace
+    with_comment = b"P6 # a comment\n# another\n 16\t16 \n255\n" + px.tobytes()
+    assert np.array_equal(multimodal.decode_ppm(with_comment), px)
+
+
+def test_real_decode_feature_neardup_path(spark):
+    """End-to-end REAL path: encode WAVs -> decode -> band-RMS features ->
+    cosine near-dup. Two near-identical tones pair up; a different tone
+    with a distinct envelope does not."""
+    t = np.arange(1600) / 8000.0
+    base = 0.5 * np.sin(2 * np.pi * 300 * t)
+    # same tone + tiny noise = near-dup; ramped-envelope tone = different bands
+    variant = base + 0.002 * np.sin(2 * np.pi * 50 * t)
+    other = np.linspace(0, 1, 1600) * np.sin(2 * np.pi * 300 * t)
+    rows = [
+        (i, "audio", multimodal.encode_wav(s), {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200})
+        for i, s in enumerate([base, variant, other])
+    ]
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in multimodal.neardup_assets_by_feature(
+            assets, threshold=0.999, decode_stub=False
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
 
 
 def test_multimodal_frame_plan_and_dedup(spark):
