@@ -61,6 +61,12 @@ def _q_model_half_distance(spark, sf):
     return model_half_distance(*_tables(spark, sf, "events"))
 
 
+def _q_seq_decode_names(spark, sf):
+    from baum_welch_spark.operators.markov import seq_decode_names
+
+    return seq_decode_names(*_tables(spark, sf, "events"))
+
+
 def _q_q1(spark, sf):
     from baum_welch_spark.operators.relational import q1_pricing_summary
 
@@ -291,11 +297,11 @@ def _q_viterbi_decode(spark, sf):
 
 def _q_seq_scores(spark, sf):
     from baum_welch_spark.hmm import HMM
-    from baum_welch_spark.hmm.decode import score_sequences
+    from baum_welch_spark.hmm.decode import score_sequences_face
     from baum_welch_spark.operators.sequences import build_sequences
 
     (events,) = _tables(spark, sf, "events")
-    return score_sequences(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+    return score_sequences_face(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
 def _q_stratified_sample(spark, sf):
@@ -349,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stripe_agg": _q_transition_counts,
         "normalize": _q_transition_model,
         "convergence_distance": _q_model_half_distance,
+        "seq_decode_names": _q_seq_decode_names,
         "hmm_fit": _q_hmm_fit,
         # relational surface (SURVEY §2.7)
         "q1_pricing_summary": _q_q1,
@@ -414,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "stripe_agg": markov.TRANSITION_COUNTS_SQL,
         "normalize": markov.TRANSITION_MODEL_SQL,
         "convergence_distance": markov.MODEL_HALF_DISTANCE_SQL,
+        "seq_decode_names": markov.SEQ_DECODE_NAMES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_region_revenue": relational.Q5_SQL,
@@ -440,7 +448,25 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "user_spend_rank": relational.USER_SPEND_RANK_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
+        # DP oracles: the forward / Viterbi recursions as recursive CTEs with
+        # the seed-42 model embedded as full-precision literals (decode.py)
+        "seq_scores": _score_oracle(),
+        "viterbi_decode": _viterbi_oracle(),
         # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
         # (iterative EM with a pandas-UDF E-step; engine-specific hash
         # functions) -> rows-only check by design.
     }
+
+
+def _score_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import score_oracle_sql
+
+    return score_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _viterbi_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import viterbi_oracle_sql
+
+    return viterbi_oracle_sql(HMM.random(4, 5, seed=42))

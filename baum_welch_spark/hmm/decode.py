@@ -87,6 +87,165 @@ def viterbi_decode_face(spark: SparkSession, sequences: DataFrame, model: HMM) -
     )
 
 
+def score_sequences_face(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
+    """Driver-contract face of score_sequences: log-likelihoods rounded to a
+    stable precision so the DuckDB recursive-CTE oracle (score_oracle_sql)
+    hashes identically — the two sides accumulate the same scaled-forward
+    recursion in different summation orders, equal to ~1e-12 but not bitwise."""
+    scored = score_sequences(spark, sequences, model)
+    return scored.select(
+        "seq_id",
+        "t_len",
+        F.round("loglik", 6).alias("loglik"),
+        F.round("avg_loglik", 6).alias("avg_loglik"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-exact oracles: the forward and Viterbi DPs as recursive CTEs over the
+# coded events stream, with the model embedded as full-precision literals.
+# ---------------------------------------------------------------------------
+
+_CODED_SQL = """
+  SELECT user_id,
+         (dense_rank() OVER (ORDER BY event_type) - 1) AS sym,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) AS t
+  FROM events
+"""
+
+
+def _lit(x: float) -> str:
+    """Full-precision double literal in scientific notation: DuckDB lexes
+    e-notation as DOUBLE (plain decimals become DECIMAL and break list-literal
+    type inference), and 17 significant digits round-trip IEEE doubles, so the
+    engine parses the exact bits NumPy computed."""
+    return f"{float(x):.17e}"
+
+
+def _blist(row) -> str:
+    """A model row as a DuckDB list literal, indexed by ``[sym + 1]``."""
+    return "[" + ", ".join(_lit(v) for v in row) + "]"
+
+
+def score_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for score_sequences_face: the scaled forward
+    recursion (kernel.forward_backward, reference M2) as a recursive CTE.
+
+    Per step the unnormalized alphas u_j, their sum s, the running
+    log-likelihood ll += ln(s), and the normalized alphas p_j are carried as
+    plain columns (lateral aliases). Values agree with the NumPy kernel to
+    ~1e-12; both sides round to 6 decimals."""
+    N = model.pi.shape[0]
+    pi, A, B = model.pi, model.A, model.B
+    j1 = range(1, N + 1)
+    base_u = ",\n         ".join(
+        f"{_lit(pi[j - 1])} * ({_blist(B[j - 1])})[c.sym + 1] AS u{j}" for j in j1
+    )
+    # recursive member: FRESH alias names (nu/ns/...) — unqualified u1/s/ll
+    # would bind to the working table's same-named columns, not the lateral
+    # aliases, silently freezing the recursion. Output names are positional.
+    step_u = ",\n         ".join(
+        "("
+        + " + ".join(f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1)
+        + f") * ({_blist(B[j - 1])})[c.sym + 1] AS nu{j}"
+        for j in j1
+    )
+    usum = " + ".join(f"u{j}" for j in j1)
+    nusum = " + ".join(f"nu{j}" for j in j1)
+    norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
+    nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+    return f"""
+WITH RECURSIVE coded AS ({_CODED_SQL}),
+lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS (
+  SELECT c.user_id, 0 AS t,
+         {base_u},
+         ({usum}) AS s, ln(s) AS ll, {norm}
+  FROM coded c WHERE c.t = 0
+  UNION ALL
+  SELECT a.user_id, a.t + 1,
+         {step_u},
+         ({nusum}) AS ns, a.ll + ln(ns) AS nll, {nnorm}
+  FROM alpha a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+)
+SELECT a.user_id AS seq_id, l.t_len::INTEGER AS t_len,
+       round(a.ll, 6) AS loglik, round(a.ll / l.t_len, 6) AS avg_loglik
+FROM alpha a JOIN lens l ON l.user_id = a.user_id AND a.t = l.t_len - 1
+"""
+
+
+def viterbi_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for viterbi_decode_face: log-space max-product
+    forward recursion + backward path reconstruction, two recursive CTEs.
+
+    The log-model entries are embedded as repr() literals of the exact NumPy
+    doubles the Spark operator broadcasts, and every DP cell is the same
+    two-operand IEEE sum, so the deltas are BITWISE equal to _viterbi_one's —
+    argmax ties (first-max, matching np.argmax) resolve identically and
+    path_str matches exactly, not just approximately."""
+    N = model.pi.shape[0]
+    with np.errstate(divide="ignore"):
+        lpi, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
+    j1 = range(1, N + 1)
+    base_d = ",\n         ".join(
+        f"{_lit(lpi[j - 1])} + ({_blist(lB[j - 1])})[c.sym + 1] AS d{j}" for j in j1
+    )
+    step_d = ",\n         ".join(
+        "greatest("
+        + ", ".join(f"p.d{i} + {_lit(lA[i - 1][j - 1])}" for i in j1)
+        + f") + ({_blist(lB[j - 1])})[c.sym + 1] AS d{j}"
+        for j in j1
+    )
+
+    def argmax_case(cand: list[str]) -> str:
+        # first-max tiebreak, mirroring np.argmax
+        whens = []
+        for k in range(len(cand) - 1):
+            cond = " AND ".join(f"{cand[k]} >= {cand[m]}" for m in range(k + 1, len(cand)))
+            whens.append(f"WHEN {cond} THEN {k}")
+        return "CASE " + " ".join(whens) + f" ELSE {len(cand) - 1} END"
+
+    final_argmax = argmax_case([f"d.d{j}" for j in j1])
+    # backtrack candidates: c_i = delta[t-1][i] + logA[i][state], with the
+    # state-dependent logA picked by a CASE on the current row's state
+    back_cand = [
+        f"(d.d{i} + CASE b.state "
+        + " ".join(f"WHEN {j - 1} THEN {_lit(lA[i - 1][j - 1])}" for j in j1)
+        + " END)"
+        for i in j1
+    ]
+    back_argmax = argmax_case(back_cand)
+    dmax = ", ".join(f"d.d{j}" for j in j1)
+    return f"""
+WITH RECURSIVE coded AS ({_CODED_SQL}),
+lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+delta AS (
+  SELECT c.user_id, 0 AS t,
+         {base_d}
+  FROM coded c WHERE c.t = 0
+  UNION ALL
+  SELECT p.user_id, p.t + 1,
+         {step_d}
+  FROM delta p JOIN coded c ON c.user_id = p.user_id AND c.t = p.t + 1
+),
+back AS (
+  SELECT d.user_id, d.t,
+         ({final_argmax}) AS state,
+         greatest({dmax}) AS loglik,
+         ({final_argmax})::VARCHAR AS path
+  FROM delta d JOIN lens l ON l.user_id = d.user_id AND d.t = l.t_len - 1
+  UNION ALL
+  SELECT b.user_id, b.t - 1,
+         ({back_argmax}) AS state,
+         b.loglik,
+         ({back_argmax})::VARCHAR || ',' || b.path AS path
+  FROM back b JOIN delta d ON d.user_id = b.user_id AND d.t = b.t - 1
+)
+SELECT b.user_id AS seq_id, round(b.loglik, 6) AS loglik, b.path AS path_str
+FROM back b WHERE b.t = 0
+"""
+
+
 def score_sequences(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
     """Per-sequence marginal log-likelihood log P(O|λ) via the scaled forward
     pass (sum of log scale factors — kernel.forward_backward convention)."""

@@ -50,6 +50,44 @@ GROUP BY user_id
 """
 
 
+def seq_decode_names(events: DataFrame) -> DataFrame:
+    """S5 decode-join face: round-trip the encoded corpus back through the
+    symbol-name dimension (posexplode obs -> broadcast join on sym ->
+    re-assemble in sequence order).
+
+    This is the relational form of the reference's DistributedCache name-map
+    decode (MapWritableCache.java:49-109, BaumWelchMapper.java:61-63): the
+    name dictionary is side data joined to coded output. Scale: the dictionary
+    is vocab-sized (broadcast); the explode/re-group shuffles on seq_id, the
+    corpus's natural partitioning.
+    """
+    seqs = build_sequences(events)
+    names = symbol_dictionary(events)  # (event_type, sym)
+    exploded = seqs.select("seq_id", F.posexplode("obs").alias("pos", "sym"))
+    return (
+        exploded.join(F.broadcast(names), "sym")
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("t_len"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ",",
+            ).alias("names_str"),
+        )
+    )
+
+
+SEQ_DECODE_NAMES_SQL = """
+SELECT user_id AS seq_id, count(*) AS t_len,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS names_str
+FROM events
+GROUP BY user_id
+"""
+
+
 def _coded(events: DataFrame) -> DataFrame:
     d = symbol_dictionary(events)
     return events.join(F.broadcast(d), "event_type").select("user_id", "event_id", "ts", "sym")

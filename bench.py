@@ -5,6 +5,11 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 
 Each query is forced with a noop-format write (full execution, no driver
 transfer). ``hmm_fit`` runs 3 EM iterations; its own actions are its cost.
+
+Container wall-clock is 2-3x noisy, so every query (except the long-running
+``hmm_fit``) is executed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and the
+per-query number reported is the MINIMUM across runs — the repeated-run
+minimum is the stable statistic for round-over-round regression comparison.
 """
 
 from __future__ import annotations
@@ -82,15 +87,22 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the plans
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        if name not in SELF_EXECUTING:
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # hmm_fit is a full 3-iteration EM loop (~half the bench budget);
+        # a repeat would double total wall for little signal — single run.
+        n_runs = 1 if name in SELF_EXECUTING else runs
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            if name not in SELF_EXECUTING:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -101,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "timing": "min_of_runs (hmm_fit: single run)",
             }
         )
     )

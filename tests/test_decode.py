@@ -68,3 +68,57 @@ def test_decode_path_states_in_range(spark, sequences_df):
     for r in paths:
         assert len(r.path) > 0
         assert all(0 <= q < MODEL.n_hidden for q in r.path)
+
+
+def test_dp_oracle_sql_matches_spark_operators(spark):
+    """The recursive-CTE DuckDB oracles for the forward and Viterbi DPs must
+    reproduce the Spark operators' faces exactly (paths bitwise — the log
+    model is embedded as full-precision literals, so the DP does identical
+    IEEE arithmetic; logliks at the shared 6-decimal rounding)."""
+    import duckdb
+
+    from baum_welch_spark.hmm.decode import (
+        score_oracle_sql,
+        score_sequences_face,
+        viterbi_decode_face,
+        viterbi_oracle_sql,
+    )
+
+    model = HMM.random(4, 5, seed=42)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF0001}/events.parquet'")
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_sequences(events)
+
+    got = {r.seq_id: r for r in viterbi_decode_face(spark, seqs, model).collect()}
+    vt = con.execute(viterbi_oracle_sql(model)).df().set_index("seq_id")
+    assert len(got) == len(vt)
+    for seq_id, row in got.items():
+        o = vt.loc[seq_id]
+        assert row.path_str == o.path_str, seq_id
+        assert abs(row.loglik - o.loglik) < 1e-9, seq_id
+
+    sc = con.execute(score_oracle_sql(model)).df().set_index("seq_id")
+    got_s = {r.seq_id: r for r in score_sequences_face(spark, seqs, model).collect()}
+    assert len(got_s) == len(sc)
+    for seq_id, row in got_s.items():
+        o = sc.loc[seq_id]
+        assert row.t_len == o.t_len and abs(row.loglik - o.loglik) < 1e-9, seq_id
+
+
+def test_seq_decode_names_roundtrips_the_encoding(spark):
+    """S5 decode join: encoding then name-joining back must reproduce the
+    original event_type stream per entity."""
+    from baum_welch_spark.operators.markov import seq_decode_names
+    from baum_welch_spark.operators.sequences import symbol_dict
+    from baum_welch_spark.sources.io import load_table
+    from conftest import SF0001
+
+    events = load_table(spark, SF0001, "events")
+    inv = {v: k for k, v in symbol_dict(events).items()}
+    decoded = {r.seq_id: r.names_str for r in seq_decode_names(events).collect()}
+    seqs = build_sequences(events).collect()
+    assert len(decoded) == len(seqs)
+    for row in seqs:
+        assert decoded[row.seq_id] == ",".join(inv[s] for s in row.obs)
