@@ -452,10 +452,26 @@ def oracle_sql() -> dict[str, str]:
         # the seed-42 model embedded as full-precision literals (decode.py)
         "seq_scores": _score_oracle(),
         "viterbi_decode": _viterbi_oracle(),
+        # clustering oracle: recursive-CTE transitive closure over the exact
+        # Jaccard pair set (dedup.py) — upgrades dedup_clusters from rows-only
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        # portable-hash ops: exact because the base hash is MD5 bits, which
+        # DuckDB reproduces verbatim (functions.columns.portable_hash60)
+        "minhash_lsh": dedup.MINHASH_LSH_SQL,
+        "simhash": dedup.SIMHASH_SQL,
+        "stratified_sample": _sampling_sql(),
+        "knn_ivf": similarity.KNN_IVF_SQL,
+        "cosine_neardup_lsh": similarity.cosine_lsh_oracle_sql(),
         # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
         # (iterative EM with a pandas-UDF E-step; engine-specific hash
         # functions) -> rows-only check by design.
     }
+
+
+def _sampling_sql() -> str:
+    from baum_welch_spark.operators.sampling import STRATIFIED_SAMPLE_SQL
+
+    return STRATIFIED_SAMPLE_SQL
 
 
 def _score_oracle() -> str:

@@ -12,6 +12,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def portable_hash60(col: Column | str) -> Column:
+    """Engine-agnostic deterministic 60-bit hash: the first 15 hex digits of
+    the standard MD5 digest, as a non-negative BIGINT.
+
+    Unlike Spark's xxhash64 (engine-specific bits), the identical value is
+    computable in any engine — DuckDB spells it
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — so hash-derived artifacts
+    (splits, LSH buckets, signatures) are reproducible outside Spark and
+    their operators get DuckDB-exact oracles. Still whole-stage codegen
+    JVM-side; ~2x the cost of xxhash64, which only matters when hashing is
+    the bottleneck (use xxhash64 where cross-engine parity isn't needed).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
 def as_double_array(col: Column | str) -> Column:
     """array<float> -> array<double> (vector math in double precision)."""
     return F.transform(col, lambda x: x.cast("double"))

@@ -165,10 +165,55 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
 """
 
 
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+-- transitive closure: every (node, reachable-node) pair; UNION (distinct)
+-- terminates the recursion at the fixpoint. Fine at oracle scale; the Spark
+-- side uses pointer-jumping label propagation instead.
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON e.src = rr.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component AS keep_doc_id, count(*) AS n_docs
+FROM comp GROUP BY component
+"""
+
+
 def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
+    from baum_welch_spark.functions.columns import portable_hash60
+
     # hoist the base hash out of the aggregates: computed once per shingle,
-    # not once per (shingle, k) — Catalyst doesn't CSE across agg expressions
-    hashed = sh.withColumn("h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P)))
+    # not once per (shingle, k) — Catalyst doesn't CSE across agg expressions.
+    # portable_hash60 (not xxhash64) so signatures are engine-reproducible
+    # and the LSH operator gets a DuckDB-exact oracle (MINHASH_LSH_SQL).
+    hashed = sh.withColumn("h", F.pmod(portable_hash60("s"), F.lit(MERSENNE_P)))
     mins = [
         F.min((F.col("h") * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P)).alias(f"mh{k}")
         for k in range(num_hashes)
@@ -203,11 +248,17 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = _shingles(documents)
     sig = _minhash_signatures_from(sh, num_hashes)
+    # band key = the band's signature slice joined as a string — an exact
+    # (collision-free) bucket id that any engine reproduces, vs. hashing the
+    # slice with engine-specific xxhash64. Key width is rows_per_band small
+    # ints; the equi-join cost is the same.
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bkey"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bkey"),
             )
             for b in range(bands)
         ]
@@ -268,22 +319,28 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from word unigram hashes, banded
-    into 4 x 16-bit chunks for the candidate join (pigeonhole: hamming <= 3
+    """SimHash near-dup: 60-bit signature from word unigram hashes, banded
+    into 4 x 15-bit chunks for the candidate join (pigeonhole: hamming <= 3
     guarantees a shared chunk; larger radii trade recall), hamming distance
     verified with bit_count(xor).
+
+    The unigram hash is portable_hash60 (engine-agnostic MD5 bits, not
+    xxhash64), so the whole operator — signatures, banding, hamming — has a
+    DuckDB-exact oracle (SIMHASH_SQL) instead of a rows-only check.
     """
+    from baum_welch_spark.functions.columns import portable_hash60
+
     word = documents.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("w")
     )
-    h = F.xxhash64("w")
+    h = portable_hash60("w")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(60)
     ]
     agg = word.groupBy("doc_id").agg(*bit_sums)
     sig_expr = None
-    for b in range(64):
+    for b in range(60):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
@@ -294,7 +351,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
         F.explode(
             F.array(*[
                 F.struct(F.lit(c).alias("chunk"),
-                         F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
+                         F.shiftright(F.col("sig"), 15 * c).bitwiseAND(F.lit(0x7FFF)).alias("ckey"))
                 for c in range(4)
             ])
         ).alias("ck"),
@@ -316,6 +373,77 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# exact oracles for the hash-based near-dup ops: possible because the base
+# hash is portable_hash60 (MD5 bits), which DuckDB reproduces verbatim as
+# ('0x' || substr(md5(x), 1, 15))::BIGINT. Parameters mirror the driver faces.
+
+MINHASH_LSH_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+hashed AS (
+  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+mins AS (
+  SELECT doc_id, k, min((h * (2*k + 1) + k*k + 7) % 2147483647) AS mh
+  FROM hashed, unnest(generate_series(0, 31)) AS t(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, (k // 4) AS band, string_agg(mh::VARCHAR, '_' ORDER BY k) AS bkey
+  FROM mins GROUP BY doc_id, (k // 4)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.2
+"""
+
+SIMHASH_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) u
+),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM hashed, unnest(generate_series(0, 59)) AS t(b)
+  GROUP BY doc_id, b
+),
+sig AS (SELECT doc_id, sum(bit::BIGINT << b)::BIGINT AS sig FROM bits GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS ckey
+  FROM sig, unnest(generate_series(0, 3)) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+"""
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",

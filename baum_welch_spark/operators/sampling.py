@@ -6,6 +6,11 @@ All splits are HASH-based, not RNG-based: membership is a pure function of
 the row's key, so it is stable across reruns, partitionings, cluster sizes,
 and late-arriving recomputation (rand()-based splits silently reshuffle
 membership whenever the plan re-executes — a classic training-data bug).
+
+The hash is standard MD5 (not Spark's engine-specific xxhash64), so the SAME
+split is reproducible in any engine or language — a DuckDB validation query,
+a Python audit script, and the 1000-executor Spark job all agree on every
+row's membership. Still JVM-side codegen on the Spark path (F.md5).
 """
 
 from __future__ import annotations
@@ -17,7 +22,13 @@ _BUCKETS = 1_000_000
 
 
 def _bucket(key_col: str, seed: int):
-    return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+    # portable_hash60("key:seed") folded to 1e6 buckets. Engine-agnostic:
+    # DuckDB spells the identical value
+    # ('0x' || substr(md5(k || ':' || s), 1, 15))::BIGINT % 1000000.
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    h = portable_hash60(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+    return F.pmod(h, F.lit(_BUCKETS))
 
 
 def hash_split(
@@ -55,3 +66,18 @@ def stratified_sample(
     return df.filter(
         keep_under.isNotNull() & (_bucket(key_col, seed) < keep_under * _BUCKETS)
     )
+
+
+# DuckDB-exact oracle for the driver-contract face (events stratified on
+# event_type with fractions view=0.25 / purchase=1.0 / click=0.5, key
+# event_id, seed=3): membership reproduces _bucket bit-for-bit because the
+# hash is portable MD5, not an engine-private function.
+STRATIFIED_SAMPLE_SQL = """
+SELECT event_id, event_type
+FROM events
+WHERE (CASE event_type WHEN 'view' THEN 0.25 WHEN 'purchase' THEN 1.0
+                       WHEN 'click' THEN 0.5 END) IS NOT NULL
+  AND (('0x' || substr(md5(event_id::VARCHAR || ':3'), 1, 15))::BIGINT % 1000000)
+      < (CASE event_type WHEN 'view' THEN 0.25 WHEN 'purchase' THEN 1.0
+                         WHEN 'click' THEN 0.5 END) * 1000000
+"""

@@ -68,6 +68,40 @@ def knn_brute(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFram
     )
 
 
+KNN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+-- sign-of-projection buckets for the two deterministic +/-1 directions
+-- (sign = ((i+1)*(b+1)) % 3 < 2 with 0-based i; DuckDB lambda index is
+-- 1-based so it reads (i*(b+1)) % 3). Mirrors knn_ivf's bucket() exactly.
+bucketed AS (
+  SELECT vec_id, v,
+         (CASE WHEN list_sum(list_transform(v,
+             (x, i) -> x * (CASE WHEN (i * 1) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0
+           THEN 1 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(v,
+             (x, i) -> x * (CASE WHEN (i * 2) % 3 < 2 THEN 1.0 ELSE -1.0 END))) > 0
+           THEN 2 ELSE 0 END) AS bucket
+  FROM v
+),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+  FROM c JOIN q USING (bucket)
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 5
+"""
+
 KNN_BRUTE_SQL = """
 WITH q AS (
   SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
@@ -175,6 +209,85 @@ WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
 """
 
 
+def _lsh_sign_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 Rademacher hyperplanes: sign of plane p at component i = bit p of
+    the portable 60-bit md5 hash of str(i). Any engine reproduces it —
+    DuckDB: (('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT >> p) & 1.
+    Requires n_planes <= 60 (one md5 per component covers all planes)."""
+    if n_planes > 60:
+        raise ValueError(f"n_planes={n_planes} exceeds the 60 hash bits available")
+    import hashlib
+
+    hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in range(dim)]
+    return [[1.0 if (h >> p) & 1 else -1.0 for h in hs] for p in range(n_planes)]
+
+
+def cosine_lsh_oracle_sql(
+    threshold: float = 0.35, bits: int = 4, tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB-exact oracle for cosine_neardup_lsh: same md5-derived planes
+    (recomputed in SQL from md5(i)), same bucket keys, same exact-cosine
+    verify at 6-decimal rounding.
+
+    ``dim`` must match the corpus's embedding width (the testdata tables are
+    64-wide at every sf) — DuckDB 1.0's generate_series only takes constants,
+    so the dimension is baked into the generated SQL rather than read from
+    the data."""
+    n_planes = tables * bits
+
+    def plane_bit(t: int, b: int) -> str:
+        p = t * bits + b
+        proj = f"list_sum(list_transform(list_zip(v, sl{p}), x -> x[1] * x[2]))"
+        return f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)"
+
+    sign_lists = ",\n".join(
+        f"s{p} (sl{p}) AS (SELECT list(CASE WHEN (h >> {p}) & 1 = 1 "
+        f"THEN 1.0 ELSE -1.0 END ORDER BY i) FROM hs)"
+        for p in range(n_planes)
+    )
+    sign_tables = ", ".join(f"s{p}" for p in range(n_planes))
+    keys = ",\n         ".join(
+        "(" + " + ".join(plane_bit(t, b) for b in range(bits)) + f") AS key{t}"
+        for t in range(tables)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, key{t} AS key FROM keyed" for t in range(tables)
+    )
+    return f"""
+WITH hs AS (
+  SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT AS h
+  FROM generate_series(0, {dim - 1}) AS t(i)
+),
+{sign_lists},
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+keyed AS (
+  SELECT vec_id, v, nrm,
+         {keys}
+  FROM v, {sign_tables}
+),
+bucketed AS (
+  {unpivot}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+             / (x.nrm * y.nrm), 6) AS cos
+FROM cand c
+JOIN keyed x ON x.vec_id = c.vec_a
+JOIN keyed y ON y.vec_id = c.vec_b
+WHERE round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+            / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
+
 def cosine_neardup_lsh(
     embeddings: DataFrame, threshold: float = 0.35, bits: int = 4, tables: int = 8
 ) -> DataFrame:
@@ -185,9 +298,13 @@ def cosine_neardup_lsh(
     Same output schema/semantics as :func:`cosine_neardup` restricted to the
     candidate set — the scale path: the corpus self-join becomes ``tables``
     equi-joins each touching ~1/2^bits of the pairs. Hyperplanes are
-    deterministic ±1 Rademacher directions seeded per (table, bit) via
-    murmur3 of the component index — reproducible with no driver randomness,
-    and well-mixed (a biased/correlated sign pattern collapses recall).
+    deterministic ±1 Rademacher directions: sign of plane p at component i =
+    bit p of md5(i) (portable_hash60 bits). The sign matrix is computed once
+    at plan-build time (hashlib, O(dim) work) and embedded as literal arrays
+    — per-row cost is a pure multiply-add fold with no hash calls, and any
+    engine reproduces the planes from md5, giving a DuckDB-exact oracle
+    (cosine_lsh_oracle_sql). Well-mixed (a biased/correlated sign pattern
+    collapses recall).
 
     Recall for a pair at angle θ is 1 − (1 − (1 − θ/π)^bits)^tables: ≈1.0
     for true near-dups (cos ≥ 0.9), ~0.7 at the loose default threshold
@@ -206,13 +323,23 @@ def cosine_neardup_lsh(
         _norm(_as_double(F.col("embedding"))).alias("nrm"),
     )
 
-    def proj_sign(col, seed: int):
+    # constant-sized plan-build peek (one row, never data-sized): the sign
+    # matrix needs the embedding dimensionality
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return v.limit(0).select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(0.0).alias("cos"),
+        )
+    signs = _lsh_sign_matrix(tables * bits, int(first["d"]))
+
+    def proj_sign(col, plane: int):
         proj = F.aggregate(
             F.zip_with(
                 col,
-                F.sequence(F.lit(0), F.size(col) - 1),
-                lambda x, i: x
-                * F.when(F.pmod(F.hash(i, F.lit(seed)), F.lit(2)) == 1, 1.0).otherwise(-1.0),
+                F.array(*[F.lit(s) for s in signs[plane]]),
+                lambda x, s: x * s,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
