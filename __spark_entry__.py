@@ -175,6 +175,24 @@ def _q_lang_id(spark, sf):
     return lang_id(*_tables(spark, sf, "documents"))
 
 
+def _q_vocab_topk(spark, sf):
+    from baum_welch_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(*_tables(spark, sf, "documents"))
+
+
+def _q_bigram_lm_score(spark, sf):
+    from baum_welch_spark.operators.corpus import bigram_lm_score
+
+    return bigram_lm_score(*_tables(spark, sf, "documents"))
+
+
+def _q_decontaminate(spark, sf):
+    from baum_welch_spark.operators.corpus import decontaminate
+
+    return decontaminate(*_tables(spark, sf, "documents"))
+
+
 def _q_fingerprint(spark, sf):
     from baum_welch_spark.operators.text import fingerprint
 
@@ -398,6 +416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        # corpus-level training-data ops
+        "vocab_topk": _q_vocab_topk,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "decontaminate": _q_decontaminate,
         # similarity search
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
@@ -408,7 +430,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from baum_welch_spark.operators import asof, dedup, markov, rangejoin, relational, similarity, skew, text
+    from baum_welch_spark.operators import (
+        asof,
+        corpus,
+        dedup,
+        markov,
+        rangejoin,
+        relational,
+        similarity,
+        skew,
+        text,
+    )
 
     return {
         "q6_forecast_revenue": relational.Q6_SQL,
@@ -435,6 +467,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
+        "vocab_topk": corpus.VOCAB_TOPK_SQL,
+        "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
+        "decontaminate": corpus.DECONTAMINATE_SQL,
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,

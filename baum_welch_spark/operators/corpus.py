@@ -1,0 +1,203 @@
+"""Corpus-level training-data operators over ``documents``: vocabulary
+building, bigram language-model perplexity scoring, and benchmark
+decontamination (n-gram overlap). These are the corpus-wide counterparts of
+the per-document projections in :mod:`.text` — each one aggregates or joins
+across documents, so the scale story is about shuffle shape, not scan speed.
+
+Scale posture (100 TB corpus):
+
+- ``vocab_topk`` — one combinable groupBy(token) (map-side partial agg turns
+  the shuffle into |vocab|-sized traffic, not corpus-sized) followed by a
+  driver-bound top-k that Catalyst executes as TakeOrderedAndProject (per
+  partition top-k, no global sort materialization).
+- ``bigram_lm_score`` — the doc-side bigram explode is pre-aggregated per
+  (doc_id, bigram) BEFORE the global count, so every later shuffle moves
+  distinct-bigram rows, never raw token instances. Count tables join back on
+  bigram equi-keys (AQE picks broadcast when the vocabulary is small enough).
+- ``decontaminate`` — the eval n-gram set is benchmark-sized by definition,
+  so it broadcasts; the 100 TB training side is never shuffled except the
+  final per-doc combinable count.
+
+All three are pure Catalyst (no UDFs) with DuckDB-portable semantics, so
+every operator is oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by term frequency with document
+    frequency — the starting point for tokenizer/vocab training and the
+    standard sanity report on a new corpus snapshot.
+
+    Output: (token, tf, df) ordered by tf desc, token asc (deterministic
+    tie-break). One shuffle (combinable groupBy), then TakeOrderedAndProject.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(_words()).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
+VOCAB_TOPK_SQL = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents) t
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """In-domain bigram LM perplexity per document: train a maximum-likelihood
+    bigram model on the corpus itself, then score each document by its
+    per-bigram cross-entropy H = avg(-log2 P(w2|w1)) and perplexity 2^H — the
+    classic "how typical is this document of the corpus" quality signal used
+    to filter LLM training data (low perplexity = template/boilerplate, high
+    = noise).
+
+    Self-trained, so every bigram has nonzero probability (no smoothing
+    needed) and the result is fully deterministic.
+
+    Plan shape: doc bigrams are pre-aggregated per (doc_id, w1, w2) first, so
+    the global count, the context count, and the scoring join all move
+    distinct-bigram rows rather than token instances. Output:
+    (doc_id, n_bigrams, cross_entropy, perplexity), docs with >= 1 bigram.
+    """
+    w = _words()
+    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    doc_bg = (
+        documents.where(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(w, i + 1).alias("w1"),
+                        F.element_at(w, i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = c12.join(c1, "w1")
+    scored = doc_bg.join(probs, ["w1", "w2"])
+    nll = F.col("cnt") * -F.log2(F.col("c12") / F.col("c1"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            (F.sum(nll) / F.sum("cnt")).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("h"), 6).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), F.col("h")), 4).alias("perplexity"),
+        )
+    )
+
+
+BIGRAM_LM_SCORE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+),
+doc_bg AS (
+  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2, count(*) AS cnt
+  FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(g)
+  GROUP BY doc_id, ws[g], ws[g+1]
+),
+c12 AS (SELECT w1, w2, sum(cnt) AS c12 FROM doc_bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+scored AS (
+  SELECT d.doc_id, d.cnt, c12.c12, c1.c1
+  FROM doc_bg d JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(sum(cnt * -log2(c12 * 1.0 / c1)) / sum(cnt), 6) AS cross_entropy,
+       round(pow(2.0, sum(cnt * -log2(c12 * 1.0 / c1)) / sum(cnt)), 4) AS perplexity
+FROM scored
+GROUP BY doc_id
+"""
+
+
+def decontaminate(
+    documents: DataFrame, eval_mod: int = 50, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with the held-out eval set — the standard n-gram-overlap
+    contamination check run before LLM training (eval docs here are the
+    deterministic slice ``doc_id % eval_mod == 0``; in production the eval
+    side is the benchmark suite).
+
+    Output: (doc_id, n_overlap) for contaminated training docs only, where
+    ``n_overlap`` counts the doc's distinct n-grams that appear anywhere in
+    the eval set.
+
+    The eval n-gram set is benchmark-sized regardless of corpus size, so the
+    join broadcasts: the 100 TB training side streams through a map-side
+    semi-join with no shuffle of n-gram strings, then one combinable
+    per-doc count.
+    """
+    w = _words()
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        )
+    )
+    with_grams = documents.where(F.size(w) >= n).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    eval_grams = (
+        with_grams.where(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+    )
+    train = with_grams.where(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 5
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3] || ' ' || ws[g+4] AS g
+  FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(g)
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(*) AS n_overlap
+FROM train JOIN eval_grams USING (g)
+GROUP BY doc_id
+"""

@@ -51,6 +51,9 @@ HEADLINE = [
     "doc_quality",
     "lang_id",
     "doc_fingerprint",
+    "vocab_topk",
+    "bigram_lm_score",
+    "decontaminate",
     "emb_norms",
     "knn_brute",
     "knn_ivf",

@@ -1,0 +1,94 @@
+"""Corpus-level operator tests: vocabulary building, bigram LM perplexity
+scoring, decontamination — semantics on tiny hand-checkable inputs plus plan
+shape (the broadcast decontamination join is part of the scale contract)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.operators import corpus
+from baum_welch_spark.plans.audit import plan_report
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF0001, "documents").cache()
+
+
+def test_vocab_topk_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c")],
+        schema="doc_id bigint, text string",
+    )
+    rows = corpus.vocab_topk(df, k=2).collect()
+    # tf: a=3, b=3, c=2 -> top-2 is the (a, b) tie broken alphabetically
+    assert [(r.token, r.tf, r.df) for r in rows] == [("a", 3, 2), ("b", 3, 2)]
+
+
+def test_bigram_lm_score_matches_hand_computation(spark):
+    # corpus bigrams: (a,b) x2 from docs 1,2; (b,a) x1 from doc 1
+    # contexts: c1(a)=2, c1(b)=1 -> P(b|a)=1.0? no: c12(a,b)=2, c1(a)=2 -> 1.0
+    # P(a|b)=c12(b,a)/c1(b)=1/1=1.0 -> every doc entropy 0, perplexity 1
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b")],
+        schema="doc_id bigint, text string",
+    )
+    # doc1 bigrams: (a,b), (b,a); doc2: (a,b)
+    # c12: (a,b)=2, (b,a)=1; c1: a=2, b=1 -> all conditional probs 1.0
+    rows = {r.doc_id: r for r in corpus.bigram_lm_score(df).collect()}
+    assert rows[1].n_bigrams == 2 and rows[2].n_bigrams == 1
+    assert rows[1].cross_entropy == 0.0 and rows[2].perplexity == 1.0
+
+    # asymmetric case: doc3 adds (a,c) so P(b|a)=2/3, P(c|a)=1/3
+    df2 = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "a c")],
+        schema="doc_id bigint, text string",
+    )
+    rows2 = {r.doc_id: r for r in corpus.bigram_lm_score(df2).collect()}
+    # doc3's single bigram (a,c): H = -log2(1/3)
+    assert rows2[3].cross_entropy == round(-math.log2(1 / 3), 6)
+    # doc2's single bigram (a,b): H = -log2(2/3)
+    assert rows2[2].cross_entropy == round(-math.log2(2 / 3), 6)
+    # doc1: bigrams (a,b) and (b,a): H = (-log2(2/3) - log2(1)) / 2
+    assert rows2[1].cross_entropy == round(-math.log2(2 / 3) / 2, 6)
+    assert rows2[1].perplexity == round(2 ** (-math.log2(2 / 3) / 2), 4)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (0, f"eval doc says {shared} end"),          # eval (doc_id % 50 == 0)
+            (1, f"train doc copies {shared} verbatim"),  # contaminated
+            (2, "totally different text with no overlap at all"),
+            (3, f"another copy {shared} here twice {shared} yes"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.n_overlap for r in corpus.decontaminate(df).collect()}
+    # doc1 shares exactly the one distinct 5-gram; doc3 also counts it once
+    # (distinct per doc), doc2 clean, doc0 is eval-side so never reported
+    assert rows == {1: 1, 3: 1}
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark, documents):
+    report = plan_report(corpus.decontaminate(documents))
+    assert report["broadcast_joins"] >= 1
+    assert report["nested_loop_joins"] == 0
+    # the corpus-side n-gram explode must not shuffle before the join: only
+    # the eval-side distinct, the broadcast exchange itself, and the final
+    # per-doc aggregate appear as Exchange nodes
+    assert report["shuffles"] <= 3
+
+
+def test_bigram_lm_score_on_real_docs_is_finite(spark, documents):
+    rows = corpus.bigram_lm_score(documents).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert 0.0 <= r.cross_entropy < 30.0
+        assert r.perplexity >= 1.0
