@@ -193,6 +193,18 @@ def _q_decontaminate(spark, sf):
     return decontaminate(*_tables(spark, sf, "documents"))
 
 
+def _q_tfidf_top_terms(spark, sf):
+    from baum_welch_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(*_tables(spark, sf, "documents"))
+
+
+def _q_time_bucket_gapfill(spark, sf):
+    from baum_welch_spark.operators.relational import time_bucket_gapfill
+
+    return time_bucket_gapfill(*_tables(spark, sf, "events"))
+
+
 def _q_fingerprint(spark, sf):
     from baum_welch_spark.operators.text import fingerprint
 
@@ -420,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "time_bucket_gapfill": _q_time_bucket_gapfill,
         # similarity search
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
@@ -470,6 +484,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,
+        "tfidf_top_terms": corpus.TFIDF_TOP_TERMS_SQL,
+        "time_bucket_gapfill": relational.TIME_BUCKET_GAPFILL_SQL,
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,

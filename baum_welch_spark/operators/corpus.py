@@ -24,7 +24,7 @@ every operator is oracle-checked exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -200,4 +200,57 @@ train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
 SELECT doc_id, count(*) AS n_overlap
 FROM train JOIN eval_grams USING (g)
 GROUP BY doc_id
+"""
+
+
+def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """TF-IDF characteristic terms: the ``top_n`` highest-scoring tokens per
+    document under smoothed tf-idf (sklearn-style
+    ``idf = ln((N + 1) / (df + 1)) + 1``) — the classic
+    keyword-extraction / relevance-weighting surface.
+
+    Output: (doc_id, token, tf, score, rk) with deterministic tiebreak
+    (score desc, token asc).
+
+    Plan shape: tf is a combinable groupBy(doc_id, token); df reduces the tf
+    table again by token; N joins in as a broadcast one-row aggregate; the
+    final per-doc top-n is a row_number window over the doc_id partitioning
+    the tf shuffle already established.
+    """
+    tok = documents.select("doc_id", F.explode(_words()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "token", "tf", F.round(F.col("tf") * idf, 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("doc_id", "token", "tf", "score", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1), 6) AS score
+  FROM tf JOIN df USING (token), n
+),
+ranked AS (
+  SELECT doc_id, token, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, score, rk FROM ranked WHERE rk <= 3
 """

@@ -592,3 +592,62 @@ SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS
 FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, day
 """
+
+
+def time_bucket_gapfill(events: DataFrame) -> DataFrame:
+    """Hypertable-style bucketed rollup with gap filling: hourly event counts
+    and value sums per event_type over each type's full [min, max] hour span,
+    with empty buckets materialized (n_events=0, total_value=0) and a
+    last-observation-carried-forward column for the value sum — the
+    time-series resample/interpolate surface.
+
+    Scale: the hourly agg is one combinable shuffle; the spine explode is
+    calendar-sized (hours x types), never data-sized, so the left join
+    broadcasts the spine side under AQE; LOCF windows over calendar-sized
+    partitions. The first bucket of every type has data by construction
+    (bounds come from the data), so locf_value is never null.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy(F.col("event_type"), hour.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = spine.join(hourly, ["event_type", "bucket"], "left")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return joined.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.round(F.coalesce(F.col("v"), F.lit(0.0)), 4).alias("total_value"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("locf_value"),
+    )
+
+
+TIME_BUCKET_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT s.event_type,
+       CAST(s.bucket AS VARCHAR) AS bucket,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       round(coalesce(h.v, 0), 4) AS total_value,
+       round(last_value(h.v IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket), 4) AS locf_value
+FROM spine s LEFT JOIN hourly h
+  ON h.event_type = s.event_type AND h.bucket = s.bucket
+"""

@@ -54,6 +54,8 @@ HEADLINE = [
     "vocab_topk",
     "bigram_lm_score",
     "decontaminate",
+    "tfidf_top_terms",
+    "time_bucket_gapfill",
     "emb_norms",
     "knn_brute",
     "knn_ivf",

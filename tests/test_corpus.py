@@ -92,3 +92,46 @@ def test_bigram_lm_score_on_real_docs_is_finite(spark, documents):
         assert r.n_bigrams >= 1
         assert 0.0 <= r.cross_entropy < 30.0
         assert r.perplexity >= 1.0
+
+
+def test_tfidf_scores_match_hand_computation(spark):
+    import math as m
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "x y")],
+        schema="doc_id bigint, text string",
+    )
+    # N=3; df: x=3, y=2, z=1; idf = ln((N+1)/(df+1)) + 1
+    rows = corpus.tfidf_top_terms(df, top_n=3).collect()
+    by = {(r.doc_id, r.token): r for r in rows}
+    idf_x = m.log(4 / 4) + 1
+    idf_y = m.log(4 / 3) + 1
+    idf_z = m.log(4 / 2) + 1
+    assert by[(1, "x")].score == round(2 * idf_x, 6)
+    assert by[(1, "y")].score == round(1 * idf_y, 6)
+    assert by[(2, "z")].score == round(1 * idf_z, 6)
+    # rank 1 in doc 2 is z (higher idf than x)
+    assert by[(2, "z")].rk == 1 and by[(2, "x")].rk == 2
+
+
+def test_time_bucket_gapfill_fills_and_carries_forward(spark):
+    from baum_welch_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "view", 10.0, "{}"),
+            (2, "2024-01-01 02:20:00", 7, "view", 4.0, "{}"),
+            (3, "2024-01-01 01:00:00", 8, "click", 1.0, "{}"),
+        ],
+        schema="event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {(r.event_type, r.bucket): r for r in relational.time_bucket_gapfill(df).collect()}
+    # view spans hours 00..02 -> 3 buckets, hour 01 is a gap
+    gap = rows[("view", "2024-01-01 01:00:00")]
+    assert gap.n_events == 0 and gap.total_value == 0.0
+    assert gap.locf_value == 10.0  # carried forward from hour 00
+    assert rows[("view", "2024-01-01 02:00:00")].locf_value == 4.0
+    # click has a single bucket, no spine expansion
+    assert ("click", "2024-01-01 00:00:00") not in rows
+    assert rows[("click", "2024-01-01 01:00:00")].n_events == 1
+    assert len([k for k in rows if k[0] == "view"]) == 3
