@@ -80,18 +80,21 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
     distinct-bigram rows rather than token instances. Output:
     (doc_id, n_bigrams, cross_entropy, perplexity), docs with >= 1 bigram.
     """
-    w = _words()
-    idx = F.sequence(F.lit(0), F.size(w) - 2)
+    # split materialized as a column before the lambda (else Catalyst
+    # re-evaluates it per element_at call — see dedup._shingles)
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 2)
     doc_bg = (
-        documents.where(F.size(w) >= 2)
+        documents.select("doc_id", _words().alias("ws"))
+        .where(F.size(ws) >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
                     idx,
                     lambda i: F.struct(
-                        F.element_at(w, i + 1).alias("w1"),
-                        F.element_at(w, i + 2).alias("w2"),
+                        F.element_at(ws, i + 1).alias("w1"),
+                        F.element_at(ws, i + 2).alias("w2"),
                     ),
                 )
             ).alias("bg"),
@@ -163,16 +166,20 @@ def decontaminate(
     semi-join with no shuffle of n-gram strings, then one combinable
     per-doc count.
     """
-    w = _words()
-    idx = F.sequence(F.lit(0), F.size(w) - n)
+    # split materialized as a column before the lambda (else Catalyst
+    # re-evaluates it per element_at call — see dedup._shingles)
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
     grams = F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
         )
     )
-    with_grams = documents.where(F.size(w) >= n).select(
-        "doc_id", F.explode(grams).alias("g")
+    with_grams = (
+        documents.select("doc_id", _words().alias("ws"))
+        .where(F.size(ws) >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
     )
     eval_grams = (
         with_grams.where(F.col("doc_id") % eval_mod == 0).select("g").distinct()

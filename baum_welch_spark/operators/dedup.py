@@ -74,12 +74,20 @@ FROM fp GROUP BY fp HAVING count(*) > 1
 
 
 def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document (docs with >= k words)."""
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - k)
-    grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(words, g + i + 1) for i in range(k)]))
+    """Distinct word k-gram shingles per document (docs with >= k words).
+
+    The split is materialized as a column BEFORE the k-gram transform: inlined,
+    Catalyst re-evaluates the split expression for every ``element_at`` call
+    inside the lambda (k evaluations per position per row — measured 7x slower
+    at sf0.1). The Generate node between the two projections keeps
+    CollapseProject from re-inlining it.
+    """
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
+    grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)]))
     return (
-        documents.filter(F.size(words) >= k)
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size(ws) >= k)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
     )
 

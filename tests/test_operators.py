@@ -282,11 +282,13 @@ def test_cosine_neardup_lsh_subset_and_recall(spark, embeddings):
 
 def test_cosine_neardup_lsh_plan_id_only_candidates(spark, embeddings):
     """Scale shape: the candidate self-join must broadcast-verify against the
-    vector table (2 broadcast joins) and contain no nested-loop join."""
+    vector table (2 broadcast joins) and contain no nested-loop join; the
+    exact verify is ONE Arrow-batched kernel (the Catalyst fold was ~10x
+    slower per candidate), never a row-at-a-time UDF."""
     rep = plan_report(similarity.cosine_neardup_lsh(embeddings))
     assert rep["nested_loop_joins"] == 0, rep
     assert rep["broadcast_joins"] >= 2, rep
-    assert rep["python_stages"] == 0
+    assert rep["python_stages"] == 1, rep
 
 
 def test_q4_plan_is_semi_join(spark):
