@@ -149,6 +149,32 @@ def cmd_knn(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    from baum_welch_spark.operators.corpus import (
+        bigram_lm_score,
+        decontaminate,
+        tfidf_top_terms,
+        vocab_topk,
+    )
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-corpus")
+    docs = load_table(spark, args.input, "documents")
+    out = {
+        "vocab": lambda: vocab_topk(docs, k=args.top_k),
+        "lm-score": lambda: bigram_lm_score(docs),
+        "decontaminate": lambda: decontaminate(docs),
+        "tfidf": lambda: tfidf_top_terms(docs, top_n=args.top_k),
+    }[args.report]()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baum_welch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -197,6 +223,19 @@ def main(argv: list[str] | None = None) -> int:
     kn.add_argument("-k", type=int, default=5)
     kn.add_argument("-o", "--output")
     kn.set_defaults(fn=cmd_knn)
+
+    co = sub.add_parser(
+        "corpus", help="corpus reports: vocab | lm-score | decontaminate | tfidf"
+    )
+    co.add_argument("-i", "--input", required=True)
+    co.add_argument(
+        "--report",
+        choices=["vocab", "lm-score", "decontaminate", "tfidf"],
+        default="vocab",
+    )
+    co.add_argument("--top-k", type=int, default=100)
+    co.add_argument("-o", "--output")
+    co.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

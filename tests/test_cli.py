@@ -59,3 +59,17 @@ def test_cli_dedup_kmeans_knn(spark, tmp_path, capsys):
 def test_cli_rejects_unknown_subcommand():
     with pytest.raises(SystemExit):
         main(["compact"])
+
+
+def test_cli_corpus_reports(spark, tmp_path):
+    out = str(tmp_path / "vocab")
+    assert main(["corpus", "-i", SF0001, "--report", "vocab", "--top-k", "10", "-o", out]) == 0
+    vocab = spark.read.parquet(out)
+    assert vocab.count() <= 10
+    assert set(vocab.columns) == {"token", "tf", "df"}
+
+    out2 = str(tmp_path / "lm")
+    assert main(["corpus", "-i", SF0001, "--report", "lm-score", "-o", out2]) == 0
+    lm = spark.read.parquet(out2)
+    assert set(lm.columns) == {"doc_id", "n_bigrams", "cross_entropy", "perplexity"}
+    assert lm.count() > 0
