@@ -193,6 +193,12 @@ def _q_decontaminate(spark, sf):
     return decontaminate(*_tables(spark, sf, "documents"))
 
 
+def _q_clean_corpus(spark, sf):
+    from baum_welch_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(*_tables(spark, sf, "documents"))
+
+
 def _q_tfidf_top_terms(spark, sf):
     from baum_welch_spark.operators.corpus import tfidf_top_terms
 
@@ -434,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
+        "clean_corpus": _q_clean_corpus,
         # similarity search
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
@@ -486,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": corpus.DECONTAMINATE_SQL,
         "tfidf_top_terms": corpus.TFIDF_TOP_TERMS_SQL,
         "time_bucket_gapfill": relational.TIME_BUCKET_GAPFILL_SQL,
+        "clean_corpus": corpus._clean_corpus_sql(),
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,

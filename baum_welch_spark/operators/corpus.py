@@ -261,3 +261,68 @@ ranked AS (
 )
 SELECT doc_id, token, tf, score, rk FROM ranked WHERE rk <= 3
 """
+
+
+def clean_corpus(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.4,
+    min_quality: float = 1.0,
+    max_cross_entropy: float = 5.1,
+) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline in one face: near-dup
+    removal (exact-Jaccard connected components, keep the lowest doc_id per
+    cluster) + heuristic quality gate (:func:`..text.doc_quality` score) +
+    in-domain LM gate (:func:`bigram_lm_score` cross-entropy cap, dropping the
+    "too surprising for this corpus" tail). Returns the surviving corpus rows
+    (doc_id, lang, source).
+
+    This is the composition a production corpus build runs before training;
+    each stage is independently oracle-checked, and this face is too.
+
+    Scale shape: the drop list (non-canonical cluster members) and the two
+    gate lists are doc_id-only join sides — the anti/semi joins against the
+    100 TB corpus shuffle ids, never text. The LM is trained on the FULL
+    corpus (pre-filter), matching the oracle.
+    """
+    from baum_welch_spark.operators.dedup import connected_components, neardup_jaccard
+    from baum_welch_spark.operators.text import doc_quality
+
+    comp = connected_components(neardup_jaccard(documents, threshold=jaccard_threshold))
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    quality_ok = (
+        doc_quality(documents)
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    lm_ok = (
+        bigram_lm_score(documents)
+        .filter(F.col("cross_entropy") <= max_cross_entropy)
+        .select("doc_id")
+    )
+    return (
+        documents.join(drop, "doc_id", "left_anti")
+        .join(quality_ok, "doc_id", "left_semi")
+        .join(lm_ok, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _clean_corpus_sql() -> str:
+    from baum_welch_spark.operators.dedup import JACCARD_COMPONENTS_CTE
+    from baum_welch_spark.operators.text import DOC_QUALITY_SQL
+
+    return (
+        JACCARD_COMPONENTS_CTE
+        + f"""
+, drop_docs AS (SELECT node FROM comp WHERE node <> component),
+quality_ok AS (SELECT doc_id FROM ({DOC_QUALITY_SQL}) WHERE quality_score >= 1.0),
+lm_ok AS (SELECT doc_id FROM ({BIGRAM_LM_SCORE_SQL}) WHERE cross_entropy <= 5.1)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drop_docs)
+  AND d.doc_id IN (SELECT doc_id FROM quality_ok)
+  AND d.doc_id IN (SELECT doc_id FROM lm_ok)
+"""
+    )

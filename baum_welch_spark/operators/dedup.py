@@ -173,7 +173,9 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
 """
 
 
-DEDUP_CLUSTERS_SQL = """
+# shared CTE chain computing (node, component) over the exact Jaccard pair
+# graph at threshold 0.4 — used by DEDUP_CLUSTERS_SQL and corpus.CLEAN_CORPUS_SQL
+JACCARD_COMPONENTS_CTE = """
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 3
@@ -209,9 +211,15 @@ reach AS (
   SELECT rr.node, e.dst FROM reach rr JOIN edges e ON e.src = rr.r
 ),
 comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+"""
+
+DEDUP_CLUSTERS_SQL = (
+    JACCARD_COMPONENTS_CTE
+    + """
 SELECT component AS keep_doc_id, count(*) AS n_docs
 FROM comp GROUP BY component
 """
+)
 
 
 def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -559,9 +567,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
 
 def dedup_clusters_jaccard(documents: DataFrame, threshold: float = 0.4) -> DataFrame:
     """End-to-end dedup grouping: exact Jaccard pairs -> connected
-    components -> (component, n_docs, keep_doc_id). Rows-only in the driver
-    contract (iterative fixpoint); component semantics are tested against a
-    Python union-find oracle."""
+    components -> (component, n_docs, keep_doc_id). DuckDB-exact in the
+    driver contract (recursive-CTE transitive closure oracle); component
+    semantics are additionally tested against a Python union-find oracle."""
     pairs = neardup_jaccard(documents, threshold=threshold)
     comp = connected_components(pairs)
     return (

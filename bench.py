@@ -56,6 +56,7 @@ HEADLINE = [
     "decontaminate",
     "tfidf_top_terms",
     "time_bucket_gapfill",
+    "clean_corpus",
     "emb_norms",
     "knn_brute",
     "knn_ivf",

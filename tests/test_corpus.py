@@ -135,3 +135,28 @@ def test_time_bucket_gapfill_fills_and_carries_forward(spark):
     assert ("click", "2024-01-01 00:00:00") not in rows
     assert rows[("click", "2024-01-01 01:00:00")].n_events == 1
     assert len([k for k in rows if k[0] == "view"]) == 3
+
+
+def test_clean_corpus_drops_dups_and_low_quality(spark):
+    # doc 1/2 near-identical (dup cluster keeps 1); doc 3 too short for the
+    # quality length band; docs must pass BOTH gates and dedup
+    long_filler = " ".join(["the quick brown fox jumps over a lazy dog and then"] * 4)
+    df = spark.createDataFrame(
+        [
+            (1, long_filler),
+            (2, long_filler + " extra"),
+            (3, "tiny"),
+            (4, " ".join(["of and to in a the words flow onward again here"] * 4)),
+        ],
+        schema="doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    # loose LM cap: these tiny corpora have low entropy; gate on dup+quality
+    kept = {r.doc_id for r in corpus.clean_corpus(df, max_cross_entropy=30.0).collect()}
+    assert 2 not in kept          # non-canonical duplicate dropped
+    assert 3 not in kept          # fails the length band
+    assert {1, 4} <= kept
+
+
+def test_clean_corpus_plan_joins_on_ids_only(spark, documents):
+    report = plan_report(corpus.clean_corpus(documents))
+    assert report["nested_loop_joins"] == 0
