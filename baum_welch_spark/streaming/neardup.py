@@ -1,0 +1,176 @@
+"""Streaming near-duplicate detection against a static reference corpus —
+the incremental-ingestion face of ``operators.dedup.minhash_lsh_pairs``
+(absent in the reference; north-star §2.7 pipeline component).
+
+The production shape: a 100 TB reference corpus is indexed ONCE (band-key
+index + shingle sets, both static DataFrames); newly ingested documents
+stream through, compute their MinHash signature per row (stateless — no
+streaming aggregation state at all), probe the index with a stream-static
+equi-join, and are exact-Jaccard-verified against only the colliding
+reference docs. State is bounded by the pair-dedup watermark horizon, never
+by stream length or corpus size.
+
+Signature math mirrors the batch operator EXACTLY (same portable MD5 base
+hash, same ``(h * (2k+1) + k^2+7) mod P`` permutations, same band keys), so
+a document streams to the same buckets the batch index was built with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from baum_welch_spark.operators.dedup import MERSENNE_P, _minhash_signatures_from, _shingles
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents table with a processing-time ingest
+    timestamp (the table has no event time; the ingest ts only bounds the
+    pair-dedup state horizon)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ingest_ts", F.current_timestamp())
+
+
+def build_reference_index(
+    reference: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """One-time batch indexing of the reference corpus: ``(band_index,
+    shingle_sets)``. ``band_index`` is (band, bkey, ref_id); ``shingle_sets``
+    is (ref_id, ref_shingles, ref_n). Persist both in production — they are
+    the only corpus-sized artifacts and they never change per batch."""
+    rows_per_band = num_hashes // bands
+    sig = _minhash_signatures_from(_shingles(reference), num_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_index = (
+        sig.select("doc_id", F.explode(band_cols).alias("bk"))
+        .select(F.col("doc_id").alias("ref_id"), F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    )
+    sets = (
+        _shingles(reference)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ref_shingles"))
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            "ref_shingles",
+            F.size("ref_shingles").alias("ref_n"),
+        )
+    )
+    return band_index, sets
+
+
+def _row_signature_bands(num_hashes: int, bands: int):
+    """Per-row (stateless) MinHash band keys from a shingle-array column
+    ``sh`` — identical values to the batch groupBy-min signature: the min
+    over shingle instances of each permuted portable hash."""
+    rows_per_band = num_hashes // bands
+    base = F.transform(
+        F.col("sh"),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"), F.lit(MERSENNE_P)
+        ),
+    )
+    mhs = [
+        F.array_min(
+            F.transform(base, lambda h: (h * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    bandkeys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mhs, bandkeys
+
+
+def neardup_stream(
+    docs: DataFrame,
+    band_index: DataFrame,
+    shingle_sets: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    dedup_watermark: str = "10 minutes",
+) -> DataFrame:
+    """(doc_id, ref_id, jaccard) for each streamed doc vs colliding reference
+    docs with exact Jaccard >= threshold.
+
+    Plan: per-row signature -> explode ≤``bands`` band rows -> stream-static
+    equi-join on (band, bkey) -> stream-static join to the reference shingle
+    sets -> exact verify -> watermark-bounded pair dedup (the same pair can
+    collide in several bands).
+    """
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
+    grams = F.transform(
+        idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)])
+    )
+    with_sh = (
+        docs.select("doc_id", "ingest_ts", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size(ws) >= k)
+        .select("doc_id", "ingest_ts", F.array_distinct(grams).alias("sh"))
+    )
+    mhs, bandkeys = _row_signature_bands(num_hashes, bands)
+    banded = (
+        with_sh.select("doc_id", "ingest_ts", "sh", *mhs)
+        .select("doc_id", "ingest_ts", "sh", F.explode(bandkeys).alias("bk"))
+        .select(
+            "doc_id",
+            "ingest_ts",
+            "sh",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bkey").alias("bkey"),
+        )
+    )
+    candidates = banded.join(band_index, ["band", "bkey"]).filter(
+        F.col("doc_id") != F.col("ref_id")
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("ref_shingles")))
+    verified = (
+        candidates.join(shingle_sets, "ref_id")
+        .withColumn("c", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.size("sh") + F.col("ref_n") - F.col("c")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "ref_id", "jaccard", "ingest_ts")
+    )
+    return (
+        verified.withWatermark("ingest_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "ref_id"])
+        .select("doc_id", "ref_id", "jaccard")
+    )

@@ -79,3 +79,43 @@ def test_stream_stream_join_matches_batch(spark):
     expect = {(r.purchase_id, r.view_id) for r in batch.collect()}
     assert got == expect
     assert len(expect) > 0
+
+
+def test_stream_neardup_matches_batch_cross_pairs(spark):
+    """Streamed docs probed against a static reference index must emit
+    exactly the cross-corpus pairs the batch MinHash-LSH operator finds."""
+    from baum_welch_spark.operators.dedup import minhash_lsh_pairs
+    from baum_welch_spark.streaming.neardup import (
+        build_reference_index,
+        neardup_stream,
+        stream_documents,
+    )
+    from baum_welch_spark.streaming.sessionize import run_to_memory
+
+    docs = load_table(spark, SF0001, "documents")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    band_index, sets = build_reference_index(reference)
+
+    stream = neardup_stream(
+        stream_documents(spark, SF0001).filter(F.col("doc_id") % 2 == 1),
+        band_index,
+        sets,
+    )
+    run_to_memory(stream, "neardup_stream", output_mode="append")
+    got = {
+        (r.doc_id, r.ref_id, r.jaccard)
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    }
+
+    # batch expectation: the union-corpus LSH pairs restricted to
+    # (odd streamed doc, even reference doc), in that orientation
+    batch = minhash_lsh_pairs(docs).collect()
+    expect = set()
+    for r in batch:
+        a_odd, b_odd = r.doc_a % 2 == 1, r.doc_b % 2 == 1
+        if a_odd and not b_odd:
+            expect.add((r.doc_a, r.doc_b, r.jaccard))
+        elif b_odd and not a_odd:
+            expect.add((r.doc_b, r.doc_a, r.jaccard))
+    assert got == expect
+    assert len(got) > 0
