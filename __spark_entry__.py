@@ -521,9 +521,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sampling_sql(),
         "knn_ivf": similarity.KNN_IVF_SQL,
         "cosine_neardup_lsh": similarity.cosine_lsh_oracle_sql(),
-        # hmm_fit / minhash_lsh / simhash / knn_ivf: non-SQL-expressible
-        # (iterative EM with a pandas-UDF E-step; engine-specific hash
-        # functions) -> rows-only check by design.
+        # remaining rows-only by design: hmm_fit / knn_ivf_kmeans (iterative
+        # EM / Lloyd loops) and approx_distinct_users /
+        # value_approx_quantiles (engine-specific sketches)
     }
 
 

@@ -118,8 +118,17 @@ def _lit(x: float) -> str:
     """Full-precision double literal in scientific notation: DuckDB lexes
     e-notation as DOUBLE (plain decimals become DECIMAL and break list-literal
     type inference), and 17 significant digits round-trip IEEE doubles, so the
-    engine parses the exact bits NumPy computed."""
-    return f"{float(x):.17e}"
+    engine parses the exact bits NumPy computed.
+
+    log-space model rows can contain -inf (log of a zero probability, e.g. a
+    transition EM collapsed to 0); the bare token '-inf' is not valid DuckDB
+    SQL, so non-finite values emit the typed '-infinity' cast instead."""
+    v = float(x)
+    if v == float("-inf"):
+        return "CAST('-infinity' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('infinity' AS DOUBLE)"
+    return f"{v:.17e}"
 
 
 def _blist(row) -> str:

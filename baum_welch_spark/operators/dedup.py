@@ -159,9 +159,14 @@ sh AS (
   FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- mirror of the Spark side's max_doc_freq=1000 hot-shingle cap: shingles
+-- with document frequency above the cap are dropped from pair generation
+-- (set sizes stay uncapped, matching neardup_jaccard exactly)
+cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -185,9 +190,14 @@ sh AS (
   FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- mirror of the Spark side's max_doc_freq=1000 hot-shingle cap: shingles
+-- with document frequency above the cap are dropped from pair generation
+-- (set sizes stay uncapped, matching neardup_jaccard exactly)
+cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -548,6 +558,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 .limit(1)
                 .count()
             )
+            # free the previous round's checkpointed blocks now that the
+            # convergence check has consumed them — otherwise every round's
+            # node-sized labels stay resident until session end (only the
+            # final, returned labels remain checkpointed)
+            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break

@@ -373,9 +373,20 @@ def cosine_neardup_lsh(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    paired = candidates.join(F.broadcast(va), "vec_a").join(F.broadcast(vb), "vec_b")
+    # prune the vector table to candidate ids BEFORE the verify joins (the
+    # id-only semi-join side stays tiny), and let Catalyst/AQE pick the join
+    # strategy: a forced broadcast of the full corpus-sized vector table
+    # would OOM exactly in the >1e6-vector regime this operator exists for
+    # (same fix as the minhash verify, VERDICT r1 item 8)
+    cand_ids = (
+        candidates.select(F.col("vec_a").alias("vec_id"))
+        .union(candidates.select(F.col("vec_b").alias("vec_id")))
+        .distinct()
+    )
+    vc = v.join(cand_ids, "vec_id", "left_semi")
+    va = vc.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = vc.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    paired = candidates.join(va, "vec_a").join(vb, "vec_b")
 
     # exact verify as an Arrow-batched NumPy kernel: the Catalyst
     # zip_with/aggregate fold is interpreted per array element, which at

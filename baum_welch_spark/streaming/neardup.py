@@ -88,12 +88,13 @@ def _row_signature_bands(num_hashes: int, bands: int):
     """Per-row (stateless) MinHash band keys from a shingle-array column
     ``sh`` — identical values to the batch groupBy-min signature: the min
     over shingle instances of each permuted portable hash."""
+    from baum_welch_spark.functions.columns import portable_hash60
+
     rows_per_band = num_hashes // bands
+    # the SAME portable_hash60 the batch index uses — any divergence here
+    # silently stops streamed docs from colliding with the reference buckets
     base = F.transform(
-        F.col("sh"),
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"), F.lit(MERSENNE_P)
-        ),
+        F.col("sh"), lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE_P))
     )
     mhs = [
         F.array_min(

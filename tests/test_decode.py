@@ -122,3 +122,25 @@ def test_seq_decode_names_roundtrips_the_encoding(spark):
     assert len(decoded) == len(seqs)
     for row in seqs:
         assert decoded[row.seq_id] == ",".join(inv[s] for s in row.obs)
+
+
+def test_viterbi_oracle_sql_valid_with_zero_probabilities():
+    """A model with a structural zero (log -> -inf) must still generate
+    parseable oracle SQL ('-inf' alone is not a DuckDB literal)."""
+    import duckdb
+    import numpy as np
+
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import score_oracle_sql, viterbi_oracle_sql
+
+    m = HMM(
+        pi=np.array([1.0, 0.0]),
+        A=np.array([[0.5, 0.5], [0.0, 1.0]]),
+        B=np.array([[0.9, 0.1], [0.2, 0.8]]),
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type VARCHAR)")
+    con.sql("INSERT INTO events VALUES (1, 1, '2024-01-01', 'a'), (1, 2, '2024-01-02', 'b')")
+    for sql in (viterbi_oracle_sql(m), score_oracle_sql(m)):
+        assert "-inf," not in sql and "[-inf" not in sql
+        con.sql(sql).fetchall()  # must parse and execute
