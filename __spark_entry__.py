@@ -193,6 +193,13 @@ def _q_decontaminate(spark, sf):
     return decontaminate(*_tables(spark, sf, "documents"))
 
 
+def _q_cap_per_source(spark, sf):
+    from baum_welch_spark.operators.sampling import cap_per_group
+
+    (docs,) = _tables(spark, sf, "documents")
+    return cap_per_group(docs, "source", "doc_id", k=20).select("doc_id", "source")
+
+
 def _q_clean_corpus(spark, sf):
     from baum_welch_spark.operators.corpus import clean_corpus
 
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "clean_corpus": _q_clean_corpus,
+        "cap_per_source": _q_cap_per_source,
         # similarity search
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
@@ -494,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": corpus.TFIDF_TOP_TERMS_SQL,
         "time_bucket_gapfill": relational.TIME_BUCKET_GAPFILL_SQL,
         "clean_corpus": corpus._clean_corpus_sql(),
+        "cap_per_source": _cap_sql(),
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,
@@ -531,6 +540,12 @@ def _sampling_sql() -> str:
     from baum_welch_spark.operators.sampling import STRATIFIED_SAMPLE_SQL
 
     return STRATIFIED_SAMPLE_SQL
+
+
+def _cap_sql() -> str:
+    from baum_welch_spark.operators.sampling import CAP_PER_GROUP_SQL
+
+    return CAP_PER_GROUP_SQL
 
 
 def _score_oracle() -> str:

@@ -81,3 +81,52 @@ WHERE (CASE event_type WHEN 'view' THEN 0.25 WHEN 'purchase' THEN 1.0
       < (CASE event_type WHEN 'view' THEN 0.25 WHEN 'purchase' THEN 1.0
                          WHEN 'click' THEN 0.5 END) * 1000000
 """
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, seed: int = 11
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group, chosen
+    by portable-hash order of the row key — the corpus-balancing op that caps
+    documents per domain/source so no single boilerplate-heavy site dominates
+    a training mix.
+
+    Hash order (never rand()) makes the kept set a pure function of the data:
+    stable across reruns, partitionings, and engines, and a uniform random
+    sample of each group. Tiebreak by key keeps the rank total even under
+    hash collisions.
+
+    Scale: one shuffle on the group key; the window's rank short-circuits
+    per group — no global sort. A pathologically hot group concentrates its
+    rows on one partition (the same skew any per-group top-k has); salt via
+    AQE skew handling if a group exceeds a partition.
+    """
+    from pyspark.sql import Window
+
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    h = portable_hash60(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+# driver face: documents capped at 20 per source (sf0.01 has 25/source, so
+# the cap bites), emitting the kept ids. DuckDB reproduces the hash order.
+CAP_PER_GROUP_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 20
+"""

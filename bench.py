@@ -57,6 +57,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "time_bucket_gapfill",
     "clean_corpus",
+    "cap_per_source",
     "emb_norms",
     "knn_brute",
     "knn_ivf",

@@ -86,3 +86,21 @@ def test_aqe_splits_skewed_join(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from baum_welch_spark.operators.sampling import cap_per_group
+    from baum_welch_spark.sources.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", k=5)
+    per_group = {r.source: r.n for r in capped.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert all(n <= 5 for n in per_group.values())
+    # groups with >= 5 rows are capped exactly at 5
+    full = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for g, n in full.items():
+        assert per_group.get(g, 0) == min(n, 5)
+    # deterministic: identical kept set on re-run
+    ids1 = {r.doc_id for r in capped.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in cap_per_group(docs, "source", "doc_id", k=5).select("doc_id").collect()}
+    assert ids1 == ids2
