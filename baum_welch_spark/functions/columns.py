@@ -54,7 +54,13 @@ def words(col: Column | str = "text", lower: bool = True) -> Column:
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array column (docs shorter than k
-    words yield an empty array)."""
+    words yield an empty array).
+
+    PERF: pass a column that is ALREADY a materialized words array (or a
+    projected split) where possible — handing this an inline ``text`` column
+    makes Catalyst re-evaluate the split for every ``element_at`` inside the
+    lambda, k evaluations per position per row (measured ~7x slower; see
+    ``operators.dedup._shingles`` for the two-projection fix pattern)."""
     ws = words(text_col, lower=False)
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(-1)))
     grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)]))

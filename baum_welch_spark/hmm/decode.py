@@ -128,6 +128,8 @@ def _lit(x: float) -> str:
         return "CAST('-infinity' AS DOUBLE)"
     if v == float("inf"):
         return "CAST('infinity' AS DOUBLE)"
+    if v != v:  # NaN (degenerate 0/0 normalization row) — bare 'nan' is
+        return "CAST('nan' AS DOUBLE)"  # not a DuckDB literal either
     return f"{v:.17e}"
 
 

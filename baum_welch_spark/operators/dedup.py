@@ -19,7 +19,7 @@ approximate one's candidate quality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^31-1: keeps a_k * h + b_k far below the long range (ANSI overflow checks)
@@ -232,6 +232,31 @@ FROM comp GROUP BY component
 )
 
 
+def band_key_structs(num_hashes: int, bands: int) -> Column:
+    """LSH band keys from signature columns ``mh0..mh{num_hashes-1}``: an
+    array of (band, bkey) structs, where bkey is the band's signature slice
+    joined as a string — an exact (collision-free) bucket id that any engine
+    reproduces, vs. hashing the slice with engine-specific xxhash64.
+
+    The SINGLE definition of the banding convention: the batch operator
+    (minhash_lsh_pairs) and the streaming reference index + per-row
+    signature (streaming.neardup) must produce identical keys, or streamed
+    docs silently stop colliding with batch-built buckets.
+    """
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
     from baum_welch_spark.functions.columns import portable_hash60
 
@@ -271,24 +296,9 @@ def minhash_lsh_pairs(
     trigram Jaccard (so the output is exact over an approximate candidate
     set — the standard 100 TB recipe where the all-pairs join is infeasible).
     """
-    rows_per_band = num_hashes // bands
     sh = _shingles(documents)
     sig = _minhash_signatures_from(sh, num_hashes)
-    # band key = the band's signature slice joined as a string — an exact
-    # (collision-free) bucket id that any engine reproduces, vs. hashing the
-    # slice with engine-specific xxhash64. Key width is rows_per_band small
-    # ints; the equi-join cost is the same.
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_cols = band_key_structs(num_hashes, bands)
     banded = sig.select("doc_id", F.explode(band_cols).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )

@@ -21,14 +21,18 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(key_col: str, seed: int):
-    # portable_hash60("key:seed") folded to 1e6 buckets. Engine-agnostic:
-    # DuckDB spells the identical value
-    # ('0x' || substr(md5(k || ':' || s), 1, 15))::BIGINT % 1000000.
+def _keyed_hash(key_col: str, seed: int):
+    """portable_hash60("key:seed") — the ONE definition of this module's
+    seeded-hash convention (splits, samples, and caps all derive from it).
+    Engine-agnostic: DuckDB spells the identical value
+    ('0x' || substr(md5(k || ':' || s), 1, 15))::BIGINT."""
     from baum_welch_spark.functions.columns import portable_hash60
 
-    h = portable_hash60(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
-    return F.pmod(h, F.lit(_BUCKETS))
+    return portable_hash60(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+
+
+def _bucket(key_col: str, seed: int):
+    return F.pmod(_keyed_hash(key_col, seed), F.lit(_BUCKETS))
 
 
 def hash_split(
@@ -103,11 +107,7 @@ def cap_per_group(
     """
     from pyspark.sql import Window
 
-    from baum_welch_spark.functions.columns import portable_hash60
-
-    h = portable_hash60(
-        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
-    )
+    h = _keyed_hash(key_col, seed)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from baum_welch_spark.operators.dedup import MERSENNE_P, _minhash_signatures_from, _shingles
+from baum_welch_spark.operators.dedup import (
+    MERSENNE_P,
+    _minhash_signatures_from,
+    _shingles,
+    band_key_structs,
+)
 
 DOCS_SCHEMA = StructType(
     [
@@ -48,31 +53,25 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_reference_index(
-    reference: DataFrame, num_hashes: int = 32, bands: int = 8
+    reference: DataFrame, num_hashes: int = 32, bands: int = 8, k: int = 3
 ) -> tuple[DataFrame, DataFrame]:
     """One-time batch indexing of the reference corpus: ``(band_index,
     shingle_sets)``. ``band_index`` is (band, bkey, ref_id); ``shingle_sets``
     is (ref_id, ref_shingles, ref_n). Persist both in production — they are
-    the only corpus-sized artifacts and they never change per batch."""
-    rows_per_band = num_hashes // bands
-    sig = _minhash_signatures_from(_shingles(reference), num_hashes)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
+    the only corpus-sized artifacts and they never change per batch.
+
+    ``num_hashes``/``bands``/``k`` MUST match the values later passed to
+    :func:`neardup_stream` — a mismatched shingle size or banding probes
+    buckets that were never built and silently returns no pairs.
+    """
+    sig = _minhash_signatures_from(_shingles(reference, k=k), num_hashes)
+    band_cols = band_key_structs(num_hashes, bands)
     band_index = (
         sig.select("doc_id", F.explode(band_cols).alias("bk"))
         .select(F.col("doc_id").alias("ref_id"), F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     )
     sets = (
-        _shingles(reference)
+        _shingles(reference, k=k)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ref_shingles"))
         .select(
@@ -84,36 +83,22 @@ def build_reference_index(
     return band_index, sets
 
 
-def _row_signature_bands(num_hashes: int, bands: int):
-    """Per-row (stateless) MinHash band keys from a shingle-array column
-    ``sh`` — identical values to the batch groupBy-min signature: the min
-    over shingle instances of each permuted portable hash."""
-    from baum_welch_spark.functions.columns import portable_hash60
-
-    rows_per_band = num_hashes // bands
-    # the SAME portable_hash60 the batch index uses — any divergence here
-    # silently stops streamed docs from colliding with the reference buckets
-    base = F.transform(
-        F.col("sh"), lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE_P))
-    )
-    mhs = [
+def _row_signature_columns(num_hashes: int):
+    """Per-row (stateless) MinHash signature columns from a materialized
+    base-hash array column ``hs`` — identical values to the batch
+    groupBy-min signature: the min over shingle instances of each permuted
+    portable hash. The base hash is projected ONCE as ``hs`` by the caller
+    (md5 per shingle is the expensive part; inlining it here would repeat it
+    num_hashes times per row — same hoist the batch path does)."""
+    return [
         F.array_min(
-            F.transform(base, lambda h: (h * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P))
+            F.transform(
+                F.col("hs"),
+                lambda h: (h * F.lit(2 * k + 1) + F.lit(k * k + 7)) % F.lit(MERSENNE_P),
+            )
         ).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    bandkeys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return mhs, bandkeys
 
 
 def neardup_stream(
@@ -127,26 +112,41 @@ def neardup_stream(
     dedup_watermark: str = "10 minutes",
 ) -> DataFrame:
     """(doc_id, ref_id, jaccard) for each streamed doc vs colliding reference
-    docs with exact Jaccard >= threshold.
+    docs with exact Jaccard >= threshold. ``num_hashes``/``bands``/``k``
+    must match the values :func:`build_reference_index` was called with.
 
     Plan: per-row signature -> explode ≤``bands`` band rows -> stream-static
-    equi-join on (band, bkey) -> stream-static join to the reference shingle
-    sets -> exact verify -> watermark-bounded pair dedup (the same pair can
-    collide in several bands).
+    equi-join on (band, bkey) -> watermark-bounded pair dedup BEFORE the
+    verify (a true near-dup collides in most bands; deduping first avoids
+    ~``bands``x redundant shingle-set joins and intersections per pair, the
+    same candidates-first ``.distinct()`` the batch operator does) ->
+    stream-static join to the reference shingle sets -> exact verify.
     """
+    from baum_welch_spark.functions.columns import portable_hash60
+
     ws = F.col("ws")
     idx = F.sequence(F.lit(0), F.size(ws) - k)
     grams = F.transform(
         idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)])
     )
+    # two-step materialization: the shingle array, then its base hashes —
+    # each computed once per row, not once per downstream lambda reference
     with_sh = (
         docs.select("doc_id", "ingest_ts", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size(ws) >= k)
         .select("doc_id", "ingest_ts", F.array_distinct(grams).alias("sh"))
+        .select(
+            "doc_id",
+            "ingest_ts",
+            "sh",
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE_P))
+            ).alias("hs"),
+        )
     )
-    mhs, bandkeys = _row_signature_bands(num_hashes, bands)
+    bandkeys = band_key_structs(num_hashes, bands)
     banded = (
-        with_sh.select("doc_id", "ingest_ts", "sh", *mhs)
+        with_sh.select("doc_id", "ingest_ts", "sh", *_row_signature_columns(num_hashes))
         .select("doc_id", "ingest_ts", "sh", F.explode(bandkeys).alias("bk"))
         .select(
             "doc_id",
@@ -156,11 +156,15 @@ def neardup_stream(
             F.col("bk.bkey").alias("bkey"),
         )
     )
-    candidates = banded.join(band_index, ["band", "bkey"]).filter(
-        F.col("doc_id") != F.col("ref_id")
+    candidates = (
+        banded.join(band_index, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "ref_id", "sh", "ingest_ts")
+        .withWatermark("ingest_ts", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "ref_id"])
     )
     inter = F.size(F.array_intersect(F.col("sh"), F.col("ref_shingles")))
-    verified = (
+    return (
         candidates.join(shingle_sets, "ref_id")
         .withColumn("c", inter)
         .withColumn(
@@ -168,10 +172,5 @@ def neardup_stream(
             F.round(F.col("c") / (F.size("sh") + F.col("ref_n") - F.col("c")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "ref_id", "jaccard", "ingest_ts")
-    )
-    return (
-        verified.withWatermark("ingest_ts", dedup_watermark)
-        .dropDuplicatesWithinWatermark(["doc_id", "ref_id"])
         .select("doc_id", "ref_id", "jaccard")
     )
