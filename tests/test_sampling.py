@@ -104,3 +104,32 @@ def test_cap_per_group_bounds_and_determinism(spark):
     ids1 = {r.doc_id for r in capped.select("doc_id").collect()}
     ids2 = {r.doc_id for r in cap_per_group(docs, "source", "doc_id", k=5).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_portable_hash60_matches_duckdb_on_arbitrary_strings(spark):
+    """The whole portable-oracle foundation: Spark's portable_hash60 must
+    equal DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT for arbitrary
+    strings (property-based sample plus adversarial edge cases)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    cases = ["", " ", "a", "0", ":", "_", "näïve", "日本語", "a b c", "x" * 500]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(min_size=0, max_size=80))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    # single Spark job for all cases; DuckDB one query per value
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {r.i: r.h for r in df.select("i", portable_hash60("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        expect = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[i] == expect, f"hash mismatch for {s!r}"
