@@ -210,6 +210,8 @@ def viterbi_oracle_sql(model: HMM) -> str:
 
     def argmax_case(cand: list[str]) -> str:
         # first-max tiebreak, mirroring np.argmax
+        if len(cand) == 1:
+            return "0"  # a zero-WHEN "CASE ELSE 0 END" is a parse error
         whens = []
         for k in range(len(cand) - 1):
             cond = " AND ".join(f"{cand[k]} >= {cand[m]}" for m in range(k + 1, len(cand)))

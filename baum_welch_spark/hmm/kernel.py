@@ -134,6 +134,9 @@ def sequential_baum_welch(
         cB = np.zeros((model.n_hidden, model.n_observed))
         ll = 0.0
         for obs in sequences:
+            if len(obs) == 0:
+                continue  # parity with the distributed fit, whose E-step
+                # UDF filters empty sequences (they carry no information)
             ll += e_step_counts(model.pi, model.A, model.B, obs, cpi, cA, cB)
         trace.append(ll)
         new_model = m_step(cpi, cA, cB)

@@ -39,12 +39,26 @@ def asof_join(
     deterministically (required if either side can repeat (key, ts))."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts)]
+    # a right payload column sharing a left column's name would be nulled on
+    # left rows by the schema-align step below and silently clobber the
+    # left's own values in the output — refuse instead of corrupting
+    collisions = [c for c in right_cols if c in left.columns]
+    if collisions:
+        raise ValueError(
+            f"right payload column(s) {collisions} collide with left columns; "
+            "rename them (e.g. .withColumnRenamed) before asof_join"
+        )
     order = [F.col(ts).asc(), F.col("_tag").asc()] + ([F.col(seq).asc()] if seq else [])
     lt = left.withColumn("_tag", F.lit(0))
     keep = [on, ts, *right_cols]
     if seq and seq in right.columns and seq not in keep:
         keep.append(seq)  # the tiebreak column must survive on right rows
     rt = right.select(*keep).withColumn("_tag", F.lit(1))
+    if seq and seq not in lt.columns:
+        # seq resolvable only from the right: give left rows a null seq so
+        # the align below (rt.select(*lt.columns)) keeps it on right rows
+        # instead of dropping it and breaking the window's orderBy
+        lt = lt.withColumn(seq, F.lit(None).cast(dict(rt.dtypes)[seq]))
     # align schemas: left keeps its own columns, right payload is nullable on left rows
     for c in right_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))

@@ -42,6 +42,10 @@ def _init_centroids(embeddings: DataFrame, k: int, seed: int) -> np.ndarray:
         .limit(k)
         .collect()
     )
+    if len(rows) < k:
+        # fewer vectors than clusters: the (len(rows), d) centroid matrix
+        # would shape-mismatch the k-sized M-step arrays downstream
+        raise ValueError(f"k={k} exceeds the number of embedding rows ({len(rows)})")
     return np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
 
 

@@ -73,22 +73,34 @@ FROM fp GROUP BY fp HAVING count(*) > 1
 """
 
 
-def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document (docs with >= k words).
+def shingle_array(k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array expression over a
+    MATERIALIZED words column named ``ws`` (project ``split(text, ' ')`` as
+    ``ws`` first; an inlined split would be re-evaluated by Catalyst for
+    every ``element_at`` call in the lambda — measured 7x slower at sf0.1).
 
-    The split is materialized as a column BEFORE the k-gram transform: inlined,
-    Catalyst re-evaluates the split expression for every ``element_at`` call
-    inside the lambda (k evaluations per position per row — measured 7x slower
-    at sf0.1). The Generate node between the two projections keeps
-    CollapseProject from re-inlining it.
+    The ONE definition of the shingling convention: the batch dedup suite
+    and streaming.neardup's per-row path both build from it — a divergence
+    (separator, casing, distinctness) would silently stop streamed docs from
+    colliding with batch-built buckets.
     """
     ws = F.col("ws")
     idx = F.sequence(F.lit(0), F.size(ws) - k)
-    grams = F.transform(idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)]))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)])
+        )
+    )
+
+
+def _shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document (docs with >= k words),
+    exploded to (doc_id, s) rows. The Generate node between the two
+    projections keeps CollapseProject from re-inlining the split."""
     return (
         documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .filter(F.size(ws) >= k)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+        .filter(F.size(F.col("ws")) >= k)
+        .select("doc_id", F.explode(shingle_array(k)).alias("s"))
     )
 
 

@@ -30,16 +30,21 @@ def point_in_interval_join(
     end_col: str,
     bucket_seconds: int = 300,
     how: str = "inner",
+    interval_key: str | None = None,
 ) -> DataFrame:
     """Join point rows to interval rows where
     ``start < point_ts AND point_ts <= end`` (open-closed, the trailing-window
     convention). ``how`` is 'inner' or 'left_interval' (keep intervals with no
-    matching point; point columns null).
+    matching point anywhere, exactly once, with point columns null —
+    requires ``interval_key``, a column uniquely identifying interval rows).
 
     Bucketing: interval rows are exploded over
     ``sequence(floor(epoch(start)/W), floor(epoch(end)/W))`` and points carry
     ``floor(epoch(ts)/W)``; the join is then an equi-join on the bucket plus
-    the exact predicate.
+    the exact predicate. The left-ness is applied AGAINST THE ORIGINAL
+    interval rows (anti-join on ``interval_key``), never the exploded ones —
+    a left join on the exploded side would emit one spurious null-point row
+    per non-matching bucket of every interval.
     """
 
     def epoch(c: Column) -> Column:
@@ -63,8 +68,20 @@ def point_in_interval_join(
         & (pt[point_ts] > iv[start_col])
         & (pt[point_ts] <= iv[end_col])
     )
-    joined = iv.join(pt, cond, "left" if how == "left_interval" else "inner")
-    return joined.drop("__bucket")
+    inner = iv.join(pt, cond, "inner").drop("__bucket")
+    if how == "inner":
+        return inner
+    if how != "left_interval":
+        raise ValueError(f"how must be 'inner' or 'left_interval', got {how!r}")
+    if interval_key is None:
+        raise ValueError("how='left_interval' requires interval_key (unique interval id)")
+    unmatched = intervals.join(
+        inner.select(interval_key).distinct(), interval_key, "left_anti"
+    ).select(
+        *intervals.columns,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in points.schema.fields],
+    )
+    return inner.unionByName(unmatched)
 
 
 PURCHASE_CONTEXT_MINUTES = 5

@@ -72,7 +72,18 @@ def salted_join(
     """Equi-join ``big`` to ``small`` on ``key`` with the small side
     replicated ``n_salt`` times, so a hot key spreads over ``n_salt``
     shuffle partitions. Output columns = big's then small's (minus its key).
+
+    ``how`` must preserve big-side multiplicity only: 'inner', 'left',
+    'left_semi', or 'left_anti'. 'right'/'full' outer joins are rejected —
+    an unmatched small-side row exists ``n_salt`` times after replication,
+    so an outer join would emit it ``n_salt`` duplicate times.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; {how!r} would "
+            f"duplicate unmatched small-side rows n_salt={n_salt} times"
+        )
     salted_big = big.withColumn(SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt)))
     replicated = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -123,18 +123,15 @@ def neardup_stream(
     stream-static join to the reference shingle sets -> exact verify.
     """
     from baum_welch_spark.functions.columns import portable_hash60
+    from baum_welch_spark.operators.dedup import shingle_array
 
-    ws = F.col("ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - k)
-    grams = F.transform(
-        idx, lambda g: F.concat_ws(" ", *[F.element_at(ws, g + i + 1) for i in range(k)])
-    )
-    # two-step materialization: the shingle array, then its base hashes —
-    # each computed once per row, not once per downstream lambda reference
+    # two-step materialization: the shingle array (shared batch/stream
+    # definition), then its base hashes — each computed once per row, not
+    # once per downstream lambda reference
     with_sh = (
         docs.select("doc_id", "ingest_ts", F.split(F.col("text"), " ").alias("ws"))
-        .filter(F.size(ws) >= k)
-        .select("doc_id", "ingest_ts", F.array_distinct(grams).alias("sh"))
+        .filter(F.size(F.col("ws")) >= k)
+        .select("doc_id", "ingest_ts", shingle_array(k).alias("sh"))
         .select(
             "doc_id",
             "ingest_ts",

@@ -11,6 +11,14 @@ scaling's numeric bound.
 Batch-equivalence: driving the whole corpus through in one micro-batch must
 produce exactly the per-sequence forward log-likelihood of
 hmm.decode.score_sequences — asserted in tests/test_streaming_score.py.
+
+Ordering contract: events are applied in (ts, event_id) order WITHIN each
+micro-batch; across micro-batches the forward recursion cannot be rewound,
+so an event arriving after a later-timestamped event has already been
+applied is DROPPED (counted in ``n_late``) rather than silently applied out
+of order, which would corrupt alpha for every subsequent update. Feed the
+stream through a watermark + sort (or accept the drop count) when the
+source can deliver late data.
 """
 
 from __future__ import annotations
@@ -23,8 +31,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id bigint, t_len bigint, loglik double"
-STATE_SCHEMA = "alpha array<double>, loglik double, t bigint"
+OUTPUT_SCHEMA = "user_id bigint, t_len bigint, loglik double, n_late bigint"
+STATE_SCHEMA = (
+    "alpha array<double>, loglik double, t bigint, "
+    "last_ts_us bigint, last_eid bigint, n_late bigint"
+)
+
+
+def _ts_us(v) -> int:
+    """Event time as comparable microseconds (timestamps in the real stream,
+    plain ints in unit fixtures)."""
+    if isinstance(v, pd.Timestamp):
+        return v.value // 1000
+    return int(v)
 
 
 def hmm_stream_scorer(model, symbol_to_id: dict[str, int]):
@@ -38,15 +57,22 @@ def hmm_stream_scorer(model, symbol_to_id: dict[str, int]):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            alpha_list, loglik, t = state.get
+            alpha_list, loglik, t, last_ts_us, last_eid, n_late = state.get
             # alpha_list is None when every prior event was an unknown
             # symbol — state was persisted before the first real update
             alpha = np.asarray(alpha_list, dtype=np.float64) if alpha_list is not None else None
         else:
-            alpha, loglik, t = None, 0.0, 0
+            alpha, loglik, t, last_ts_us, last_eid, n_late = None, 0.0, 0, None, None, 0
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
-        for et in rows["event_type"]:
+        for ts_v, eid, et in zip(rows["ts"], rows["event_id"], rows["event_type"]):
+            pos = (_ts_us(ts_v), int(eid))
+            if last_ts_us is not None and pos <= (last_ts_us, last_eid):
+                # arrived after a later event was already applied: the
+                # forward recursion cannot rewind — drop and count
+                n_late += 1
+                continue
+            last_ts_us, last_eid = pos
             o = symbol_to_id.get(et)
             if o is None:
                 continue
@@ -58,8 +84,12 @@ def hmm_stream_scorer(model, symbol_to_id: dict[str, int]):
             alpha = a / scale
             loglik += float(np.log(scale))
             t += 1
-        state.update((alpha.tolist() if alpha is not None else None, loglik, t))
-        yield pd.DataFrame({"user_id": [key[0]], "t_len": [t], "loglik": [loglik]})
+        state.update(
+            (alpha.tolist() if alpha is not None else None, loglik, t, last_ts_us, last_eid, n_late)
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t_len": [t], "loglik": [loglik], "n_late": [n_late]}
+        )
 
     return update
 

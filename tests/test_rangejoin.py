@@ -73,7 +73,8 @@ def test_point_in_interval_matches_naive_across_bucket_widths(
 
 def test_left_interval_keeps_unmatched_intervals(spark, points, intervals):
     rows = point_in_interval_join(
-        points, intervals, "ts", "start", "end", bucket_seconds=300, how="left_interval"
+        points, intervals, "ts", "start", "end",
+        bucket_seconds=300, how="left_interval", interval_key="iv_id",
     ).collect()
     by_iv = {}
     for r in rows:
@@ -82,6 +83,18 @@ def test_left_interval_keeps_unmatched_intervals(spark, points, intervals):
     inner = _naive(points, intervals)
     got_inner = {(iv, p) for iv, ps in by_iv.items() for p in ps if p is not None}
     assert got_inner == inner
+    # SQL left-join cardinality: matched intervals contribute their matches
+    # ONLY (no extra null rows for non-matching buckets — interval 12 spans
+    # 13 buckets but must not emit 13 rows); each unmatched interval (11 and
+    # 13 — point 5 sits exactly at 11's open start) exactly one null row
+    matched_ivs = {iv for iv, _ in inner}
+    n_intervals = intervals.count()
+    assert len(rows) == len(inner) + (n_intervals - len(matched_ivs))
+    for iv_id, ps in by_iv.items():
+        if iv_id in matched_ivs:
+            assert None not in ps
+        else:
+            assert ps == {None}
 
 
 def test_rangejoin_plan_has_no_cartesian(spark, points, intervals):
