@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 
 def _words(col: str = "text"):
-    return F.split(F.lower(F.col(col)), " ")
+    # the package's canonical lowercased whitespace tokenizer
+    from baum_welch_spark.functions.columns import words
+
+    return words(col)
 
 
 def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:

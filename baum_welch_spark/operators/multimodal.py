@@ -97,6 +97,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     while len(tokens) < 4:  # magic, width, height, maxval
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(payload):
+            raise ValueError(
+                f"truncated PPM header: {len(tokens)} of 4 tokens before EOF"
+            )
         if payload[pos : pos + 1] == b"#":
             while pos < len(payload) and payload[pos : pos + 1] != b"\n":
                 pos += 1
@@ -199,7 +203,7 @@ def extract_features(assets: DataFrame, decode_stub: bool = True, dim: int = 8) 
                 feats = [_fake_decode(p, dim).tolist() for p in pdf["payload"]]
             else:
                 feats = [
-                    _real_decode(p, m["mime"], dim).tolist()
+                    _real_decode(p, m["mime"] if m is not None else None, dim).tolist()
                     for p, m in zip(pdf["payload"], pdf["meta"])
                 ]
             yield pd.DataFrame(
@@ -218,15 +222,20 @@ def extract_features(assets: DataFrame, decode_stub: bool = True, dim: int = 8) 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame-sampling *plan*: expands each video asset into the frame
     timestamps a decoder would extract (pure Catalyst — sequence + explode).
-    The actual pixel decode is the stubbed kernel above."""
+    The actual pixel decode is the stubbed kernel above.
+
+    Null or negative ``meta.duration_ms`` (the schema allows both) yields a
+    single null ``frame_ms`` row via explode_outer — the asset stays visible
+    for diagnostics instead of vanishing (null duration) or crashing the job
+    (negative duration makes ``sequence`` throw)."""
+    dur = F.col("meta.duration_ms")
+    frames = F.when(
+        dur.isNotNull() & (dur >= 0),
+        F.sequence(F.lit(0), dur, F.lit(every_ms)),
+    )
     return (
         assets.filter(F.col("modality") == "video")
-        .select(
-            "asset_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
-            ).alias("frame_ms"),
-        )
+        .select("asset_id", F.explode_outer(frames).alias("frame_ms"))
     )
 
 
@@ -255,8 +264,12 @@ def neardup_assets_by_feature(
     """
     from baum_welch_spark.functions.columns import as_double_array, dot, l2_norm
 
-    feats = extract_features(assets, decode_stub=decode_stub).select(
-        "asset_id", as_double_array(F.col("feature")).alias("v")
+    # persist: both self-join sides reference feats — uncached, the decode
+    # mapInPandas stage (the expensive part) would execute twice
+    feats = (
+        extract_features(assets, decode_stub=decode_stub)
+        .select("asset_id", as_double_array(F.col("feature")).alias("v"))
+        .persist()
     )
     a = feats.select(
         F.col("asset_id").alias("asset_a"), F.col("v").alias("va"), l2_norm(F.col("v")).alias("na")
@@ -264,9 +277,17 @@ def neardup_assets_by_feature(
     b = feats.select(
         F.col("asset_id").alias("asset_b"), F.col("v").alias("vb"), l2_norm(F.col("v")).alias("nb")
     )
+    # zero-norm features (e.g. two silent WAVs) have undefined cosine; a
+    # bare division would yield NULL and silently drop byte-identical pairs.
+    # Both-zero -> identical (1.0); one-zero -> orthogonal (0.0).
+    cos = (
+        F.when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(1.0))
+        .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0))
+        .otherwise(F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+    )
     return (
         a.join(b, F.col("asset_a") < F.col("asset_b"))
-        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("asset_a", "asset_b", "cos")
     )

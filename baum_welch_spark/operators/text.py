@@ -26,7 +26,10 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
 def _words(col: str = "text"):
-    return F.split(F.lower(F.col(col)), " ")
+    # the package's canonical lowercased whitespace tokenizer
+    from baum_welch_spark.functions.columns import words
+
+    return words(col)
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
@@ -106,7 +109,6 @@ def lang_id(documents: DataFrame) -> DataFrame:
     scored = documents.select("doc_id", "lang", *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{c}") for c in langs])
-    pred = F.when(F.lit(False), None)
     expr = None
     for c in langs:  # first language (alphabetical) hitting the max wins
         cond = F.col(f"score_{c}") == best

@@ -6,7 +6,16 @@ results (SURVEY §4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+
+def _shuffle_count(plan: str) -> int:
+    """Count true shuffle Exchange nodes only: a bare substring count of
+    "Exchange" also matches BroadcastExchange (not a shuffle) and
+    ReusedExchange (the OPPOSITE of a shuffle — an avoided one)."""
+    return len(re.findall(r"(?:^|[^A-Za-z])Exchange[ (]", plan))
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -28,11 +37,13 @@ def plan_report(df: DataFrame) -> dict[str, object]:
     formatted = explain_str(df, "formatted")
     codegen = explain_str(df, "codegen")
     return {
-        "has_pushed_filters": "PushedFilters: [" in formatted and "PushedFilters: []" not in formatted,
+        # any scan with a non-empty pushed-filter list counts: a second scan
+        # whose residual filter is unpushable must not mask real pushdown
+        "has_pushed_filters": re.search(r"PushedFilters: \[(?!\])", formatted) is not None,
         "broadcast_joins": tree.count("BroadcastHashJoin") + tree.count("BroadcastNestedLoopJoin"),
         "nested_loop_joins": tree.count("BroadcastNestedLoopJoin") + tree.count("CartesianProduct"),
         "sortmerge_joins": tree.count("SortMergeJoin"),
-        "shuffles": tree.count("Exchange"),
+        "shuffles": _shuffle_count(tree),
         "wholestage_codegen": "Found 0 WholeStageCodegen" not in codegen,
         "python_stages": tree.count("ArrowEvalPython") + tree.count("MapInPandas"),
         "scans": tree.count("Scan parquet"),
@@ -50,7 +61,7 @@ def executed_plan_report(df: DataFrame) -> dict[str, object]:
     rep = plan_report(df)
     # codegen stages appear as "*(N) Operator" in the executed-plan string
     rep["wholestage_codegen"] = "WholeStageCodegen" in executed or "*(" in executed
-    rep["executed_shuffles"] = executed.count("Exchange")
+    rep["executed_shuffles"] = _shuffle_count(executed)
     return rep
 
 

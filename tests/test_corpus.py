@@ -80,9 +80,9 @@ def test_decontaminate_plan_broadcasts_eval_side(spark, documents):
     assert report["broadcast_joins"] >= 1
     assert report["nested_loop_joins"] == 0
     # the corpus-side n-gram explode must not shuffle before the join: only
-    # the eval-side distinct, the broadcast exchange itself, and the final
-    # per-doc aggregate appear as Exchange nodes
-    assert report["shuffles"] <= 3
+    # the eval-side distinct and the final per-doc aggregate shuffle
+    # (the broadcast exchange is not counted as a shuffle)
+    assert report["shuffles"] <= 2
 
 
 def test_bigram_lm_score_on_real_docs_is_finite(spark, documents):
