@@ -393,3 +393,41 @@ def test_bpe_token_stats_counts(spark):
     # Hello , world ! 4 2 tokens -> 7 bpe; 4 ws
     assert rows[1].n_bpe_tokens == 7 and rows[1].n_ws_tokens == 4
     assert rows[2].n_bpe_tokens == 2 and rows[2].fertility == 1.0
+
+
+def test_multimodal_edge_cases(spark):
+    """Review-found edges: null/negative video duration must not vanish or
+    crash the frame plan; zero-norm feature pairs get defined cosine; a
+    truncated PPM header raises a clear parse error."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "video", b"v1", {"mime": "video/mp4", "width": None, "height": None, "duration_ms": 500}),
+        (2, "video", b"v2", {"mime": "video/mp4", "width": None, "height": None, "duration_ms": None}),
+        (3, "video", b"v3", {"mime": "video/mp4", "width": None, "height": None, "duration_ms": -7}),
+    ]
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    frames = multimodal.frame_sample_plan(assets, every_ms=250).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_ms)
+    assert sorted(by_asset[1]) == [0, 250, 500]
+    assert by_asset[2] == [None] and by_asset[3] == [None]  # visible, not dropped
+
+    # zero-norm pair: two silent WAVs are byte-identical -> cos 1.0, not NULL
+    silent = np.zeros(1600)
+    tone = 0.5 * np.sin(2 * np.pi * 300 * (np.arange(1600) / 8000.0))
+    arows = [
+        (i, "audio", multimodal.encode_wav(s), {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200})
+        for i, s in enumerate([silent, silent, tone])
+    ]
+    a = spark.createDataFrame(arows, schema=multimodal.ASSET_SCHEMA)
+    pairs = {
+        (r.asset_a, r.asset_b): r.cos
+        for r in multimodal.neardup_assets_by_feature(a, threshold=0.9, decode_stub=False).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    with _pytest.raises(ValueError, match="truncated PPM header"):
+        multimodal.decode_ppm(b"P6\n16 16")
