@@ -171,3 +171,34 @@ def neardup_stream(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "ref_id", "jaccard")
     )
+
+
+def decontaminate_stream(
+    docs: DataFrame, eval_grams: DataFrame, n: int = 5
+) -> DataFrame:
+    """Streaming benchmark decontamination: each ingested document is checked
+    against the static eval n-gram set on arrival — the incremental twin of
+    ``operators.corpus.decontaminate`` for continuously-ingested corpora.
+
+    ``eval_grams`` is a static one-column (``g``) DataFrame of the benchmark
+    suite's distinct word n-grams (benchmark-sized, so the stream-static
+    join broadcasts). Output: (doc_id, n_overlap) per contaminated doc —
+    stateless except the final per-doc count, which is per-micro-batch
+    (each doc's text arrives whole in one row, so no cross-batch state is
+    needed and no watermark is required).
+    """
+    from baum_welch_spark.functions.columns import words
+    from baum_welch_spark.operators.dedup import shingle_array
+
+    # LOWERCASED words — the batch decontaminate convention (corpus._words),
+    # unlike the raw-cased dedup shingles
+    with_grams = (
+        docs.select("doc_id", words("text").alias("ws"))
+        .filter(F.size(F.col("ws")) >= n)
+        .select("doc_id", F.explode(shingle_array(n)).alias("g"))
+    )
+    return (
+        with_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

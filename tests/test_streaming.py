@@ -119,3 +119,34 @@ def test_stream_neardup_matches_batch_cross_pairs(spark):
             expect.add((r.doc_b, r.doc_a, r.jaccard))
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_decontaminate_matches_batch(spark):
+    """Streamed docs checked against the static eval n-gram set must emit
+    exactly the batch decontaminate results."""
+    from baum_welch_spark.functions.columns import words
+    from baum_welch_spark.operators.corpus import decontaminate
+    from baum_welch_spark.operators.dedup import shingle_array
+    from baum_welch_spark.streaming.neardup import decontaminate_stream, stream_documents
+    from baum_welch_spark.streaming.sessionize import run_to_memory
+
+    docs = load_table(spark, SF0001, "documents")
+    # the batch op's eval side: distinct 5-grams of docs with doc_id % 50 == 0
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", words("text").alias("ws"))
+        .filter(F.size(F.col("ws")) >= 5)
+        .select(F.explode(shingle_array(5)).alias("g"))
+        .distinct()
+    )
+    stream = decontaminate_stream(
+        stream_documents(spark, SF0001).filter(F.col("doc_id") % 50 != 0), eval_grams
+    )
+    run_to_memory(stream, "decontam_stream")  # complete mode (grouped agg)
+    got = {
+        (r.doc_id, r.n_overlap)
+        for r in spark.sql("SELECT * FROM decontam_stream").collect()
+    }
+    expect = {(r.doc_id, r.n_overlap) for r in decontaminate(docs).collect()}
+    assert got == expect
+    assert len(got) > 0  # sf0.001 has planted cross-doc n-gram overlap
