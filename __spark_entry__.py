@@ -193,6 +193,17 @@ def _q_decontaminate(spark, sf):
     return decontaminate(*_tables(spark, sf, "documents"))
 
 
+def _q_weighted_sample(spark, sf):
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.sampling import weighted_sample
+
+    (events,) = _tables(spark, sf, "events")
+    return weighted_sample(events, "event_id", F.col("value") / 100).select(
+        "event_id", "event_type", "value"
+    )
+
+
 def _q_cap_per_source(spark, sf):
     from baum_welch_spark.operators.sampling import cap_per_group
 
@@ -449,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "clean_corpus": _q_clean_corpus,
         "cap_per_source": _q_cap_per_source,
+        "weighted_sample": _q_weighted_sample,
         # similarity search
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
@@ -503,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "time_bucket_gapfill": relational.TIME_BUCKET_GAPFILL_SQL,
         "clean_corpus": corpus._clean_corpus_sql(),
         "cap_per_source": _cap_sql(),
+        "weighted_sample": _weighted_sql(),
         "emb_norms": similarity.EMB_NORMS_SQL,
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,
@@ -546,6 +559,12 @@ def _cap_sql() -> str:
     from baum_welch_spark.operators.sampling import CAP_PER_GROUP_SQL
 
     return CAP_PER_GROUP_SQL
+
+
+def _weighted_sql() -> str:
+    from baum_welch_spark.operators.sampling import WEIGHTED_SAMPLE_SQL
+
+    return WEIGHTED_SAMPLE_SQL
 
 
 def _score_oracle() -> str:

@@ -15,7 +15,7 @@ row's membership. Still JVM-side codegen on the Spark path (F.md5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -129,4 +129,29 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, source FROM ranked WHERE rk <= 20
+"""
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, seed: int = 5
+) -> DataFrame:
+    """Per-row weighted Bernoulli sample: keep each row with probability
+    ``weight`` (a column expression in [0, 1], clamped), decided by the
+    row key's portable hash — deterministic like every sampler here (a
+    rand()-based weighted sample resamples membership on every plan
+    re-execution). The per-group generalization of ``stratified_sample``,
+    for continuous weights (e.g. upweight long documents or high-value
+    events in a training mix).
+    """
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(_bucket(key_col, seed) < w * _BUCKETS)
+
+
+# driver face: events kept with probability value/100 (clamped at 1), keyed
+# by event_id — reproduced exactly by DuckDB via the portable hash.
+WEIGHTED_SAMPLE_SQL = """
+SELECT event_id, event_type, value
+FROM events
+WHERE (('0x' || substr(md5(event_id::VARCHAR || ':5'), 1, 15))::BIGINT % 1000000)
+      < least(greatest(value / 100, 0.0), 1.0) * 1000000
 """

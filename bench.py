@@ -58,6 +58,7 @@ HEADLINE = [
     "time_bucket_gapfill",
     "clean_corpus",
     "cap_per_source",
+    "weighted_sample",
     "emb_norms",
     "knn_brute",
     "knn_ivf",

@@ -133,3 +133,21 @@ def test_portable_hash60_matches_duckdb_on_arbitrary_strings(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert got[i] == expect, f"hash mismatch for {s!r}"
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from baum_welch_spark.operators.sampling import weighted_sample
+    from baum_welch_spark.sources.io import load_table
+
+    events = load_table(spark, SF0001, "events")
+    kept = weighted_sample(events, "event_id", F.col("value") / 100)
+    ids1 = {r.event_id for r in kept.select("event_id").collect()}
+    ids2 = {r.event_id for r in weighted_sample(events, "event_id", F.col("value") / 100).select("event_id").collect()}
+    assert ids1 == ids2  # deterministic
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert weighted_sample(events, "event_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(events, "event_id", F.lit(1.0)).count() == events.count()
+    # keep rate tracks the mean clamped weight (hash is uniform)
+    mean_w = events.select(F.avg(F.least(F.col("value") / 100, F.lit(1.0)))).first()[0]
+    rate = len(ids1) / events.count()
+    assert abs(rate - mean_w) < 0.1
