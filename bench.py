@@ -37,6 +37,9 @@ HEADLINE = [
     "asof_purchase_view",
     "top_event_per_user",
     "sessionize",
+    "seq_decode_names",
+    "value_quantiles",
+    "viewers_no_purchase",
     "seq_build",
     "stripe_agg",
     "normalize",
