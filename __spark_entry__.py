@@ -319,7 +319,13 @@ def _q_value_approx_quantiles(spark, sf):
     return value_approx_quantiles(*_tables(spark, sf, "events"))
 
 
-# -- non-SQL-expressible (rows-only check) ----------------------------------
+# -- approximate / iterative / hash-derived faces ---------------------------
+# Most of these gained DuckDB-exact oracles in round 2 (portable MD5 hashing
+# or model-literal SQL); oracle_sql() is the source of truth for which are
+# exactly checked. Their outputs must stay deterministic and rounded — the
+# driver value-hashes them. Only hmm_fit / knn_ivf_kmeans (iterative loops)
+# and approx_distinct_users / value_approx_quantiles (sketches) remain
+# rows-only.
 
 
 def _q_cosine_neardup_lsh(spark, sf):

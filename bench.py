@@ -90,46 +90,56 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # cosmetic metadata; never abort the bench over a dir name
     spark = get_spark(app_name="baum-welch-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    missing = set(qs) - set(HEADLINE)
+    assert not missing, f"queries() entries missing from HEADLINE: {sorted(missing)}"
 
     # warm the JVM + parquet footers so per-query numbers measure the plans
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # hmm_fit is a full 3-iteration EM loop (~half the bench budget);
-        # a repeat would double total wall for little signal — single run.
-        n_runs = 1 if name in SELF_EXECUTING else runs
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            if name not in SELF_EXECUTING:
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-                "timing": "min_of_runs (hmm_fit: single run)",
-            }
-        )
-    )
-    spark.stop()
+    error = None
+    try:
+        for name in HEADLINE:
+            # hmm_fit is a full 3-iteration EM loop (~half the bench budget);
+            # a repeat would double total wall for little signal — single run.
+            n_runs = 1 if name in SELF_EXECUTING else runs
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                if name not in SELF_EXECUTING:
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+    except Exception as e:  # emit the partial timings rather than nothing
+        error = f"{type(e).__name__}: {e}"
+    finally:
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs_per_query": runs,
+            "timing": "min_of_runs (hmm_fit: single run)",
+        }
+        if error is not None:
+            out["error"] = error
+        print(json.dumps(out))
+        spark.stop()
+    if error is not None:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -10,10 +10,12 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from baum_welch_spark.session import get_spark
@@ -25,7 +27,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort exact-comparable (non-float) columns FIRST: sorting by a float
+    # column first would let sub-atol cross-engine noise reorder rows and
+    # misalign the frames (spurious FAIL on the exact columns)
+    order = [c for c in df.columns if df[c].dtype.kind != "f"] + [
+        c for c in df.columns if df[c].dtype.kind == "f"
+    ]
+    df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
     return df
 
 
@@ -47,6 +55,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -61,7 +73,7 @@ def main() -> int:
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(sdf)} rows  ({elapsed:.1f}s)")
-            if len(sdf) == 0 and name != "fingerprint_clusters":
+            if len(sdf) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:
@@ -92,6 +104,10 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"ok   {name}: {len(s)} rows match  ({elapsed:.1f}s)")
+            if len(s) == 0 and name != "customers_without_orders":
+                # an empty-vs-empty compare proves nothing about the operator
+                # (customers_without_orders is legitimately empty at this sf)
+                print(f"WARN {name}: zero rows on both sides (vacuous match)")
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
