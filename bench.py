@@ -102,6 +102,11 @@ def main() -> None:
 
     # warm the JVM + parquet footers so per-query numbers measure the plans
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Arrow Python workers too — otherwise the first pandas-UDF
+    # query in the list absorbs worker spin-up into its timing
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
