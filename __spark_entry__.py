@@ -408,6 +408,24 @@ def _q_knn_ivf(spark, sf):
     return knn_ivf(*_tables(spark, sf, "embeddings"))
 
 
+def _q_repetition_stats(spark, sf):
+    from baum_welch_spark.operators.quality import repetition_stats
+
+    return repetition_stats(*_tables(spark, sf, "documents"))
+
+
+def _q_pii_redact(spark, sf):
+    from baum_welch_spark.operators.quality import pii_redact
+
+    return pii_redact(*_tables(spark, sf, "documents"))
+
+
+def _q_line_dedup(spark, sf):
+    from baum_welch_spark.operators.quality import line_dedup
+
+    return line_dedup(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HMM dataflow faces (SURVEY §2.1-2.4)
@@ -458,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
         # corpus-level training-data ops
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
@@ -482,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         corpus,
         dedup,
         markov,
+        quality,
         rangejoin,
         relational,
         similarity,
@@ -514,6 +536,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
+        "repetition_stats": quality.REPETITION_STATS_SQL,
+        "pii_redact": quality.PII_REDACT_SQL,
+        "line_dedup": quality.LINE_DEDUP_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

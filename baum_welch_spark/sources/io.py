@@ -5,11 +5,15 @@ The reference reads SequenceFiles with compiled-in Writable schemas
 Parquet with explicitly normalized column types — never schema inference
 for the core tables (SURVEY §1.3).
 
-The driver testdata stores timestamps as Parquet INT64 TIMESTAMP(NANOS),
-which Spark only reads with ``spark.sql.legacy.parquet.nanosAsLong=true``
-(arriving as bigint nanos). ``load_table`` converts those columns back to
-timestamps via integer ``div 1000`` — truncation to microseconds, exactly
-what DuckDB does when reading the same files, so oracle comparisons agree.
+Driver testdata timestamp encodings have varied by round — INT64
+TIMESTAMP(NANOS) (readable only via ``spark.sql.legacy.parquet.nanosAsLong``,
+arriving as bigint nanos) and TIMESTAMP(MICROS) without UTC adjustment
+(arriving as TIMESTAMP_NTZ). ``load_table`` normalizes either to a plain
+UTC TIMESTAMP column: nanos are integer-``div 1000``-truncated (exactly
+DuckDB's read of the same file) and NTZ is reinterpreted as UTC (the session
+zone is pinned to UTC first, so the cast is value-preserving — identical to
+DuckDB's naive reading). Downstream operators can therefore always rely on
+``unix_micros(ts)`` working and agreeing with the DuckDB oracle's epoch.
 """
 
 from __future__ import annotations
@@ -41,8 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            # session zone is UTC (set above) so this cast reinterprets the
+            # naive value as the same UTC instant — no shift
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -14,14 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from baum_welch_spark.streaming.sessionize import EVENTS_SCHEMA
+from pyspark.sql import types as T
+
+from baum_welch_spark.streaming.sessionize import _events_schema
 
 
 def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
-    """File-stream over a directory of events-schema parquet files (nanos ts
-    normalized to timestamp, as in ``stream_events``)."""
-    raw = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(directory)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """File-stream over a directory of events-schema parquet files (ts
+    encoding probed from the footer and normalized to UTC timestamp, as in
+    ``stream_events``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = spark.read.parquet(directory).schema["ts"].dataType
+    raw = spark.readStream.format("parquet").schema(_events_schema(probed)).load(directory)
+    if isinstance(probed, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dedup_stream(
