@@ -408,6 +408,30 @@ def _q_knn_ivf(spark, sf):
     return knn_ivf(*_tables(spark, sf, "embeddings"))
 
 
+def _q_pack_sequences(spark, sf):
+    from baum_welch_spark.operators.packing import pack_sequences
+
+    return pack_sequences(*_tables(spark, sf, "documents"))
+
+
+def _q_chunk_documents(spark, sf):
+    from baum_welch_spark.operators.packing import chunk_documents
+
+    return chunk_documents(*_tables(spark, sf, "documents"))
+
+
+def _q_mixture_sample(spark, sf):
+    from baum_welch_spark.operators.sampling import mixture_sample_documents
+
+    return mixture_sample_documents(*_tables(spark, sf, "documents"))
+
+
+def _q_semantic_dedup(spark, sf):
+    from baum_welch_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(*_tables(spark, sf, "embeddings"))
+
+
 def _q_repetition_stats(spark, sf):
     from baum_welch_spark.operators.quality import repetition_stats
 
@@ -479,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
+        "mixture_sample": _q_mixture_sample,
+        "semantic_dedup": _q_semantic_dedup,
         # corpus-level training-data ops
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
@@ -503,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         corpus,
         dedup,
         markov,
+        packing,
         quality,
         rangejoin,
         relational,
@@ -539,6 +568,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": quality.REPETITION_STATS_SQL,
         "pii_redact": quality.PII_REDACT_SQL,
         "line_dedup": quality.LINE_DEDUP_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
+        "mixture_sample": _mixture_sql(),
+        "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,
@@ -596,6 +629,12 @@ def _weighted_sql() -> str:
     from baum_welch_spark.operators.sampling import WEIGHTED_SAMPLE_SQL
 
     return WEIGHTED_SAMPLE_SQL
+
+
+def _mixture_sql() -> str:
+    from baum_welch_spark.operators.sampling import MIXTURE_SAMPLE_SQL
+
+    return MIXTURE_SAMPLE_SQL
 
 
 def _score_oracle() -> str:

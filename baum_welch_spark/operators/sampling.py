@@ -155,3 +155,96 @@ FROM events
 WHERE (('0x' || substr(md5(event_id::VARCHAR || ':5'), 1, 15))::BIGINT % 1000000)
       < least(greatest(value / 100, 0.0), 1.0) * 1000000
 """
+
+
+def mixture_sample(
+    df: DataFrame, group_col: str, weights: dict, key_col: str, seed: int = 7
+) -> DataFrame:
+    """Domain-mixture resampling: downsample groups so the kept rows follow
+    the ``weights`` proportions as closely as integer counts allow, keeping
+    as many rows as feasible WITHOUT upsampling any group — the standard
+    "reweight web/books/code sources to a target mix" step of an LLM
+    training pipeline.
+
+    The feasible scale is ``min over groups of n_g / w_g``; each group keeps
+    ``floor(w_g * scale)`` rows (so the binding group keeps everything),
+    chosen by portable-hash rank within the group — deterministic across
+    reruns, partitionings, and engines, like every sampler in this module.
+    Groups absent from ``weights`` are dropped.
+
+    Scale: group counts are a combinable aggregate (group-cardinality-sized,
+    broadcast back); selection is one per-group rank window — same shape and
+    caveats as ``cap_per_group``.
+    """
+    from pyspark.sql import Window
+
+    total = sum(weights.values())
+    wmap = F.create_map(
+        *[x for kv in weights.items() for x in (F.lit(kv[0]), F.lit(kv[1] / total))]
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    scale = (
+        counts.withColumn("__w", wmap[F.col(group_col)])
+        .where(F.col("__w").isNotNull())
+        .agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    )
+    h = _keyed_hash(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__w", wmap[F.col(group_col)])
+        .where(F.col("__w").isNotNull())
+        .join(F.broadcast(scale), how="cross")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.floor(F.col("__w") * F.col("__scale")))
+        .drop("__n", "__w", "__scale", "__rk")
+    )
+
+
+# driver face: documents re-mixed to 60/30/10 over three source buckets
+# (srcN mapped by trailing number mod 3), keyed by doc_id. The bucket trick
+# exercises non-uniform group sizes at sf0.01 (rest of the sources dropped).
+_MIX_WEIGHTS = {"bucket0": 0.6, "bucket1": 0.3, "bucket2": 0.1}
+
+
+def mixture_sample_documents(documents: DataFrame) -> DataFrame:
+    """Driver-contract face: bucket sources by trailing digit mod 3, then
+    mixture-resample doc_ids to a 60/30/10 target."""
+    b = F.concat(
+        F.lit("bucket"),
+        (F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") % 3).cast("string"),
+    )
+    docs = documents.withColumn("bucket", b)
+    out = mixture_sample(docs, "bucket", _MIX_WEIGHTS, "doc_id")
+    return out.select("doc_id", "bucket").orderBy("doc_id")
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         'bucket' || (regexp_extract(source, '(\\d+)$', 1)::BIGINT % 3)::VARCHAR AS bucket
+  FROM documents
+),
+weighted AS (
+  SELECT doc_id, bucket,
+         CASE bucket WHEN 'bucket0' THEN 0.6::DOUBLE WHEN 'bucket1' THEN 0.3::DOUBLE
+                     WHEN 'bucket2' THEN 0.1::DOUBLE END AS w
+  FROM b
+),
+counts AS (SELECT bucket, count(*) AS n FROM weighted WHERE w IS NOT NULL GROUP BY bucket),
+scale AS (
+  SELECT min(n / (CASE bucket WHEN 'bucket0' THEN 0.6::DOUBLE WHEN 'bucket1' THEN 0.3::DOUBLE
+                              WHEN 'bucket2' THEN 0.1::DOUBLE END)) AS s
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, bucket, w,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM weighted WHERE w IS NOT NULL
+)
+SELECT doc_id, bucket FROM ranked, scale WHERE rk <= floor(w * s)
+ORDER BY doc_id
+"""

@@ -472,3 +472,45 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 5, k: int = 5, bits: int = 2
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos", "rk")
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """SemDeDup-style semantic deduplication keep-list: drop every vector
+    that has a cosine-similar neighbor (cos >= threshold) with a SMALLER
+    vec_id; keep the rest. Deterministic one-representative-per-
+    neighborhood selection without materializing clusters — the id order
+    acts as the priority, so of an exact-duplicate pair the lower id
+    always survives.
+
+    Built on :func:`cosine_neardup` (block-GEMM exact pairs — swap in
+    ``cosine_neardup_lsh`` candidates for >1e6-vector corpora); the
+    keep-list itself is one distinct + one broadcast anti-join, so the
+    embeddings table streams through unshuffled.
+
+    Output: (vec_id, label) rows that survive, ordered by vec_id.
+    """
+    pairs = cosine_neardup(embeddings, threshold=threshold)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        embeddings.join(F.broadcast(dropped), "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+              / (a.nrm * b.nrm), 6) >= 0.35
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+"""
