@@ -179,37 +179,47 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     """PII detection + redaction: emails, phone numbers, and IPv4 addresses
     replaced with typed placeholders; per-doc match counts for audit.
 
-    Counts are measured on the ORIGINAL text; replacement is applied
-    email -> phone -> ip (emails can contain digit runs, so they are
-    redacted before the phone/ip patterns can bite into them).
+    Replacement is applied email -> phone -> ip (emails can contain digit
+    runs, so they are redacted before the phone/ip patterns can bite into
+    them), and each count is measured on the SAME intermediate its
+    replacement pass sees — n_phones on the email-redacted text, n_ips on
+    the email+phone-redacted text — so the audit counts tie out exactly
+    with what redaction replaced (a digit run inside an email address is
+    never double-counted as a phone).
 
     Pure codegen projection: runs at scan speed at any corpus size.
     Output: (doc_id, n_emails, n_phones, n_ips, clean_text).
     """
     t = F.col("text")
-    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
-    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red2 = F.regexp_replace(red1, PHONE_RE, "<PHONE>")
+    red3 = F.regexp_replace(red2, IPV4_RE, "<IP>")
     return documents.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("bigint").alias("n_phones"),
-        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).cast("bigint").alias("n_ips"),
-        red.alias("clean_text"),
+        F.size(F.regexp_extract_all(red1, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(red2, F.lit(IPV4_RE), F.lit(0))).cast("bigint").alias("n_ips"),
+        red3.alias("clean_text"),
     )
 
 
 PII_REDACT_SQL = f"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-       regexp_replace(
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS red1,
          regexp_replace(
            regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-           '{PHONE_RE}', '<PHONE>', 'g'),
-         '{IPV4_RE}', '<IP>', 'g') AS clean_text
-FROM documents
+           '{PHONE_RE}', '<PHONE>', 'g') AS red2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(red1, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(red2, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(red2, '{IPV4_RE}', '<IP>', 'g') AS clean_text
+FROM staged
 """
 
 
@@ -217,7 +227,8 @@ FROM documents
 
 # encoded first-occurrence key: doc_id * _POS_LIMIT + pos. Mergeable min()
 # instead of a window over the line value (see module docstring). Documents
-# with >= 1e6 lines would alias; guarded in code.
+# with >= 1e6 lines would alias encoded keys, so the encoding raises on them
+# (raise_error below) rather than silently corrupting first-occurrence order.
 _POS_LIMIT = 1_000_000
 
 
@@ -235,9 +246,20 @@ def line_dedup(documents: DataFrame) -> DataFrame:
     combinable aggregate, so hot boilerplate lines partial-aggregate
     map-side instead of skewing one reducer.
     """
+    ekey = F.when(
+        F.col("pos") < _POS_LIMIT, F.col("doc_id") * _POS_LIMIT + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "line_dedup: doc_id %s has >= %s lines; encoded key would alias",
+                F.col("doc_id").cast("string"),
+                F.lit(str(_POS_LIMIT)),
+            )
+        )
+    )
     lines = documents.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
-    ).withColumn("ekey", F.col("doc_id") * _POS_LIMIT + F.col("pos"))
+    ).withColumn("ekey", ekey)
     winners = lines.groupBy("line").agg(F.min("ekey").alias("ekey"))
     kept = lines.join(winners, ["line", "ekey"])
     rebuilt = kept.groupBy("doc_id").agg(

@@ -178,10 +178,17 @@ def mixture_sample(
     """
     from pyspark.sql import Window
 
+    # Normalize only when the weights don't already sum to ~1: for e.g.
+    # 0.6/0.3/0.1 the float sum is 0.9999999999999999, and dividing by it
+    # would perturb each weight one ulp away from the literals an oracle SQL
+    # uses — floor(w * scale) could then disagree at exact-integer
+    # boundaries. Already-normalized weights pass through bit-identical.
     total = sum(weights.values())
-    wmap = F.create_map(
-        *[x for kv in weights.items() for x in (F.lit(kv[0]), F.lit(kv[1] / total))]
-    )
+    if abs(total - 1.0) <= 1e-9:
+        normed = dict(weights)
+    else:
+        normed = {k: v / total for k, v in weights.items()}
+    wmap = F.create_map(*[x for kv in normed.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     scale = (
         counts.withColumn("__w", wmap[F.col(group_col)])

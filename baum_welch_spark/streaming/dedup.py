@@ -25,7 +25,13 @@ def stream_events_dir(spark: SparkSession, directory: str) -> DataFrame:
     ``stream_events``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probed = spark.read.parquet(directory).schema["ts"].dataType
+    try:
+        probed = spark.read.parquet(directory).schema["ts"].dataType
+    except Exception:
+        # directory empty (or not yet created) at stream start — normal for
+        # file streams where files arrive later; assume the nanos-as-long
+        # encoding the testdata generator uses
+        probed = T.LongType()
     raw = spark.readStream.format("parquet").schema(_events_schema(probed)).load(directory)
     if isinstance(probed, T.LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
