@@ -475,19 +475,72 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def global_rank(
+    df: DataFrame, order_cols: list, rank_col: str = "rk", pct_col: str | None = None
+) -> DataFrame:
+    """Distributed global row-numbering over a UNIQUE sort key — the scalable
+    replacement for ``Window.orderBy(...)`` with no partition spec, which
+    moves the whole input to ONE partition (Spark's WindowExec warns exactly
+    this). Shape: range-repartition on the sort key, ``row_number`` within
+    each (now sorted, disjoint) range, then add per-partition offsets
+    computed from a partition-count-sized side aggregate that AQE broadcasts.
+    No stage ever sees more than one range of the data; the only global
+    object is the P-row offset table (P = shuffle partitions).
+
+    ``order_cols`` must be a unique key (append a tiebreaker column), so
+    ``rank() == row_number()`` and SQL semantics are preserved exactly;
+    ``pct_col`` adds ``percent_rank() = (rk - 1) / (N - 1)`` (0.0 when
+    N == 1, matching Spark/DuckDB).
+    """
+    parts = df.repartitionByRange(*order_cols).withColumn("__pid", F.spark_partition_id())
+    # Materialize the pid assignment ONCE: repartitionByRange samples range
+    # boundaries and AQE may give the two consumers below different shuffle
+    # readers, so an unpersisted __pid could disagree between them. Callers
+    # pass the already-aggregated frame to rank, so the cached copy is that
+    # reduced frame, not raw input.
+    parts = parts.persist()
+    sizes = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # single-partition window is fine here: `sizes` has one row per shuffle
+    # partition (a config constant), not per data row
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__n"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(w_local)).cast("bigint"))
+    )
+    if pct_col is not None:
+        out = out.withColumn(
+            pct_col,
+            F.when(F.col("__n") > 1, (F.col(rank_col) - 1) / (F.col("__n") - 1)).otherwise(0.0),
+        )
+    return out.drop("__pid", "__off", "__n")
+
+
 def user_spend_rank(events: DataFrame, top_percent: float = 0.1) -> DataFrame:
     """Rank users by total purchase value; keep the top decile by
-    percent_rank. Two window shapes (rank + percent_rank) over one
-    aggregation."""
+    percent_rank.
+
+    Scale: the ranking is user-count-sized, so a bare ``Window.orderBy``
+    would serialize every user through one partition — uses
+    :func:`global_rank` (range-partitioned two-phase rank) instead. The
+    (total_spend, user_id) key is unique, so the distributed row_number
+    equals ``rank()`` and ``percent_rank()`` exactly.
+    """
     spend = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 4).alias("total_spend"))
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("user_id"))
+    ranked = global_rank(
+        spend, [F.desc("total_spend"), F.asc("user_id")], rank_col="rk", pct_col="__pct"
+    )
     return (
-        spend.withColumn("rk", F.rank().over(w))
-        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        ranked.withColumn("pct_rank", F.round(F.col("__pct"), 6))
         .filter(F.col("pct_rank") <= top_percent)
         .select("user_id", "total_spend", "rk", "pct_rank")
         .orderBy("rk", "user_id")

@@ -431,3 +431,44 @@ def test_multimodal_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="truncated PPM header"):
         multimodal.decode_ppm(b"P6\n16 16")
+
+
+def test_global_rank_matches_window_rank(spark):
+    """global_rank (range-partition + offset two-phase rank) must reproduce
+    rank()/percent_rank() over an unpartitioned window exactly — the sort
+    key is unique, so row_number == rank and pct == (rk-1)/(N-1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.relational import global_rank
+
+    # values with heavy ties on `v` (tiebreaker `k` makes the key unique),
+    # spread over many input partitions
+    df = (
+        spark.range(0, 997, 1, 13)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v"))
+    )
+    got = (
+        global_rank(df, [F.desc("v"), F.asc("k")], rank_col="rk", pct_col="pct")
+        .orderBy("k")
+        .collect()
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = (
+        df.withColumn("rk", F.rank().over(w))
+        .withColumn("pct", F.percent_rank().over(w))
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rk"]) for r in got] == [(r["k"], r["rk"]) for r in want]
+    assert all(abs(g["pct"] - x["pct"]) < 1e-12 for g, x in zip(got, want))
+
+
+def test_global_rank_single_row_pct_zero(spark):
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.relational import global_rank
+
+    df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    row = global_rank(df, [F.desc("v"), F.asc("k")], rank_col="rk", pct_col="pct").first()
+    assert row["rk"] == 1 and row["pct"] == 0.0
