@@ -450,6 +450,12 @@ def _q_line_dedup(spark, sf):
     return line_dedup(*_tables(spark, sf, "documents"))
 
 
+def _q_bm25_topk(spark, sf):
+    from baum_welch_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HMM dataflow faces (SURVEY §2.1-2.4)
@@ -508,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "semantic_dedup": _q_semantic_dedup,
         # corpus-level training-data ops
+        "bm25_topk": _q_bm25_topk,
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
@@ -535,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         quality,
         rangejoin,
         relational,
+        retrieval,
         similarity,
         skew,
         text,
@@ -572,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "mixture_sample": _mixture_sql(),
         "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
+        "bm25_topk": retrieval.BM25_TOPK_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

@@ -91,6 +91,7 @@ HEADLINE = [
     "chunk_documents",
     "mixture_sample",
     "semantic_dedup",
+    "bm25_topk",
     "hmm_fit",
 ]
 

@@ -160,3 +160,58 @@ def test_clean_corpus_drops_dups_and_low_quality(spark):
 def test_clean_corpus_plan_joins_on_ids_only(spark, documents):
     report = plan_report(corpus.clean_corpus(documents))
     assert report["nested_loop_joins"] == 0
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """BM25 scores against a direct NumPy computation on a tiny corpus."""
+    import math
+
+    from baum_welch_spark.operators.retrieval import BM25_B, BM25_K1, bm25_topk
+
+    docs = [
+        (0, "spark join spark merge table"),
+        (1, "join merge join window"),
+        (2, "filter scan vector vector"),
+        (3, "spark spark spark spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["q_id"], r["doc_id"]): (r["score"], r["rk"])
+        for r in bm25_topk(df, queries=[(0, "spark join")], k=10).collect()
+    }
+
+    toks = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    exp = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in ["spark", "join"]:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (BM25_K1 + 1) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(t) / avgdl))
+        if s > 0:
+            exp[d] = round(s, 6)
+    assert set(out) == {(0, d) for d in exp}
+    for (q, d), (score, rk) in out.items():
+        assert abs(score - exp[d]) < 1e-6
+    # rank order follows rounded score desc
+    ranked = sorted(out.values(), key=lambda x: x[1])
+    assert all(a[0] >= b[0] for a, b in zip(ranked, ranked[1:]))
+
+
+def test_bm25_plan_filters_corpus_before_shuffle(spark, documents):
+    """The posting build must filter to query terms (pushed into the scan
+    side) so the corpus-wide (doc, term) shuffle only carries matches."""
+    from baum_welch_spark.operators.retrieval import bm25_topk
+    from baum_welch_spark.plans.audit import plan_report
+
+    rep = plan_report(bm25_topk(documents))
+    # the only nested-loop join allowed is the 1-row corpus-constants
+    # broadcast (N, avgdl) — a constant side, not a data-sized cartesian
+    assert rep["nested_loop_joins"] <= 1
+    assert rep["broadcast_joins"] >= 2  # query terms + df_t broadcast
+    assert rep["python_stages"] == 0  # pure Catalyst
