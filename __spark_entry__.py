@@ -456,6 +456,12 @@ def _q_bm25_topk(spark, sf):
     return bm25_topk(*_tables(spark, sf, "documents"))
 
 
+def _q_decontaminate_bloom(spark, sf):
+    from baum_welch_spark.operators.corpus import decontaminate_bloom
+
+    return decontaminate_bloom(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HMM dataflow faces (SURVEY §2.1-2.4)
@@ -515,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         # corpus-level training-data ops
         "bm25_topk": _q_bm25_topk,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
@@ -581,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sql(),
         "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
+        "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

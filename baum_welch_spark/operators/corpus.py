@@ -213,6 +213,145 @@ GROUP BY doc_id
 """
 
 
+#: bloom geometry for :func:`decontaminate_bloom` — 2048 x 32-bit words =
+#: 65536 bits; with k=3 probes this holds ~10k eval n-grams under 1% FPR
+BLOOM_WORDS = 2048
+BLOOM_HASHES = 3
+_BLOOM_M = BLOOM_WORDS * 32
+
+
+def decontaminate_bloom(
+    documents: DataFrame, eval_mod: int = 50, n: int = 5
+) -> DataFrame:
+    """Sketch-based decontamination: the same n-gram-overlap check as
+    :func:`decontaminate`, but the eval set is compressed into a Bloom
+    filter before the probe — the 100 TB-scale variant for when the eval
+    suite itself is too large to broadcast as strings (a billion held-out
+    n-grams fit in a fixed 8 KB-per-64k-bits bit table instead of tens of
+    GB of strings).
+
+    Construction is pure relational algebra, so it runs distributed AND has
+    a DuckDB-exact oracle: each eval gram sets k=3 bit positions via
+    double hashing (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m, h1/h2 =
+    the two 30-bit halves of the portable 60-bit MD5 hash); positions pack
+    into 32-bit lanes of a ``BLOOM_WORDS``-row (word, bits) table via a
+    ``bit_or`` aggregate. Probing joins each training gram's k probe words
+    against that table (broadcast — the table is fixed-size by
+    construction) and flags the gram when all k bits are set.
+
+    Output: (doc_id, n_flagged) for training docs with >= 1 flagged
+    distinct n-gram. Supersets :func:`decontaminate` (no false negatives);
+    ``n_flagged >= n_overlap`` with equality up to Bloom false positives.
+    """
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+        )
+    )
+    with_grams = (
+        documents.select("doc_id", _words().alias("ws"))
+        .where(F.size(ws) >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+
+    h = portable_hash60("g")
+    h1 = (h % (1 << 30)).alias("h1")
+    h2 = F.shiftright(h, 30).alias("h2")
+    probes = F.explode(
+        F.array(*[
+            F.struct(((F.col("h1") + i * F.col("h2")) % _BLOOM_M).alias("pos"))
+            for i in range(BLOOM_HASHES)
+        ])
+    )
+
+    eval_pos = (
+        with_grams.where(F.col("doc_id") % eval_mod == 0)
+        .select("g")
+        .distinct()
+        .select(h1, h2)
+        .select(probes.alias("p"))
+        .select(
+            (F.col("p.pos") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(p.pos % 32 as int))").alias("mask"),
+        )
+    )
+    bloom = eval_pos.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    train = with_grams.where(F.col("doc_id") % eval_mod != 0)
+    train_probes = (
+        train.select("doc_id", "g", h1, h2)
+        .select("doc_id", "g", probes.alias("p"))
+        .select(
+            "doc_id",
+            "g",
+            (F.col("p.pos") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(p.pos % 32 as int))").alias("mask"),
+        )
+    )
+    hits = (
+        train_probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"), F.lit(False)),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.bool_and("hit").alias("flagged"))
+    )
+    return (
+        hits.where("flagged")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 5
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3] || ' ' || ws[g+4] AS g
+  FROM words, unnest(generate_series(1, len(ws) - 4)) AS t(g)
+),
+hashed AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1073741824 AS h1,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT // 1073741824 AS h2
+  FROM grams
+),
+eval_pos AS (
+  SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
+  FROM (SELECT DISTINCT g, h1, h2 FROM hashed WHERE doc_id % 50 = 0) e,
+       unnest(generate_series(0, {BLOOM_HASHES - 1})) AS t(i)
+),
+bloom AS (
+  SELECT (pos // 32)::INTEGER AS word, bit_or(1::BIGINT << (pos % 32)::INTEGER) AS bits
+  FROM eval_pos GROUP BY pos // 32
+),
+train_probes AS (
+  SELECT doc_id, g,
+         ((h1 + i * h2) % {_BLOOM_M} // 32)::INTEGER AS word,
+         (1::BIGINT << ((h1 + i * h2) % {_BLOOM_M} % 32)::INTEGER) AS mask
+  FROM hashed, unnest(generate_series(0, {BLOOM_HASHES - 1})) AS t(i)
+  WHERE doc_id % 50 <> 0
+),
+hits AS (
+  SELECT p.doc_id, p.g,
+         bool_and(coalesce((b.bits & p.mask) = p.mask, FALSE)) AS flagged
+  FROM train_probes p LEFT JOIN bloom b ON p.word = b.word
+  GROUP BY p.doc_id, p.g
+)
+SELECT doc_id, count(*) AS n_flagged
+FROM hits WHERE flagged GROUP BY doc_id
+"""
+
+
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     """TF-IDF characteristic terms: the ``top_n`` highest-scoring tokens per
     document under smoothed tf-idf (sklearn-style

@@ -92,6 +92,7 @@ HEADLINE = [
     "mixture_sample",
     "semantic_dedup",
     "bm25_topk",
+    "decontaminate_bloom",
     "hmm_fit",
 ]
 

@@ -215,3 +215,16 @@ def test_bm25_plan_filters_corpus_before_shuffle(spark, documents):
     assert rep["nested_loop_joins"] <= 1
     assert rep["broadcast_joins"] >= 2  # query terms + df_t broadcast
     assert rep["python_stages"] == 0  # pure Catalyst
+
+
+def test_bloom_decontaminate_supersets_exact(spark, documents):
+    """Bloom filters have no false negatives: every doc the exact n-gram
+    check flags must be Bloom-flagged, with n_flagged >= n_overlap (false
+    positives can only add)."""
+    from baum_welch_spark.operators.corpus import decontaminate, decontaminate_bloom
+
+    exact = {r["doc_id"]: r["n_overlap"] for r in decontaminate(documents).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"] for r in decontaminate_bloom(documents).collect()}
+    for doc_id, n_overlap in exact.items():
+        assert doc_id in bloom, f"false negative: doc {doc_id}"
+        assert bloom[doc_id] >= n_overlap
