@@ -462,6 +462,12 @@ def _q_decontaminate_bloom(spark, sf):
     return decontaminate_bloom(*_tables(spark, sf, "documents"))
 
 
+def _q_zorder_events(spark, sf):
+    from baum_welch_spark.operators.layout import zorder_events
+
+    return zorder_events(*_tables(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HMM dataflow faces (SURVEY §2.1-2.4)
@@ -522,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level training-data ops
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "zorder_events": _q_zorder_events,
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
@@ -544,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         asof,
         corpus,
         dedup,
+        layout,
         markov,
         packing,
         quality,
@@ -589,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
+        "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

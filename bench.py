@@ -93,6 +93,7 @@ HEADLINE = [
     "semantic_dedup",
     "bm25_topk",
     "decontaminate_bloom",
+    "zorder_events",
     "hmm_fit",
 ]
 
