@@ -468,6 +468,18 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_emb_covariance(spark, sf):
+    from baum_welch_spark.operators.linalg import emb_covariance
+
+    return emb_covariance(*_tables(spark, sf, "embeddings"))
+
+
+def _q_emb_pca(spark, sf):
+    from baum_welch_spark.operators.linalg import emb_pca
+
+    return emb_pca(*_tables(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HMM dataflow faces (SURVEY §2.1-2.4)
@@ -529,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
+        "emb_covariance": _q_emb_covariance,
+        "emb_pca": _q_emb_pca,
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
@@ -552,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         corpus,
         dedup,
         layout,
+        linalg,
         markov,
         packing,
         quality,
@@ -598,6 +613,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
+        # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
+        "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

@@ -94,6 +94,8 @@ HEADLINE = [
     "bm25_topk",
     "decontaminate_bloom",
     "zorder_events",
+    "emb_covariance",
+    "emb_pca",
     "hmm_fit",
 ]
 

@@ -1,0 +1,65 @@
+"""Distributed covariance / PCA tests: NumPy ground-truth parity for the
+Gram reduction and the spectral properties (component variance ordering,
+orthogonal projections) for the PCA face."""
+
+import numpy as np
+import pytest
+
+from baum_welch_spark.operators.linalg import emb_covariance, emb_pca, pca_components
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF0001, "embeddings").cache()
+
+
+def _X(embeddings):
+    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def test_covariance_matches_numpy(spark, embeddings):
+    X = _X(embeddings)
+    C = np.cov(X, rowvar=False, bias=True)  # population covariance
+    got = {(r["i"], r["j"]): r["cov"] for r in emb_covariance(embeddings).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - C[i, j]) < 2e-6, (i, j, v, C[i, j])
+
+
+def test_covariance_partitioning_invariance(spark, embeddings):
+    base = {(r["i"], r["j"]): r["cov"] for r in emb_covariance(embeddings).collect()}
+    re = {
+        (r["i"], r["j"]): r["cov"]
+        for r in emb_covariance(embeddings.repartition(13)).collect()
+    }
+    assert base == re  # rounded output is partitioning-independent
+
+
+def test_pca_projections_have_eigen_variance_and_orthogonality(spark, embeddings):
+    X = _X(embeddings)
+    C = np.cov(X, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1]
+
+    rows = emb_pca(embeddings, k=2).orderBy("vec_id").collect()
+    P = np.array([[r["pc0"], r["pc1"]] for r in rows])
+    v0, v1 = P[:, 0].var(), P[:, 1].var()
+    # projection variances are the top eigenvalues, in order
+    assert abs(v0 - vals[0]) < 1e-3 * max(1.0, vals[0])
+    assert abs(v1 - vals[1]) < 1e-3 * max(1.0, vals[1])
+    assert v0 >= v1
+    # projections onto distinct eigenvectors are uncorrelated
+    corr = np.corrcoef(P[:, 0], P[:, 1])[0, 1]
+    assert abs(corr) < 1e-2
+
+
+def test_pca_components_are_unit_and_sign_fixed(spark, embeddings):
+    mean, comps = pca_components(embeddings, k=2)
+    for c in comps:
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+        assert c[np.argmax(np.abs(np.round(c, 9)))] > 0
+    assert mean.shape == comps[0].shape
