@@ -481,68 +481,43 @@ def _q_emb_pca(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
+    # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
+    # order). The first 50 here are curated: core HMM parity faces, ops not
+    # yet driver-verified, ops whose implementation changed this round, then
+    # one representative per operator family. Entries past 50 are all green
+    # in a prior round's CORRECTNESS file and unchanged since; rotate them
+    # back in whenever their code changes.
     return {
-        # HMM dataflow faces (SURVEY §2.1-2.4)
+        # HMM dataflow faces (SURVEY §2.1-2.4) — core parity, always first
         "seq_build": _q_seq_build,
         "stripe_agg": _q_transition_counts,
         "normalize": _q_transition_model,
         "convergence_distance": _q_model_half_distance,
         "seq_decode_names": _q_seq_decode_names,
         "hmm_fit": _q_hmm_fit,
-        # relational surface (SURVEY §2.7)
-        "q1_pricing_summary": _q_q1,
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        "q6_forecast_revenue": _q_q6,
-        "event_pivot": _q_event_pivot,
-        "events_rollup": _q_events_rollup,
-        "asof_purchase_view": _q_asof,
-        "viewers_no_purchase": _q_viewers_no_purchase,
-        "value_quantiles": _q_value_quantiles,
-        "top_event_per_user": _q_top_event,
-        "sessionize": _q_sessionize,
-        "q4_late_orders": _q_q4,
-        "daily_revenue_ma7": _q_daily_revenue_ma7,
-        "user_type_stats": _q_user_type_stats,
-        "approx_distinct_users": _q_approx_distinct_users,
-        "purchase_view_context": _q_purchase_view_context,
-        "salted_value_stats": _q_salted_value_stats,
-        "customers_without_orders": _q_customers_without_orders,
-        "repeat_buyer_days": _q_repeat_buyer_days,
-        "props_k_stats": _q_props_k_stats,
-        "user_spend_rank": _q_user_spend_rank,
-        "events_cube": _q_events_cube,
-        "value_approx_quantiles": _q_value_approx_quantiles,
         "viterbi_decode": _q_viterbi_decode,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "dedup_clusters": _q_dedup_clusters,
-        "stratified_sample": _q_stratified_sample,
         "seq_scores": _q_seq_scores,
-        # dedup suite
-        "dedup_exact": _q_dedup_exact,
-        "fingerprint_clusters": _q_fingerprint_clusters,
-        "neardup_jaccard": _q_neardup_jaccard,
-        "minhash_lsh": _q_minhash,
-        "simhash": _q_simhash,
-        # text analysis
-        "token_stats": _q_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "doc_quality": _q_doc_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,
-        "pii_redact": _q_pii_redact,
-        "line_dedup": _q_line_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_documents,
-        "mixture_sample": _q_mixture_sample,
-        "semantic_dedup": _q_semantic_dedup,
-        # corpus-level training-data ops
+        # new this round / never driver-verified
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
+        "semantic_dedup": _q_semantic_dedup,
+        # changed this round (global_rank / staged PII counts / pos guard /
+        # weight-normalization parity)
+        "user_spend_rank": _q_user_spend_rank,
+        "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
+        "mixture_sample": _q_mixture_sample,
+        # similarity suite (driver-verified only in r01)
+        "emb_norms": _q_emb_norms,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        # corpus suite (driver-verified only in r02)
         "vocab_topk": _q_vocab_topk,
         "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
@@ -551,12 +526,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "cap_per_source": _q_cap_per_source,
         "weighted_sample": _q_weighted_sample,
-        # similarity search
-        "emb_norms": _q_emb_norms,
-        "knn_brute": _q_knn_brute,
-        "knn_ivf": _q_knn_ivf,
-        "cosine_neardup": _q_cosine_neardup,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        # family representatives (green in r03, kept under driver watch)
+        "q1_pricing_summary": _q_q1,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "q6_forecast_revenue": _q_q6,
+        "event_pivot": _q_event_pivot,
+        "events_cube": _q_events_cube,
+        "sessionize": _q_sessionize,
+        "asof_purchase_view": _q_asof,
+        "purchase_view_context": _q_purchase_view_context,
+        "top_event_per_user": _q_top_event,
+        "props_k_stats": _q_props_k_stats,
+        "salted_value_stats": _q_salted_value_stats,
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint_clusters": _q_fingerprint_clusters,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "minhash_lsh": _q_minhash,
+        "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "pack_sequences": _q_pack_sequences,
+        # ---- driver's 50-entry window ends here; everything below is green
+        # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "events_rollup": _q_events_rollup,
+        "viewers_no_purchase": _q_viewers_no_purchase,
+        "value_quantiles": _q_value_quantiles,
+        "q4_late_orders": _q_q4,
+        "daily_revenue_ma7": _q_daily_revenue_ma7,
+        "user_type_stats": _q_user_type_stats,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "customers_without_orders": _q_customers_without_orders,
+        "repeat_buyer_days": _q_repeat_buyer_days,
+        "value_approx_quantiles": _q_value_approx_quantiles,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "stratified_sample": _q_stratified_sample,
+        "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "chunk_documents": _q_chunk_documents,
     }
 
 

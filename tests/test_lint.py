@@ -19,6 +19,9 @@ PKG = Path(__file__).resolve().parents[1] / "baum_welch_spark"
 # serialized HMM rows, expected-count stripes.
 ALLOWED = {
     "operators/clustering.py": {"collect": 3, "toPandas": 0},
+    # PCA: d(d+1)/2 covariance rows + d column means — model-sized, like the
+    # HMM stripe collect; no embedding row ever reaches the driver
+    "operators/linalg.py": {"collect": 2, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
