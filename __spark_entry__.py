@@ -480,6 +480,12 @@ def _q_emb_pca(spark, sf):
     return emb_pca(*_tables(spark, sf, "embeddings"))
 
 
+def _q_quality_classifier(spark, sf):
+    from baum_welch_spark.operators.classifier import quality_classifier_scores
+
+    return quality_classifier_scores(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -567,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
         "chunk_documents": _q_chunk_documents,
+        # rows-only by nature (iterative GD training loop)
+        "quality_classifier": _q_quality_classifier,
     }
 
 

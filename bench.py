@@ -96,6 +96,7 @@ HEADLINE = [
     "zorder_events",
     "emb_covariance",
     "emb_pca",
+    "quality_classifier",
     "hmm_fit",
 ]
 

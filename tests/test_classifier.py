@@ -1,0 +1,72 @@
+"""Distributed logistic-regression tests: the GD mechanism must learn a
+planted separable signal, lower its loss, and be partitioning-stable; the
+corpus face must be deterministic across reruns."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.operators.classifier import (
+    FEATURES,
+    doc_features,
+    fit_logreg,
+    quality_classifier_scores,
+)
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF0001, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # long wordy docs labeled 1, short dense docs labeled 0 — separable on
+    # log_words / mean_word_len
+    rows = []
+    for i in range(200):
+        if i % 2:
+            rows.append((i, "the quick brown fox " * 30, "en"))
+        else:
+            rows.append((i, "zz9 " * 4, "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").withColumn(
+        "label", (F.col("doc_id") % 2 == 1)
+    )
+
+
+def test_logreg_learns_planted_signal(spark, planted):
+    feats = doc_features(planted, label=F.col("label"))
+    train = feats.where(F.col("doc_id") % 5 != 0)
+    holdout = feats.where(F.col("doc_id") % 5 == 0)
+    w, trace = fit_logreg(train)
+    assert trace[-1] < trace[0]  # loss went down
+    rows = holdout.collect()
+    X = np.array([[r[c] for c in FEATURES] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ w[:-1] + w[-1])))
+    acc = ((p >= 0.5) == (y == 1.0)).mean()
+    assert acc >= 0.95, acc
+    assert w[0] > 0  # more words -> planted label 1
+
+
+def test_scores_partitioning_invariant_at_tolerance(spark, documents):
+    a = {r["doc_id"]: r["prob"] for r in quality_classifier_scores(documents).collect()}
+    b = {
+        r["doc_id"]: r["prob"]
+        for r in quality_classifier_scores(documents.repartition(7)).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) <= 1e-3, (k, a[k], b[k])
+
+
+def test_scores_schema_and_determinism(spark, documents):
+    out1 = quality_classifier_scores(documents).collect()
+    out2 = quality_classifier_scores(documents).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert out1 and set(out1[0].asDict()) == {"doc_id", "y", "prob", "pred"}
+    for r in out1[:50]:
+        assert 0.0 <= r["prob"] <= 1.0 and r["pred"] in (0, 1)

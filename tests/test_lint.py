@@ -22,6 +22,9 @@ ALLOWED = {
     # PCA: d(d+1)/2 covariance rows + d column means — model-sized, like the
     # HMM stripe collect; no embedding row ever reaches the driver
     "operators/linalg.py": {"collect": 2, "toPandas": 0},
+    # logreg: 1-row feature moments + (d+2)-row gradient partials per GD
+    # iteration — model-sized driver loop, same shape as hmm/fit.py
+    "operators/classifier.py": {"collect": 2, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
