@@ -97,6 +97,7 @@ HEADLINE = [
     "emb_covariance",
     "emb_pca",
     "quality_classifier",
+    "bpe_merges",
     "hmm_fit",
 ]
 

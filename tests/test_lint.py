@@ -25,6 +25,8 @@ ALLOWED = {
     # logreg: 1-row feature moments + (d+2)-row gradient partials per GD
     # iteration — model-sized driver loop, same shape as hmm/fit.py
     "operators/classifier.py": {"collect": 2, "toPandas": 0},
+    # BPE trainer: 1-row argmax pair per merge iteration
+    "operators/bpe.py": {"collect": 1, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
