@@ -153,8 +153,12 @@ def neardup_jaccard(
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # no forced broadcast: `sizes` is one row PER CORPUS DOCUMENT, so a
+    # forced broadcast is a driver/executor OOM at real corpus sizes —
+    # AQE broadcasts it while small and degrades to a shuffle join when not
+    # (the same policy as the MinHash verify joins)
     return (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

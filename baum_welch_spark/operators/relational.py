@@ -63,15 +63,17 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k by revenue.
 
-    Scale: the filtered customer side broadcasts (Catalyst auto-broadcast;
-    explicit hint keeps it at any statistics quality); lineitem joins orders
-    on the shuffle key both sides already share. Deterministic top-10 via
+    Scale: the filtered customer side is NOT force-broadcast — customer is
+    corpus-proportional (unlike nation/region), so the hint that helps at
+    small SF is an OOM at 100 TB. Catalyst/AQE auto-broadcasts it below the
+    threshold and shuffles on c_custkey above it; lineitem joins orders on
+    the key both sides share. Deterministic top-10 via
     (revenue desc, o_orderkey asc).
     """
     c = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(
@@ -103,8 +105,10 @@ def q5_region_revenue(
 ) -> DataFrame:
     """TPC-H Q5 shape: 5-way join, dims broadcast, revenue per nation.
 
-    Scale: region/nation/customer are tiny -> broadcast chain; the only
-    shuffle is lineitem|><|orders plus the final small aggregation.
+    Scale: region/nation are constant-size -> forced broadcast; the
+    customer-derived dims side is corpus-proportional, so it is AQE-decided
+    (broadcast while it fits, shuffle join on c_custkey when it doesn't).
+    The remaining shuffle is lineitem|><|orders plus the final aggregation.
     """
     dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -113,7 +117,7 @@ def q5_region_revenue(
         .select("c_custkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        orders.join(dims, orders.o_custkey == F.col("c_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))

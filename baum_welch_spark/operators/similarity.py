@@ -484,15 +484,17 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
 
     Built on :func:`cosine_neardup` (block-GEMM exact pairs — swap in
     ``cosine_neardup_lsh`` candidates for >1e6-vector corpora); the
-    keep-list itself is one distinct + one broadcast anti-join, so the
-    embeddings table streams through unshuffled.
+    keep-list is one distinct + one anti-join. The dropped-id set is
+    data-dependent (duplicate-rate-sized), so it is NOT force-broadcast —
+    AQE broadcasts it while small and degrades to a shuffle anti-join when
+    a high-duplication corpus makes it large.
 
     Output: (vec_id, label) rows that survive, ordered by vec_id.
     """
     pairs = cosine_neardup(embeddings, threshold=threshold)
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return (
-        embeddings.join(F.broadcast(dropped), "vec_id", "left_anti")
+        embeddings.join(dropped, "vec_id", "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
