@@ -175,6 +175,88 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    from baum_welch_spark.operators.retrieval import bm25_topk
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-search")
+    docs = load_table(spark, args.input, "documents")
+    out = bm25_topk(docs, queries=[(0, args.query)], k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.k)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_bpe(args) -> int:
+    from baum_welch_spark.operators.bpe import bpe_encode, bpe_merges, bpe_train
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-bpe")
+    docs = load_table(spark, args.input, "documents")
+    if args.encode:
+        out = bpe_encode(docs, bpe_train(docs, n_merges=args.merges))
+    else:
+        out = bpe_merges(docs, n_merges=args.merges)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.merges)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_classify(args) -> int:
+    from baum_welch_spark.operators.classifier import quality_classifier_scores
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-classify")
+    docs = load_table(spark, args.input, "documents")
+    out = quality_classifier_scores(docs, threshold=args.threshold)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_pca(args) -> int:
+    from baum_welch_spark.operators.linalg import emb_pca
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-pca")
+    emb = load_table(spark, args.input, "embeddings")
+    out = emb_pca(emb, k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    from baum_welch_spark.operators.layout import write_zordered
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-zorder")
+    events = load_table(spark, args.input, "events")
+    write_zordered(
+        events, args.output, args.x, args.y, ["event_id"], n_files=args.n_files
+    )
+    print(f"z-ordered layout written to {args.output}")
+    if _own:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baum_welch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -236,6 +318,40 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--top-k", type=int, default=100)
     co.add_argument("-o", "--output")
     co.set_defaults(fn=cmd_corpus)
+
+    se = sub.add_parser("search", help="BM25 top-k lexical search over documents")
+    se.add_argument("-i", "--input", required=True)
+    se.add_argument("-q", "--query", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("-o", "--output")
+    se.set_defaults(fn=cmd_search)
+
+    bp = sub.add_parser("bpe", help="train BPE merges (optionally encode the corpus)")
+    bp.add_argument("-i", "--input", required=True)
+    bp.add_argument("--merges", type=int, default=30)
+    bp.add_argument("--encode", action="store_true")
+    bp.add_argument("-o", "--output")
+    bp.set_defaults(fn=cmd_bpe)
+
+    cl = sub.add_parser("classify", help="train + score the quality classifier")
+    cl.add_argument("-i", "--input", required=True)
+    cl.add_argument("--threshold", type=float, default=0.5)
+    cl.add_argument("-o", "--output")
+    cl.set_defaults(fn=cmd_classify)
+
+    pc = sub.add_parser("pca", help="project embeddings onto top-k principal components")
+    pc.add_argument("-i", "--input", required=True)
+    pc.add_argument("-k", type=int, default=2)
+    pc.add_argument("-o", "--output")
+    pc.set_defaults(fn=cmd_pca)
+
+    zo = sub.add_parser("zorder", help="write a Z-order clustered copy of events")
+    zo.add_argument("-i", "--input", required=True)
+    zo.add_argument("-o", "--output", required=True)
+    zo.add_argument("--x", default="user_id")
+    zo.add_argument("--y", default="value")
+    zo.add_argument("--n-files", type=int, default=64)
+    zo.set_defaults(fn=cmd_zorder)
 
     args = p.parse_args(argv)
     return args.fn(args)

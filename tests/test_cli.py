@@ -73,3 +73,22 @@ def test_cli_corpus_reports(spark, tmp_path):
     lm = spark.read.parquet(out2)
     assert set(lm.columns) == {"doc_id", "n_bigrams", "cross_entropy", "perplexity"}
     assert lm.count() > 0
+
+
+def test_cli_search_bpe_zorder(spark, tmp_path):
+    out = str(tmp_path / "hits")
+    assert main(["search", "-i", SF0001, "-q", "spark join", "-k", "5", "-o", out]) == 0
+    hits = spark.read.parquet(out)
+    assert hits.count() == 5
+    assert set(hits.columns) == {"q_id", "doc_id", "score", "rk"}
+
+    out2 = str(tmp_path / "merges")
+    assert main(["bpe", "-i", SF0001, "--merges", "5", "-o", out2]) == 0
+    merges = spark.read.parquet(out2)
+    assert merges.count() == 5
+    assert set(merges.columns) == {"rank", "left", "right", "merged", "pair_freq"}
+
+    out3 = str(tmp_path / "zo")
+    assert main(["zorder", "-i", SF0001, "-o", out3, "--n-files", "4"]) == 0
+    zo = spark.read.parquet(out3)
+    assert zo.count() == spark.read.parquet(f"{SF0001}/events.parquet").count()
