@@ -83,6 +83,25 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes") -> DataF
     )
 
 
+def windowed_distinct_users(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window approximate distinct users per event type — the
+    streaming cardinality dashboard (unique visitors per hour).
+
+    Uses the HLL++ sketch (``approx_count_distinct``): mergeable, so
+    partial aggregation happens map-side and per-key state is one fixed-size
+    sketch, not a user set — state stays bounded however many distinct users
+    a window sees. The merge is order-insensitive, so the streaming result
+    equals the identical batch aggregation exactly (tested), unlike
+    sum-of-floats aggregates.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_users_approx")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming query over the (finite) file source to completion
     synchronously; results land in the in-memory table ``name``.

@@ -150,3 +150,31 @@ def test_stream_decontaminate_matches_batch(spark):
     expect = {(r.doc_id, r.n_overlap) for r in decontaminate(docs).collect()}
     assert got == expect
     assert len(got) > 0  # sf0.001 has planted cross-doc n-gram overlap
+
+
+def test_stream_windowed_distinct_users_match_batch(spark):
+    from baum_welch_spark.streaming.sessionize import windowed_distinct_users
+
+    stream = windowed_distinct_users(stream_events(spark, SF0001), window="1 hour")
+    run_to_memory(stream, "win_distinct")
+    got = {
+        (r.w_start, r.event_type): r.n_users_approx
+        for r in spark.sql("SELECT * FROM win_distinct").collect()
+    }
+    batch = (
+        load_table(spark, SF0001, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+    )
+    expect = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    # HLL merge is order-insensitive -> streaming == batch exactly
+    assert got == expect and len(got) > 0
+    # sketch accuracy: within 5% of true distinct counts
+    true = (
+        load_table(spark, SF0001, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    for r in true.collect():
+        approx = got[(r["w"]["start"], r["event_type"])]
+        assert abs(approx - r["n"]) <= max(2, 0.05 * r["n"])
