@@ -492,6 +492,12 @@ def _q_bpe_merges(spark, sf):
     return bpe_merges(*_tables(spark, sf, "documents"), n_merges=20)
 
 
+def _q_vocab_topk_cms(spark, sf):
+    from baum_welch_spark.operators.sketches import vocab_topk_cms
+
+    return vocab_topk_cms(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -517,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
         "semantic_dedup": _q_semantic_dedup,
+        "vocab_topk_cms": _q_vocab_topk_cms,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -598,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         rangejoin,
         relational,
         retrieval,
+        sketches,
         similarity,
         skew,
         text,
@@ -638,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": retrieval.BM25_TOPK_SQL,
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
+        "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,

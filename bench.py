@@ -98,6 +98,7 @@ HEADLINE = [
     "emb_pca",
     "quality_classifier",
     "bpe_merges",
+    "vocab_topk_cms",
     "hmm_fit",
 ]
 

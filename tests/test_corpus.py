@@ -228,3 +228,31 @@ def test_bloom_decontaminate_supersets_exact(spark, documents):
     for doc_id, n_overlap in exact.items():
         assert doc_id in bloom, f"false negative: doc {doc_id}"
         assert bloom[doc_id] >= n_overlap
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark, documents):
+    """CMS point estimates are overestimates by construction; with 4x4096
+    buckets vs a tiny synthetic vocab the top-k estimates should be exact
+    or nearly so."""
+    from baum_welch_spark.operators.sketches import vocab_topk_cms
+
+    rows = vocab_topk_cms(documents, k=50).collect()
+    assert rows
+    for r in rows:
+        assert r["tf_est"] >= r["tf"], (r["token"], r["tf"], r["tf_est"])
+        # collision slack: total tokens / width per probe row, 4 rows -> min
+        assert r["tf_est"] - r["tf"] <= max(5, 0.02 * r["tf"]) * 4
+
+
+def test_cms_shuffle_is_geometry_bounded(spark, documents):
+    """The sketch build must aggregate on the fixed (row, bucket) key space —
+    at most DEPTH x WIDTH result rows no matter the vocabulary."""
+    from baum_welch_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build
+    from pyspark.sql import functions as F
+
+    toks = documents.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    cms = cms_build(toks)
+    assert cms.count() <= CMS_DEPTH * CMS_WIDTH
+    total = cms.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    n_toks = toks.count()
+    assert all(r["s"] == n_toks for r in total)  # each probe row sees every token
