@@ -498,6 +498,12 @@ def _q_vocab_topk_cms(spark, sf):
     return vocab_topk_cms(*_tables(spark, sf, "documents"))
 
 
+def _q_hmm_fit_grouped(spark, sf):
+    from baum_welch_spark.hmm.grouped import fit_per_event_class
+
+    return fit_per_event_class(*_tables(spark, sf, "events"), max_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -589,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by nature (iterative training loops)
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
+        "hmm_fit_grouped": _q_hmm_fit_grouped,
     }
 
 

@@ -1,0 +1,96 @@
+"""Grouped HMM training: one independent model per key — the "train a
+model per domain / user segment / language" extension of the single-model
+reference dataflow (reference trains exactly one HMM; SURVEY §2.4 D2).
+
+Spark shape: ``applyInPandas`` over ``groupBy(group_col)`` — each group's
+sequences land in one task, which runs the NumPy sequential EM
+(``kernel.sequential_baum_welch``, the same kernel the distributed fit is
+verified against to 1e-8). This is the right tool when models are many and
+each group's data fits a task (the common per-domain case); the distributed
+``fit`` remains the tool for one model over an unbounded corpus.
+
+Scale posture: one shuffle keyed by group; skewed groups are the caveat —
+cap per-group sequence counts upstream (``sampling.cap_per_group``) if one
+group dominates. Model rows come back as data (a DataFrame of per-group
+tidy model rows), never through the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from baum_welch_spark.hmm.model import HMM
+
+#: output schema: tidy model rows per group — kind in {'pi','A','B'}
+GROUPED_MODEL_SCHEMA = (
+    "group string, kind string, i int, j int, weight double, loglik double, n_seqs long"
+)
+
+
+def fit_grouped(
+    sequences_with_group: DataFrame,
+    n_hidden: int,
+    n_observed: int,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Train one HMM per ``group`` over (group, seq_id, obs) rows.
+
+    Every group starts from the same ``HMM.random(n_hidden, n_observed,
+    seed)`` init, so results are deterministic and comparable across groups.
+    Output: tidy model rows (group, kind, i, j, weight) plus each group's
+    final total log-likelihood and sequence count on every row.
+    """
+    init = HMM.random(n_hidden, n_observed, seed=seed)
+    pi0, A0, B0 = init.pi.copy(), init.A.copy(), init.B.copy()
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        from baum_welch_spark.hmm.kernel import sequential_baum_welch
+
+        group = str(pdf["group"].iloc[0])
+        # fixed accumulation order: rows reach the task in partition-
+        # dependent order, and float count-summation order would otherwise
+        # leak ulp differences into the trained model
+        pdf = pdf.sort_values("seq_id")
+        seqs = [np.asarray(o, dtype=np.int64) for o in pdf["obs"]]
+        model, trace = sequential_baum_welch(
+            HMM(pi=pi0.copy(), A=A0.copy(), B=B0.copy()), seqs, max_iter=max_iter
+        )
+        rows = []
+        for i in range(n_hidden):
+            rows.append(("pi", i, -1, model.pi[i]))
+        for i in range(n_hidden):
+            for j in range(n_hidden):
+                rows.append(("A", i, j, model.A[i, j]))
+        for i in range(n_hidden):
+            for j in range(n_observed):
+                rows.append(("B", i, j, model.B[i, j]))
+        out = pd.DataFrame(rows, columns=["kind", "i", "j", "weight"])
+        out.insert(0, "group", group)
+        out["loglik"] = trace[-1] if trace else float("nan")
+        out["n_seqs"] = len(seqs)
+        return out
+
+    return (
+        sequences_with_group.select("group", "seq_id", "obs")
+        .groupBy("group")
+        .applyInPandas(train, schema=GROUPED_MODEL_SCHEMA)
+    )
+
+
+def fit_per_event_class(events: DataFrame, n_hidden: int = 3, max_iter: int = 5) -> DataFrame:
+    """Driver-style face: segment users by ``user_id % 3`` (a deterministic
+    stand-in for a domain column) and train one HMM per segment over each
+    user's event-type sequence."""
+    from baum_welch_spark.operators.sequences import build_sequences, symbol_dictionary
+
+    n_observed = symbol_dictionary(events, "event_type").count()
+    seqs = build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 3).cast("string"))
+    )
+    return fit_grouped(seqs, n_hidden, n_observed, max_iter=max_iter).orderBy(
+        "group", "kind", "i", "j"
+    )

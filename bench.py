@@ -99,6 +99,7 @@ HEADLINE = [
     "quality_classifier",
     "bpe_merges",
     "vocab_topk_cms",
+    "hmm_fit_grouped",
     "hmm_fit",
 ]
 
