@@ -71,12 +71,16 @@ def bpe_train(documents: DataFrame, n_merges: int = 30) -> list[tuple[str, str, 
     merge order. Ties break on (freq desc, left asc, right asc) so the
     sequence is deterministic across engines and partitionings."""
     chars = F.expr("split(word, '')")
+    # localCheckpoint (not persist): each iteration's merge rewrite nests
+    # another array-fold lambda into the lineage, and 20+ nested folds make
+    # the logical plan string itself blow the JVM heap when AQE renders it.
+    # Checkpointing truncates the lineage to the materialized partitions, so
+    # every iteration starts from a flat plan.
     vocab = (
         word_vocab(documents)
         .select(F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "freq")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    vocab.count()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = vocab.select(
@@ -100,8 +104,9 @@ def bpe_train(documents: DataFrame, n_merges: int = 30) -> list[tuple[str, str, 
             break
         l, r, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
         merges.append((l, r, f))
-        new_vocab = vocab.select(_merge_adjacent(F.col("syms"), l, r).alias("syms"), "freq").persist()
-        new_vocab.count()
+        new_vocab = vocab.select(
+            _merge_adjacent(F.col("syms"), l, r).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()

@@ -26,6 +26,9 @@ from baum_welch_spark.session import get_spark
 
 # queries whose callable already executes internally (collect-based loop)
 SELF_EXECUTING = {"hmm_fit"}
+# iterative trainers: a repeat doubles a multi-job training loop for little
+# signal — time them once (same policy as hmm_fit)
+SINGLE_RUN = SELF_EXECUTING | {"bpe_merges", "quality_classifier", "hmm_fit_grouped"}
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -119,8 +122,8 @@ def main() -> None:
     missing = sorted(set(qs) - set(HEADLINE))
     if missing:
         print(f"bench: auto-appending unlisted queries: {missing}", file=sys.stderr)
-        tail = [n for n in HEADLINE if n in SELF_EXECUTING]
-        head = [n for n in HEADLINE if n not in SELF_EXECUTING]
+        tail = [n for n in HEADLINE if n in SINGLE_RUN]
+        head = [n for n in HEADLINE if n not in SINGLE_RUN]
         HEADLINE[:] = head + missing + tail
 
     # warm the JVM + parquet footers so per-query numbers measure the plans
@@ -138,9 +141,7 @@ def main() -> None:
         for name in HEADLINE:
             if name not in qs:  # tolerate a renamed/removed query too
                 continue
-            # hmm_fit is a full 3-iteration EM loop (~half the bench budget);
-            # a repeat would double total wall for little signal — single run.
-            n_runs = 1 if name in SELF_EXECUTING else runs
+            n_runs = 1 if name in SINGLE_RUN else runs
             best = float("inf")
             for _ in range(n_runs):
                 t0 = time.time()
@@ -162,7 +163,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "runs_per_query": runs,
-            "timing": "min_of_runs (hmm_fit: single run)",
+            "timing": "min_of_runs (iterative trainers: single run)",
         }
         if error is not None:
             out["error"] = error
