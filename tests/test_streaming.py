@@ -178,3 +178,57 @@ def test_stream_windowed_distinct_users_match_batch(spark):
     for r in true.collect():
         approx = got[(r["w"]["start"], r["event_type"])]
         assert abs(approx - r["n"]) <= max(2, 0.05 * r["n"])
+
+
+def test_stream_windowed_cms_matches_batch_and_estimates(spark):
+    from baum_welch_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH, _probe_cols
+    from baum_welch_spark.streaming.heavyhitters import windowed_cms
+
+    stream = windowed_cms(stream_events(spark, SF0001), key="event_type")
+    run_to_memory(stream, "win_cms")
+    got = {
+        (r.w_start, r.row, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM win_cms").collect()
+    }
+    events = load_table(spark, SF0001, "events")
+    batch = (
+        events.select("ts", *_probe_cols("event_type"))
+        .select(
+            "ts",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row"), F.col(f"b{i}").alias("bucket"))
+                    for i in range(CMS_DEPTH)
+                ])
+            ).alias("p"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "p.row", "p.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    expect = {(r["w"]["start"], r["row"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert got == expect and len(got) > 0
+    # per-window state is geometry-bounded
+    from collections import Counter
+
+    per_window = Counter(w for (w, _, _) in got)
+    assert max(per_window.values()) <= CMS_DEPTH * CMS_WIDTH
+    # CMS point estimates from the materialized sketch never undercount
+    w0 = min(w for (w, _, _) in got)
+    true_counts = {
+        r["event_type"]: r["n"]
+        for r in events.where(F.window("ts", "1 hour")["start"] == w0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sketch = {(r, b): c for (w, r, b), c in got.items() if w == w0}
+    import hashlib
+
+    def probe(token, i):
+        h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+        h1, h2 = h % (1 << 30), h >> 30
+        return (h1 + i * h2) % CMS_WIDTH
+
+    for tok, n in true_counts.items():
+        est = min(sketch.get((i, probe(tok, i)), 0) for i in range(CMS_DEPTH))
+        assert est >= n
