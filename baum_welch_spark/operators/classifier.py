@@ -76,6 +76,8 @@ def fit_logreg(
         *[F.stddev_pop(c).alias(f"s_{c}") for c in FEATURES],
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("fit_logreg: empty training set")
     mu = np.array([stats[f"m_{c}"] for c in FEATURES])
     sd = np.array([max(stats[f"s_{c}"], 1e-12) for c in FEATURES])
     n = float(stats["n"])
@@ -138,8 +140,11 @@ def quality_classifier_scores(
     Output: (doc_id, y, prob, pred) ordered by doc_id; prob rounded to 4 dp.
     """
     feats = doc_features(documents)
-    w = None
     train = feats.where(F.col("doc_id") % train_mod != 0)
+    if train.isEmpty():  # empty corpus -> empty scores, not a driver crash
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, y bigint, prob double, pred bigint"
+        )
     w, _ = fit_logreg(train)
     z = F.lit(float(w[len(FEATURES)]))
     for i, c in enumerate(FEATURES):

@@ -126,6 +126,8 @@ def pca_components(embeddings: DataFrame, k: int = 2) -> tuple[np.ndarray, np.nd
     Returns (mean vector, components matrix k x d).
     """
     rows = emb_covariance(embeddings).collect()
+    if not rows:
+        raise ValueError("pca_components: empty embeddings table")
     d = max(r["j"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:
@@ -160,6 +162,10 @@ def emb_pca(embeddings: DataFrame, k: int = 2) -> DataFrame:
     """
     from baum_welch_spark.functions.columns import as_double_array, dot
 
+    if embeddings.isEmpty():  # empty corpus -> empty projection
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, " + ", ".join(f"pc{ki} double" for ki in range(k))
+        )
     mean, comps = pca_components(embeddings, k)
     emb = as_double_array(F.col("embedding"))
     centered = F.zip_with(

@@ -70,3 +70,10 @@ def test_scores_schema_and_determinism(spark, documents):
     assert out1 and set(out1[0].asDict()) == {"doc_id", "y", "prob", "pred"}
     for r in out1[:50]:
         assert 0.0 <= r["prob"] <= 1.0 and r["pred"] in (0, 1)
+
+
+def test_empty_corpus_degrades_gracefully(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    out = quality_classifier_scores(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "y", "prob", "pred"}

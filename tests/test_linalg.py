@@ -63,3 +63,10 @@ def test_pca_components_are_unit_and_sign_fixed(spark, embeddings):
         assert abs(np.linalg.norm(c) - 1.0) < 1e-9
         assert c[np.argmax(np.abs(np.round(c, 9)))] > 0
     assert mean.shape == comps[0].shape
+
+
+def test_empty_embeddings_degrade_gracefully(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert emb_covariance(empty).count() == 0
+    out = emb_pca(empty, k=2)
+    assert out.count() == 0 and set(out.columns) == {"vec_id", "pc0", "pc1"}
