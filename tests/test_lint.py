@@ -65,3 +65,21 @@ def test_no_datasized_driver_collects():
         "(update tests/test_lint.py ONLY if the new site is O(model) rows):\n"
         + "\n".join(violations)
     )
+
+
+def test_driver_window_stays_oracle_dense():
+    """The driver's correctness harness samples the FIRST 50 queries()
+    entries; keep that window packed with DuckDB-exact checks (only the
+    flagship fit and the eigh-based PCA are allowed rows-only there) and
+    every oracle key valid."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import __spark_entry__ as em
+
+    qs = list(em.queries())
+    osql = em.oracle_sql()
+    assert len(qs) == len(set(qs))
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    rows_only_in_window = [q for q in qs[:50] if q not in osql]
+    assert set(rows_only_in_window) <= {"hmm_fit", "emb_pca"}, rows_only_in_window
