@@ -37,6 +37,9 @@ def get_spark(
         # long and convert in sources.io.load_table (micros truncation, matching
         # DuckDB's nanos->micros behavior)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # push MIN/MAX/COUNT down to parquet footer stats (zorder's range
+        # pass, count-only probes) — scan-free when the footer answers
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
