@@ -1,0 +1,102 @@
+"""Property-based robustness tests: text operators vs straight-line Python
+references on hypothesis-generated corpora (odd whitespace, repeated lines,
+unicode) — the edge cases the synthetic driver corpus never produces.
+
+Pattern: collect generated cases into one corpus, run ONE Spark job, check
+row-by-row against the Python reference (same as the portable-hash test)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abwxyz01 .\n", min_size=0, max_size=60)
+
+
+def _gen_texts(n=25):
+    cases = ["", " ", "\n", "a\na\na", "x y\nx y", "dup\ndup\nuniq"]
+
+    @settings(max_examples=n, deadline=None)
+    @given(_WORD)
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    return cases
+
+
+def test_line_dedup_matches_python_reference(spark):
+    from baum_welch_spark.operators.quality import line_dedup
+
+    texts = _gen_texts()
+    docs = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    # reference: first occurrence of each line across (doc_id, pos) order
+    seen: dict[str, tuple] = {}
+    for doc_id, t in docs:
+        for pos, line in enumerate(t.split("\n")):
+            if line not in seen:
+                seen[line] = (doc_id, pos)
+    for doc_id, t in docs:
+        lines = t.split("\n")
+        kept = [l for p, l in enumerate(lines) if seen[l] == (doc_id, p)]
+        assert out[doc_id] == (len(lines), len(kept), "\n".join(kept)), (doc_id, t)
+
+
+def test_pii_redact_matches_python_reference(spark):
+    from baum_welch_spark.operators.quality import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_redact,
+    )
+
+    base = _gen_texts(10)
+    planted = [
+        "mail me at bob.smith+x@example.com or 555.123.4567",
+        "server 10.0.0.1 and 192.168.255.255 up",
+        "555-123-4567@example.com embeds digits",
+        "ip 1.2.3.4. trailing dot",
+    ]
+    texts = base + planted
+    docs = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"], r["clean_text"])
+        for r in pii_redact(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for doc_id, t in docs:
+        red1 = re.sub(EMAIL_RE, "<EMAIL>", t)
+        red2 = re.sub(PHONE_RE, "<PHONE>", red1)
+        red3 = re.sub(IPV4_RE, "<IP>", red2)
+        expect = (
+            len(re.findall(EMAIL_RE, t)),
+            len(re.findall(PHONE_RE, red1)),
+            len(re.findall(IPV4_RE, red2)),
+            red3,
+        )
+        assert out[doc_id] == expect, (doc_id, t, out[doc_id], expect)
+
+
+def test_token_stats_matches_python_reference(spark):
+    from baum_welch_spark.operators.text import token_stats
+
+    texts = _gen_texts()
+    docs = [(i, t) for i, t in enumerate(texts)]
+    rows = {
+        r["doc_id"]: r
+        for r in token_stats(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for doc_id, t in docs:
+        toks = t.lower().split(" ")
+        r = rows[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(set(toks))
