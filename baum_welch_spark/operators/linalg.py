@@ -171,10 +171,11 @@ def emb_pca(embeddings: DataFrame, k: int = 2) -> DataFrame:
     centered = F.zip_with(
         emb, F.array(*[F.lit(float(m)) for m in mean]), lambda x, m: x - m
     )
+    # eigh yields at most d components; k > d clamps to d output columns
     cols = [
         F.round(
             dot(centered, F.array(*[F.lit(float(c)) for c in comps[ki]])), 6
         ).alias(f"pc{ki}")
-        for ki in range(k)
+        for ki in range(len(comps))
     ]
     return embeddings.select("vec_id", *cols).orderBy("vec_id")

@@ -479,6 +479,10 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+#: the single live global_rank cache (see note inside global_rank)
+_last_rank_cache: DataFrame | None = None
+
+
 def global_rank(
     df: DataFrame, order_cols: list, rank_col: str = "rk", pct_col: str | None = None
 ) -> DataFrame:
@@ -501,8 +505,14 @@ def global_rank(
     # boundaries and AQE may give the two consumers below different shuffle
     # readers, so an unpersisted __pid could disagree between them. Callers
     # pass the already-aggregated frame to rank, so the cached copy is that
-    # reduced frame, not raw input.
+    # reduced frame, not raw input. The cache is bounded to ONE live frame:
+    # each call evicts the previous call's cache (consume a global_rank
+    # result before issuing the next call).
     parts = parts.persist()
+    global _last_rank_cache
+    if _last_rank_cache is not None:
+        _last_rank_cache.unpersist(blocking=False)
+    _last_rank_cache = parts
     sizes = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     # single-partition window is fine here: `sizes` has one row per shuffle

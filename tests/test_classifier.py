@@ -77,3 +77,14 @@ def test_empty_corpus_degrades_gracefully(spark):
     out = quality_classifier_scores(empty)
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "y", "prob", "pred"}
+
+
+def test_empty_text_doc_does_not_poison_features(spark):
+    # ANSI mode: a zero-length text must not DIVIDE_BY_ZERO the whole job
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "some words here", "en"), (3, "", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in doc_features(docs).collect()}
+    assert rows[1]["digit_ratio"] == 0.0 and rows[3]["digit_ratio"] == 0.0
+    assert all(rows[d]["mean_word_len"] is not None for d in rows)

@@ -70,3 +70,11 @@ def test_empty_embeddings_degrade_gracefully(spark):
     assert emb_covariance(empty).count() == 0
     out = emb_pca(empty, k=2)
     assert out.count() == 0 and set(out.columns) == {"vec_id", "pc0", "pc1"}
+
+
+def test_pca_k_larger_than_dim_clamps(spark):
+    rows = [(i, [float(i % 3), float(i % 5)], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = emb_pca(df, k=10)
+    assert set(out.columns) == {"vec_id", "pc0", "pc1"}  # d=2 caps the output
+    assert out.count() == 20
