@@ -232,3 +232,47 @@ def test_stream_windowed_cms_matches_batch_and_estimates(spark):
     for tok, n in true_counts.items():
         est = min(sketch.get((i, probe(tok, i)), 0) for i in range(CMS_DEPTH))
         assert est >= n
+
+
+def test_spend_alert_stream_matches_batch_first_crossing(spark):
+    from pyspark.sql import Window
+
+    from baum_welch_spark.streaming.alerts import spend_alert_stream
+
+    threshold = 500.0
+    stream = spend_alert_stream(stream_events(spark, SF0001), threshold=threshold)
+    run_to_memory(stream, "alerts", output_mode="append")
+    got = {
+        r.user_id: (r.event_id, r.total_after)
+        for r in spark.sql("SELECT * FROM alerts").collect()
+    }
+    events = load_table(spark, SF0001, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        events.where(F.col("event_type") == "purchase")
+        .withColumn("cum", F.sum("value").over(w))
+        .where(F.col("cum") >= threshold)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("cum", 4).alias("total_after"))
+    )
+    expect = {r.user_id: (r.event_id, r.total_after) for r in batch.collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_spend_alert_tws_variant_skips_or_matches(spark):
+    """The transformWithStateInPandas variant runs only where protobuf
+    exists; otherwise verify it raises the documented ImportError."""
+    from baum_welch_spark.streaming.alerts import (
+        spend_alert_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(ImportError):
+            spend_alert_stream_tws(stream_events(spark, SF0001))
+        return
+    stream = spend_alert_stream_tws(stream_events(spark, SF0001), threshold=500.0)
+    run_to_memory(stream, "alerts_tws", output_mode="append")
+    assert spark.sql("SELECT count(*) AS n FROM alerts_tws").collect()[0].n > 0
