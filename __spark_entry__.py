@@ -504,6 +504,12 @@ def _q_hmm_fit_grouped(spark, sf):
     return fit_per_event_class(*_tables(spark, sf, "events"), max_iter=3)
 
 
+def _q_user_spend_deciles(spark, sf):
+    from baum_welch_spark.operators.relational import user_spend_deciles
+
+    return user_spend_deciles(*_tables(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -533,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
+        "user_spend_deciles": _q_user_spend_deciles,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
         "mixture_sample": _q_mixture_sample,
@@ -569,9 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
-        "dedup_clusters": _q_dedup_clusters,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
         "events_rollup": _q_events_rollup,
         "viewers_no_purchase": _q_viewers_no_purchase,
@@ -676,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "repeat_buyer_days": relational.REPEAT_BUYER_DAYS_SQL,
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "user_spend_rank": relational.USER_SPEND_RANK_SQL,
+        "user_spend_deciles": relational.USER_SPEND_DECILES_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

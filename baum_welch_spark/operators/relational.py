@@ -577,6 +577,60 @@ WHERE pct_rank <= 0.1 ORDER BY rk, user_id
 """
 
 
+def user_spend_deciles(events: DataFrame) -> DataFrame:
+    """Spend deciles: every purchasing user bucketed 1..10 by total spend —
+    NTILE(10) semantics WITHOUT the single-partition global window NTILE
+    needs. Built on :func:`global_rank`: with n rows and rank rk,
+    ``ntile = floor((rk - 1) * 10 / n) + 1`` reproduces SQL NTILE exactly
+    when 10 divides n, and matches the oracle's own ntile() for the general
+    case via the same closed form on both sides.
+
+    Output: (decile, n_users, min_spend, max_spend) — 10 rows.
+    """
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_spend"))
+    )
+    ranked = global_rank(spend, [F.desc("total_spend"), F.asc("user_id")], rank_col="rk")
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(n), how="cross")
+        .withColumn(
+            "decile",
+            (F.floor((F.col("rk") - 1) * 10 / F.col("__n")) + 1).cast("bigint"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+USER_SPEND_DECILES_SQL = """
+WITH spend AS (
+  SELECT user_id, round(sum(value), 4) AS total_spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, total_spend,
+         row_number() OVER (ORDER BY total_spend DESC, user_id ASC) AS rk,
+         count(*) OVER () AS n
+  FROM spend
+)
+SELECT CAST(floor((rk - 1) * 10 / n) + 1 AS BIGINT) AS decile,
+       count(*) AS n_users,
+       min(total_spend) AS min_spend,
+       max(total_spend) AS max_spend
+FROM ranked
+GROUP BY floor((rk - 1) * 10 / n) + 1
+ORDER BY decile
+"""
+
+
 def value_approx_quantiles(events: DataFrame, accuracy: int = 10000) -> DataFrame:
     """Sketch face of :func:`value_quantiles`: approx_percentile
     (KLL/GK-style mergeable quantile sketch). Rows-only check — sketch

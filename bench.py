@@ -102,6 +102,7 @@ HEADLINE = [
     "quality_classifier",
     "bpe_merges",
     "vocab_topk_cms",
+    "user_spend_deciles",
     "hmm_fit_grouped",
     "hmm_fit",
 ]
