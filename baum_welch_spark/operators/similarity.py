@@ -269,8 +269,13 @@ keyed AS (
          {keys}
   FROM v, {sign_tables}
 ),
-bucketed AS (
+bucketed_all AS (
   {unpivot}
+),
+-- mirror of the Spark side's hot-bucket cap (LSH_MAX_BUCKET)
+bucketed AS (
+  SELECT * FROM bucketed_all
+  QUALIFY count(*) OVER (PARTITION BY tbl, key) <= {LSH_MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -288,8 +293,19 @@ WHERE round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
 """
 
 
+#: drop LSH buckets with more members than this before pair generation: a
+#: degenerate bucket (all-zero vectors, collapsed embeddings) otherwise
+#: produces k^2/2 candidate pairs from one join key. Same policy as
+#: neardup_jaccard's max_doc_freq; recall cost only on buckets this hot.
+LSH_MAX_BUCKET = 10_000
+
+
 def cosine_neardup_lsh(
-    embeddings: DataFrame, threshold: float = 0.35, bits: int = 4, tables: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bits: int = 4,
+    tables: int = 8,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH: ``tables``
     independent sign-bucket keys of ``bits`` bits each; a pair is a candidate
@@ -360,6 +376,15 @@ def cosine_neardup_lsh(
     )
     bucketed = v.select("vec_id", F.explode(keys).alias("tk")).select(
         "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key")
+    )
+    # hot-bucket cap: one combinable count, then drop over-full buckets
+    # BEFORE the self-join — bounds the per-key pair blowup at k^2/2 with
+    # k <= max_bucket (degenerate embeddings collapse buckets otherwise)
+    sizes = bucketed.groupBy("tbl", "key").agg(F.count(F.lit(1)).alias("__bn"))
+    bucketed = (
+        bucketed.join(sizes, ["tbl", "key"])
+        .where(F.col("__bn") <= max_bucket)
+        .drop("__bn")
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -472,3 +472,22 @@ def test_global_rank_single_row_pct_zero(spark):
     df = spark.createDataFrame([(1, 5.0)], "k long, v double")
     row = global_rank(df, [F.desc("v"), F.asc("k")], rank_col="rk", pct_col="pct").first()
     assert row["rk"] == 1 and row["pct"] == 0.0
+
+
+def test_cosine_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """Degenerate embeddings (identical vectors) collapse into one bucket
+    per table; with max_bucket below the group size the operator must emit
+    no candidate pairs from the hot bucket instead of k^2/2 of them."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.similarity import cosine_neardup_lsh
+
+    rows = [(i, [1.0] * 8 if i < 50 else [float(i % 7 - 3), 1.0] + [0.0] * 6, 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    capped = cosine_neardup_lsh(df, threshold=0.9, max_bucket=10)
+    # the 50 identical vectors exceed every per-bucket cap of 10 -> dropped
+    pairs = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert not any(a < 50 and b < 50 for a, b in pairs)
+    # uncapped finds the identical-vector clique
+    full = cosine_neardup_lsh(df, threshold=0.9)
+    assert full.where((F.col("vec_a") < 50) & (F.col("vec_b") < 50)).count() == 50 * 49 // 2
