@@ -510,6 +510,12 @@ def _q_user_spend_deciles(spark, sf):
     return user_spend_deciles(*_tables(spark, sf, "events"))
 
 
+def _q_corpus_report(spark, sf):
+    from baum_welch_spark.operators.corpus import corpus_report
+
+    return corpus_report(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -536,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": _q_emb_pca,
         "semantic_dedup": _q_semantic_dedup,
         "vocab_topk_cms": _q_vocab_topk_cms,
+        "corpus_report": _q_corpus_report,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -575,9 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": _q_fingerprint_clusters,
         "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
-        "simhash": _q_simhash,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
         "events_rollup": _q_events_rollup,
@@ -684,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "user_spend_rank": relational.USER_SPEND_RANK_SQL,
         "user_spend_deciles": relational.USER_SPEND_DECILES_SQL,
+        "corpus_report": corpus.CORPUS_REPORT_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from baum_welch_spark.operators.quality import EMAIL_RE
+
 
 def _words(col: str = "text"):
     # the package's canonical lowercased whitespace tokenizer
@@ -349,6 +351,73 @@ hits AS (
 )
 SELECT doc_id, count(*) AS n_flagged
 FROM hits WHERE flagged GROUP BY doc_id
+"""
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """One-row corpus datasheet — the summary a training-data pipeline
+    publishes with every corpus snapshot: document/token volumes, language
+    spread, exact-duplicate rate, and PII incidence.
+
+    Everything is a combinable aggregate over one scan plus a
+    fingerprint-cardinality count: two shuffles total, no joins, output is
+    a single row at any corpus size.
+
+    Output: (n_docs, total_tokens, avg_tokens, n_langs, top_lang,
+    n_dup_docs, n_docs_with_email).
+    """
+    toks = F.size(_words())
+    base = documents.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_toks"),
+        F.md5("text").alias("fp"),
+        (F.length(F.regexp_extract("text", EMAIL_RE, 0)) > 0).alias("has_email"),
+    )
+    lang_counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    top_lang = lang_counts.select(
+        F.max_by("lang", F.struct(F.col("n"), F.col("lang"))).alias("top_lang"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.col("has_email").cast("bigint")).alias("n_docs_with_email"),
+    )
+    return stats.join(F.broadcast(top_lang), how="cross").select(
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "n_langs",
+        "top_lang",
+        "n_dup_docs",
+        "n_docs_with_email",
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n_toks,
+         md5(text) AS fp,
+         len(regexp_extract(text, '{EMAIL_RE}')) > 0 AS has_email
+  FROM documents
+),
+lc AS (SELECT lang, count(*) AS n FROM base GROUP BY lang),
+tl AS (
+  SELECT lang AS top_lang, CAST((SELECT count(*) FROM lc) AS BIGINT) AS n_langs
+  FROM lc ORDER BY n DESC, lang DESC LIMIT 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(avg(n_toks), 4) AS avg_tokens,
+       tl.n_langs, tl.top_lang,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email
+FROM base, tl
+GROUP BY tl.n_langs, tl.top_lang
 """
 
 

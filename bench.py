@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_merges",
     "vocab_topk_cms",
     "user_spend_deciles",
+    "corpus_report",
     "hmm_fit_grouped",
     "hmm_fit",
 ]
