@@ -516,6 +516,12 @@ def _q_corpus_report(spark, sf):
     return corpus_report(*_tables(spark, sf, "documents"))
 
 
+def _q_ohlc_bars(spark, sf):
+    from baum_welch_spark.operators.relational import ohlc_bars
+
+    return ohlc_bars(*_tables(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -543,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "vocab_topk_cms": _q_vocab_topk_cms,
         "corpus_report": _q_corpus_report,
+        "ohlc_bars": _q_ohlc_bars,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -581,9 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "neardup_jaccard": _q_neardup_jaccard,
-        "minhash_lsh": _q_minhash,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "pack_sequences": _q_pack_sequences,
@@ -692,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "user_spend_rank": relational.USER_SPEND_RANK_SQL,
         "user_spend_deciles": relational.USER_SPEND_DECILES_SQL,
         "corpus_report": corpus.CORPUS_REPORT_SQL,
+        "ohlc_bars": relational.OHLC_BARS_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

@@ -772,3 +772,51 @@ SELECT s.event_type,
 FROM spine s LEFT JOIN hourly h
   ON h.event_type = s.event_type AND h.bucket = s.bucket
 """
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars of ``value`` per event type —
+    the time-series candlestick rollup (TimescaleDB ``candlestick_agg``
+    shape). Open/close pick the value at the earliest/latest (ts, event_id)
+    in the bucket — the composite key makes the pick deterministic under
+    timestamp ties.
+
+    Scale: one combinable shuffle — min_by/max_by over a struct key are
+    ordinary mergeable aggregates, so partial aggregation collapses each
+    partition to one row per (type, hour) before the exchange; no window,
+    no second pass.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(F.col("event_type"), hour.alias("bucket"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+OHLC_BARS_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       count(*) AS n_events
+FROM ranked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""

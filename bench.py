@@ -104,6 +104,7 @@ HEADLINE = [
     "vocab_topk_cms",
     "user_spend_deciles",
     "corpus_report",
+    "ohlc_bars",
     "hmm_fit_grouped",
     "hmm_fit",
 ]
