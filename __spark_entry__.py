@@ -522,6 +522,12 @@ def _q_ohlc_bars(spark, sf):
     return ohlc_bars(*_tables(spark, sf, "events"))
 
 
+def _q_trigram_lm_score(spark, sf):
+    from baum_welch_spark.operators.corpus import trigram_lm_score
+
+    return trigram_lm_score(*_tables(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_cms": _q_vocab_topk_cms,
         "corpus_report": _q_corpus_report,
         "ohlc_bars": _q_ohlc_bars,
+        "trigram_lm_score": _q_trigram_lm_score,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -587,9 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_stats": _q_salted_value_stats,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
-        "neardup_jaccard": _q_neardup_jaccard,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -700,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "user_spend_deciles": relational.USER_SPEND_DECILES_SQL,
         "corpus_report": corpus.CORPUS_REPORT_SQL,
         "ohlc_bars": relational.OHLC_BARS_SQL,
+        "trigram_lm_score": corpus.TRIGRAM_LM_SCORE_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

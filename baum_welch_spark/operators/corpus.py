@@ -537,3 +537,135 @@ WHERE d.doc_id NOT IN (SELECT node FROM drop_docs)
   AND d.doc_id IN (SELECT doc_id FROM lm_ok)
 """
     )
+
+
+#: Stupid Backoff discount (Brants et al. 2007, "Large Language Models in
+#: Machine Translation" — the backoff scheme designed for distributed LMs:
+#: no normalization pass, every count table stays a plain aggregate)
+SB_ALPHA = 0.4
+
+
+def trigram_lm_score(documents: DataFrame, train_mod: int = 5) -> DataFrame:
+    """Held-out trigram LM scoring with Stupid Backoff: train count tables
+    on the ``doc_id % train_mod != 0`` slice, score EVERY document by its
+    mean log10 backoff score — the distributed-LM quality signal (unlike
+    the self-trained bigram LM, held-out docs genuinely exercise the
+    backoff chain).
+
+    S(w3|w1 w2) = c3/c2            when the trigram was seen in training
+                = a * c2e/c1       else, when (w2, w3) was seen
+                = a^2 * (c1' + 1)/(N + V)   else (Laplace-floored unigram)
+
+    Plan shape (the Brants et al. point): every count table is a combinable
+    aggregate over distinct n-grams — no normalization, no global pass; the
+    scoring side pre-aggregates per (doc, trigram) so all five count joins
+    move distinct-trigram rows, never token instances.
+
+    Output: (doc_id, n_trigrams, avg_log_s, backoff_frac) for docs with
+    >= 1 trigram; backoff_frac = fraction of trigram instances that fell
+    back below the trigram level.
+    """
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - 3)
+    doc_tg = (
+        documents.select("doc_id", _words().alias("ws"))
+        .where(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(ws, i + 1).alias("w1"),
+                        F.element_at(ws, i + 2).alias("w2"),
+                        F.element_at(ws, i + 3).alias("w3"),
+                    ),
+                )
+            ).alias("tg"),
+        )
+        .select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    train = doc_tg.where(F.col("doc_id") % train_mod != 0)
+    c3 = train.groupBy("w1", "w2", "w3").agg(F.sum("cnt").alias("c3"))
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    c2e = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("c2e"))
+    # unigram counts from the same trigram stream (center position), plus
+    # totals for the Laplace floor
+    c1 = c3.groupBy("w2").agg(F.sum("c3").alias("c1"))
+    c1w3 = c1.select(F.col("w2").alias("w3"), F.col("c1").alias("c1w3"))
+    totals = c1.agg(
+        F.sum("c1").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+
+    scored = (
+        doc_tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(c2e, ["w2", "w3"], "left")
+        .join(c1, ["w2"], "left")
+        .join(c1w3, ["w3"], "left")
+        .join(F.broadcast(totals), how="cross")
+    )
+    s1 = (F.coalesce(F.col("c1w3"), F.lit(0)) + 1) / (F.col("n_total") + F.col("v_size"))
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2"))
+        .when(F.col("c2e").isNotNull(), SB_ALPHA * (F.col("c2e") / F.col("c1")))
+        .otherwise(SB_ALPHA * SB_ALPHA * s1)
+    )
+    fell_back = F.when(F.col("c3").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_trigrams"),
+            (F.sum(F.col("cnt") * F.log10(s)) / F.sum("cnt")).alias("als"),
+            (F.sum(fell_back) / F.sum("cnt")).alias("bf"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.round(F.col("als"), 6).alias("avg_log_s"),
+            F.round(F.col("bf"), 6).alias("backoff_frac"),
+        )
+    )
+
+
+TRIGRAM_LM_SCORE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+),
+doc_tg AS (
+  SELECT doc_id, ws[g] AS w1, ws[g+1] AS w2, ws[g+2] AS w3, count(*) AS cnt
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+  GROUP BY doc_id, ws[g], ws[g+1], ws[g+2]
+),
+train AS (SELECT * FROM doc_tg WHERE doc_id % 5 <> 0),
+c3 AS (SELECT w1, w2, w3, sum(cnt) AS c3 FROM train GROUP BY w1, w2, w3),
+c2ctx AS (SELECT w1, w2, sum(c3) AS c2 FROM c3 GROUP BY w1, w2),
+c2e AS (SELECT w2, w3, sum(c3) AS c2e FROM c3 GROUP BY w2, w3),
+c1 AS (SELECT w2, sum(c3) AS c1 FROM c3 GROUP BY w2),
+totals AS (SELECT sum(c1) AS n_total, count(*) AS v_size FROM c1),
+scored AS (
+  SELECT d.doc_id, d.cnt,
+         CASE
+           WHEN t3.c3 IS NOT NULL THEN t3.c3 * 1.0 / t2.c2
+           WHEN te.c2e IS NOT NULL THEN {SB_ALPHA} * (te.c2e * 1.0 / t1.c1)
+           ELSE {SB_ALPHA} * {SB_ALPHA} *
+                ((coalesce(u3.c1, 0) + 1) * 1.0 / (tt.n_total + tt.v_size))
+         END AS s,
+         CASE WHEN t3.c3 IS NULL THEN d.cnt ELSE 0 END AS fell_back
+  FROM doc_tg d
+  LEFT JOIN c3 t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
+  LEFT JOIN c2ctx t2 ON d.w1 = t2.w1 AND d.w2 = t2.w2
+  LEFT JOIN c2e te ON d.w2 = te.w2 AND d.w3 = te.w3
+  LEFT JOIN c1 t1 ON d.w2 = t1.w2
+  LEFT JOIN c1 u3 ON d.w3 = u3.w2
+  CROSS JOIN totals tt
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+       round(sum(cnt * log10(s)) / sum(cnt), 6) AS avg_log_s,
+       round(sum(fell_back) * 1.0 / sum(cnt), 6) AS backoff_frac
+FROM scored GROUP BY doc_id
+"""

@@ -105,6 +105,7 @@ HEADLINE = [
     "user_spend_deciles",
     "corpus_report",
     "ohlc_bars",
+    "trigram_lm_score",
     "hmm_fit_grouped",
     "hmm_fit",
 ]

@@ -256,3 +256,32 @@ def test_cms_shuffle_is_geometry_bounded(spark, documents):
     total = cms.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     n_toks = toks.count()
     assert all(r["s"] == n_toks for r in total)  # each probe row sees every token
+
+
+def test_trigram_stupid_backoff_hand_computation(spark):
+    """Each backoff level verified on a tiny corpus: seen trigram (no
+    backoff), seen (w2,w3) bigram (one level), Laplace-floored unigram."""
+    from baum_welch_spark.operators.corpus import SB_ALPHA, trigram_lm_score
+
+    docs = [
+        (1, "a b c a b c"),   # train: c3 = {abc:2, bca:1, cab:1}
+        (2, "b c d"),         # train: c3 += {bcd:1}
+        (5, "a b c"),         # held out: seen trigram
+        (10, "x b c"),        # held out: backoff to (b, c)
+        (15, "q q q"),        # held out: unigram floor (q unseen)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in trigram_lm_score(df).collect()}
+
+    import math
+
+    # c2(ab)=2 -> S(abc)=2/2=1.0
+    assert rows[5]["avg_log_s"] == 0.0 and rows[5]["backoff_frac"] == 0.0
+    # c2e(b,c)=2, c1(b)=2 -> S = a * 2/2 = a
+    assert rows[10]["avg_log_s"] == round(math.log10(SB_ALPHA), 6)
+    assert rows[10]["backoff_frac"] == 1.0
+    # N=5 center tokens, V=3 -> S = a^2 * (0+1)/(5+3)
+    assert rows[15]["avg_log_s"] == round(math.log10(SB_ALPHA**2 / 8), 6)
+    assert rows[15]["backoff_frac"] == 1.0
+    # train docs score too (self-seen trigrams, no backoff)
+    assert rows[1]["backoff_frac"] == 0.0
