@@ -528,6 +528,12 @@ def _q_trigram_lm_score(spark, sf):
     return trigram_lm_score(*_tables(spark, sf, "documents"))
 
 
+def _q_cohort_retention(spark, sf):
+    from baum_welch_spark.operators.relational import cohort_retention
+
+    return cohort_retention(*_tables(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -557,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "ohlc_bars": _q_ohlc_bars,
         "trigram_lm_score": _q_trigram_lm_score,
+        "cohort_retention": _q_cohort_retention,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -593,9 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
         "dedup_exact": _q_dedup_exact,
-        "fingerprint_clusters": _q_fingerprint_clusters,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "fingerprint_clusters": _q_fingerprint_clusters,
         "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
@@ -708,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": corpus.CORPUS_REPORT_SQL,
         "ohlc_bars": relational.OHLC_BARS_SQL,
         "trigram_lm_score": corpus.TRIGRAM_LM_SCORE_SQL,
+        "cohort_retention": relational.COHORT_RETENTION_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

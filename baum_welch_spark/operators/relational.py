@@ -820,3 +820,49 @@ FROM ranked
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket
 """
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, counted
+    in each later week they return — the standard growth-analytics matrix
+    (cohort x week-offset -> retained users).
+
+    Scale: first-week assignment is a combinable min() per user; activity
+    weeks are a distinct projection pre-aggregated per (user, week) before
+    the join back on user_id (AQE chooses the strategy); the final count is
+    one combinable shuffle on (cohort, offset). Nothing is windowed and no
+    stage is user-cardinality-bound on a single partition.
+
+    Output: (cohort_week, week_offset, n_users), offsets >= 0, ordered.
+    """
+    week = F.date_trunc("week", F.col("ts"))
+    activity = events.select("user_id", week.alias("wk")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_week"))
+                / (7 * 24 * 3600)
+            ).cast("bigint"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM activity GROUP BY user_id)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('second', f.cohort_week, a.wk) / (7 * 24 * 3600)) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -106,6 +106,7 @@ HEADLINE = [
     "corpus_report",
     "ohlc_bars",
     "trigram_lm_score",
+    "cohort_retention",
     "hmm_fit_grouped",
     "hmm_fit",
 ]

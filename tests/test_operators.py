@@ -491,3 +491,34 @@ def test_cosine_lsh_hot_bucket_cap_bounds_pairs(spark):
     # uncapped finds the identical-vector clique
     full = cosine_neardup_lsh(df, threshold=0.9)
     assert full.where((F.col("vec_a") < 50) & (F.col("vec_b") < 50)).count() == 50 * 49 // 2
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-checkable cohort matrix: offsets measured from each user's
+    first-activity week; offset-0 count equals cohort size."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.relational import cohort_retention
+
+    rows = [
+        # user 1: weeks 0 and 1 ; user 2: week 0 only ; user 3: weeks 1 and 3
+        (1, "2024-01-01 10:00:00", 1), (2, "2024-01-10 10:00:00", 1),
+        (3, "2024-01-02 10:00:00", 2),
+        (4, "2024-01-08 10:00:00", 3), (5, "2024-01-22 10:00:00", 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (str(r["cohort_week"])[:10], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    # cohort of 2024-01-01 (Mon): users 1,2 at offset 0; user 1 back at offset 1
+    # cohort of 2024-01-08 (Mon): user 3 at offset 0, back at offset 2
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }
