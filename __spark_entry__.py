@@ -534,6 +534,12 @@ def _q_cohort_retention(spark, sf):
     return cohort_retention(*_tables(spark, sf, "events"))
 
 
+def _q_rolling_user_spend(spark, sf):
+    from baum_welch_spark.operators.relational import rolling_user_spend
+
+    return rolling_user_spend(*_tables(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
@@ -564,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": _q_ohlc_bars,
         "trigram_lm_score": _q_trigram_lm_score,
         "cohort_retention": _q_cohort_retention,
+        "rolling_user_spend": _q_rolling_user_spend,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -599,9 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_user": _q_top_event,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        "dedup_exact": _q_dedup_exact,
         # ---- driver's 50-entry window ends here; everything below is green
         # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
@@ -716,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": relational.OHLC_BARS_SQL,
         "trigram_lm_score": corpus.TRIGRAM_LM_SCORE_SQL,
         "cohort_retention": relational.COHORT_RETENTION_SQL,
+        "rolling_user_spend": relational.ROLLING_USER_SPEND_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         # DP oracles: the forward / Viterbi recursions as recursive CTEs with
         # the seed-42 model embedded as full-precision literals (decode.py)

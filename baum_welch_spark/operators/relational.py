@@ -866,3 +866,46 @@ FROM activity a JOIN first f USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def rolling_user_spend(events: DataFrame) -> DataFrame:
+    """Per purchase event: the user's purchase count and value sum over the
+    trailing 24 hours (inclusive) — a RANGE-interval window frame (the
+    feature-engineering "recent activity" signal; complements the ROWS
+    frame in daily_revenue_ma7).
+
+    Scale: the window partitions by user_id, so parallelism is
+    user-cardinality and no stage sees more than one user's events; the
+    range frame is evaluated over each user's (usually small) sorted slice.
+
+    Output: (event_id, user_id, n_24h, spend_24h) for purchase events.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
+            F.round(F.sum("value").over(w), 4).alias("spend_24h"),
+        )
+        .select("event_id", "user_id", "n_24h", "spend_24h")
+        .orderBy("event_id")
+    )
+
+
+ROLLING_USER_SPEND_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       round(sum(value) OVER w, 4) AS spend_24h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

@@ -107,6 +107,7 @@ HEADLINE = [
     "ohlc_bars",
     "trigram_lm_score",
     "cohort_retention",
+    "rolling_user_spend",
     "hmm_fit_grouped",
     "hmm_fit",
 ]

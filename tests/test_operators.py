@@ -522,3 +522,31 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_rolling_user_spend_range_frame_semantics(spark):
+    """RANGE frame includes exactly purchases within the trailing 24h
+    (inclusive), per user."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.relational import rolling_user_spend
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 12:00:00", 1, 20.0),   # within 24h of #1
+        (3, "2024-01-02 00:00:00", 1, 30.0),   # exactly 24h after #1 -> included
+        (4, "2024-01-03 00:00:01", 1, 40.0),   # everything else out of range
+        (5, "2024-01-01 06:00:00", 2, 5.0),    # other user, independent
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "purchase", v, "{}") for i, ts, u, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: (r["n_24h"], r["spend_24h"]) for r in rolling_user_spend(df).collect()}
+    assert got == {
+        1: (1, 10.0),
+        2: (2, 30.0),
+        3: (3, 60.0),
+        4: (1, 40.0),
+        5: (1, 5.0),
+    }
