@@ -74,8 +74,25 @@ def fit_logreg(
     come from one combinable aggregate; each GD step shuffles only
     O(partitions x (d+2)) gradient-partial rows.
     """
+    from pyspark import StorageLevel
+
     d = len(FEATURES)
-    stats = feats.agg(
+    # Persist the (features, label) projection ONCE: the corpus scan plus the
+    # regex-heavy feature computation would otherwise re-run for the moment
+    # aggregate and again for every GD iteration (n_iter full corpus reads at
+    # 100 TB). Materialized by the stats action below, reused by every
+    # gradient pass, released before returning (pattern of hmm/fit.py).
+    src = feats.select(*FEATURES, "y").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _fit_logreg_cached(src, d, lr, n_iter)
+    finally:
+        src.unpersist()
+
+
+def _fit_logreg_cached(
+    src: DataFrame, d: int, lr: float, n_iter: int
+) -> tuple[np.ndarray, list[float]]:
+    stats = src.agg(
         *[F.avg(c).alias(f"m_{c}") for c in FEATURES],
         *[F.stddev_pop(c).alias(f"s_{c}") for c in FEATURES],
         F.count(F.lit(1)).alias("n"),
@@ -86,10 +103,9 @@ def fit_logreg(
     sd = np.array([max(stats[f"s_{c}"], 1e-12) for c in FEATURES])
     n = float(stats["n"])
 
-    sc = feats.sparkSession.sparkContext
+    sc = src.sparkSession.sparkContext
     w = np.zeros(d + 1)
     trace: list[float] = []
-    src = feats.select(*FEATURES, "y")
     for _ in range(n_iter):
         bc = sc.broadcast((w, mu, sd))
 

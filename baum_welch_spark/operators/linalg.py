@@ -5,9 +5,16 @@ pipeline runs before clustering, ANN indexing, or near-dup thresholding.
 
 Scale posture (100 TB of vectors, d ~ 10^2..10^3):
 
-- ``emb_covariance`` — each Arrow batch folds into ONE d x d float64 GEMM
-  partial (X^T X, column sums, count) inside ``mapInPandas``; the shuffle
-  moves O(partitions x d^2) flattened triangle rows, never vector rows.
+- ``emb_covariance`` — two-pass centered: pass 1 is a d-column avg
+  (model-sized collect, like the HMM model collect), pass 2 folds each
+  Arrow batch into ONE d x d float64 GEMM partial of CENTERED products
+  ((X-mu)^T (X-mu), count) inside ``mapInPandas``; the shuffle moves
+  O(partitions x d^2) flattened triangle rows, never vector rows.
+  Centering matters for cross-engine agreement, not just style: the
+  one-pass E[xy]-E[x]E[y] form subtracts two large near-equal numbers, so
+  float-summation order flips 6-dp-rounded digits between Spark's partial
+  sums and DuckDB's sequential sum (observed: CORRECTNESS_r04
+  hash_match:false). Centered products have no such cancellation.
   This is the same in-UDF-combine shape as the E-step (`hmm/fit.py`) and
   k-means (`clustering.py`): corpus size never enters shuffle volume.
 - ``emb_pca`` — eigendecomposition happens on the driver over the d x d
@@ -29,66 +36,80 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: sentinel index: rows with i == -1 carry column sums (j is the column),
-#: the (-1, -1) row carries the vector count
+#: sentinel index: the (-1, -1) row carries the vector count
 _SUM_ROW = -1
 
 
-def _cov_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    d = None
-    sxx = None
-    sx = None
-    n = 0
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        if sxx is None:
-            d = X.shape[1]
-            sxx = np.zeros((d, d))
-            sx = np.zeros(d)
-        sxx += X.T @ X
-        sx += X.sum(axis=0)
-        n += len(X)
-    if d is None:
-        return
-    iu, ju = np.triu_indices(d)
-    i = np.concatenate([iu, np.full(d, _SUM_ROW), [_SUM_ROW]]).astype(np.int32)
-    j = np.concatenate([ju, np.arange(d), [_SUM_ROW]]).astype(np.int32)
-    v = np.concatenate([sxx[iu, ju], sx, [float(n)]])
-    yield pd.DataFrame({"i": i, "j": j, "v": v})
+def emb_means(embeddings: DataFrame) -> np.ndarray:
+    """Pass 1: per-column means of the embedding table (d values, driver-sized)."""
+    rows = (
+        embeddings.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    return np.array([r["m"] for r in rows])
+
+
+def _centered_cov_partials(mu: np.ndarray):
+    """Pass 2 kernel: per-partition (X-mu)^T (X-mu) GEMM partial + count."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = len(mu)
+        sxx = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = (
+                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                - mu
+            )
+            sxx += X.T @ X
+            n += len(X)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        i = np.concatenate([iu, [_SUM_ROW]]).astype(np.int32)
+        j = np.concatenate([ju, [_SUM_ROW]]).astype(np.int32)
+        v = np.concatenate([sxx[iu, ju], [float(n)]])
+        yield pd.DataFrame({"i": i, "j": j, "v": v})
+
+    return fold
 
 
 def emb_covariance(embeddings: DataFrame) -> DataFrame:
     """Exact population covariance of the embedding columns, upper triangle.
 
-    Output: (i, j, cov) for 0 <= i <= j < d, cov rounded to 6 dp
-    (cross-engine float-summation-order tolerance, like every rounded
-    aggregate in the contract).
+    Two-pass centered: cov_ij = sum((x_i - m_i)(x_j - m_j)) / n. The means
+    are a d-sized driver collect (pass 1); the centered GEMM partials fold
+    per Arrow batch (pass 2). Output: (i, j, cov) for 0 <= i <= j < d, cov
+    rounded to 6 dp (cross-engine float-summation-order tolerance, like
+    every rounded aggregate in the contract — stable here because centered
+    products carry no large-magnitude cancellation).
     """
+    mu = emb_means(embeddings)
+    if len(mu) == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "i bigint, j bigint, cov double"
+        )
     partials = embeddings.select("embedding").mapInPandas(
-        _cov_partials, schema="i int, j int, v double"
+        _centered_cov_partials(mu), schema="i int, j int, v double"
     )
     sums = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
     n_row = sums.where((F.col("i") == _SUM_ROW) & (F.col("j") == _SUM_ROW)).select(
         F.col("v").alias("n")
     )
-    means = (
-        sums.where((F.col("i") == _SUM_ROW) & (F.col("j") != _SUM_ROW))
-        .join(F.broadcast(n_row), how="cross")
-        .select(F.col("j").alias("m_idx"), (F.col("v") / F.col("n")).alias("m"))
-    )
     tri = sums.where(F.col("i") != _SUM_ROW)
-    ma = means.select(F.col("m_idx").alias("i"), F.col("m").alias("m_i"))
-    mb = means.select(F.col("m_idx").alias("j"), F.col("m").alias("m_j"))
     return (
         tri.join(F.broadcast(n_row), how="cross")
-        .join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
         .select(
             F.col("i").cast("bigint").alias("i"),
             F.col("j").cast("bigint").alias("j"),
-            F.round(F.col("v") / F.col("n") - F.col("m_i") * F.col("m_j"), 6).alias("cov"),
+            F.round(F.col("v") / F.col("n"), 6).alias("cov"),
         )
         .orderBy("i", "j")
     )
@@ -101,16 +122,17 @@ WITH x AS (
   FROM embeddings
 ),
 means AS (SELECT i, avg(v) AS m FROM x GROUP BY i),
+c AS (
+  SELECT x.vec_id, x.i, x.v - means.m AS v
+  FROM x JOIN means ON x.i = means.i
+),
 pairs AS (
-  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxx, count(*) AS n
-  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sc, count(*) AS n
+  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY a.i, b.i
 )
-SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
-       round(p.sxx / p.n - ma.m * mb.m, 6) AS cov
-FROM pairs p
-JOIN means ma ON p.i = ma.i
-JOIN means mb ON p.j = mb.i
+SELECT i::BIGINT AS i, j::BIGINT AS j, round(sc / n, 6) AS cov
+FROM pairs
 ORDER BY i, j
 """
 
@@ -139,18 +161,7 @@ def pca_components(embeddings: DataFrame, k: int = 2) -> tuple[np.ndarray, np.nd
         lead = np.argmax(np.abs(np.round(c, 9)))
         if c[lead] < 0:
             c *= -1.0
-    # mean vector via one more tiny aggregate (d columns)
-    mean_row = (
-        embeddings.select(
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
-        )
-        .groupBy("i")
-        .agg(F.avg("v").alias("m"))
-        .orderBy("i")
-        .collect()
-    )
-    mean = np.array([r["m"] for r in mean_row])
-    return mean, comps
+    return emb_means(embeddings), comps
 
 
 def emb_pca(embeddings: DataFrame, k: int = 2) -> DataFrame:

@@ -72,6 +72,30 @@ def test_scores_schema_and_determinism(spark, documents):
         assert 0.0 <= r["prob"] <= 1.0 and r["pred"] in (0, 1)
 
 
+def test_training_frame_scanned_once_not_per_iteration(spark, planted):
+    # The feature projection must be persisted before the GD loop: count how
+    # many times each input row flows through the (uncached) upstream by
+    # routing the frame through a counting mapInPandas. With the persist in
+    # fit_logreg, only the cache-materializing action touches the source —
+    # the n_iter gradient passes read the cache. Without it, the accumulator
+    # would see ~(n_iter + 1) x n rows.
+    feats = doc_features(planted, label=F.col("label"))
+    n = feats.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = feats.mapInPandas(counting, feats.schema)
+    _, trace = fit_logreg(counted, n_iter=5)
+    assert len(trace) == 5
+    # one materialization pass (cache build), generous slack for speculative
+    # re-runs — but far below the 6x an unpersisted loop would produce
+    assert acc.value <= 2 * n, (acc.value, n)
+
+
 def test_empty_corpus_degrades_gracefully(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     out = quality_classifier_scores(empty)
