@@ -479,6 +479,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.4,
     min_quality: float = 1.0,
     max_cross_entropy: float = 5.1,
+    pair_generator=None,
 ) -> DataFrame:
     """The end-to-end training-data cleaning pipeline in one face: near-dup
     removal (exact-Jaccard connected components, keep the lowest doc_id per
@@ -494,11 +495,24 @@ def clean_corpus(
     gate lists are doc_id-only join sides — the anti/semi joins against the
     100 TB corpus shuffle ids, never text. The LM is trained on the FULL
     corpus (pre-filter), matching the oracle.
+
+    ``pair_generator`` picks the near-dup pair source: ``None`` (default)
+    uses exact trigram Jaccard (`dedup.neardup_jaccard`) for oracle parity —
+    but the exact path shuffles every shingle instance, so its scale ceiling
+    is well below 100 TB. At scale pass a banded generator, e.g.
+    ``lambda d: minhash_lsh_pairs(d, verify_threshold=jaccard_threshold)``:
+    candidates come from LSH buckets (no all-pairs shuffle) and are
+    exact-verified, so the output pairs are a high-recall subset of the
+    exact pairs and survivors can only grow by the (small) recall loss.
     """
     from baum_welch_spark.operators.dedup import connected_components, neardup_jaccard
     from baum_welch_spark.operators.text import doc_quality
 
-    comp = connected_components(neardup_jaccard(documents, threshold=jaccard_threshold))
+    if pair_generator is None:
+        pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
+    else:
+        pairs = pair_generator(documents)
+    comp = connected_components(pairs)
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )

@@ -479,10 +479,6 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-#: the single live global_rank cache (see note inside global_rank)
-_last_rank_cache: DataFrame | None = None
-
-
 def global_rank(
     df: DataFrame, order_cols: list, rank_col: str = "rk", pct_col: str | None = None
 ) -> DataFrame:
@@ -501,18 +497,16 @@ def global_rank(
     N == 1, matching Spark/DuckDB).
     """
     parts = df.repartitionByRange(*order_cols).withColumn("__pid", F.spark_partition_id())
-    # Materialize the pid assignment ONCE: repartitionByRange samples range
-    # boundaries and AQE may give the two consumers below different shuffle
-    # readers, so an unpersisted __pid could disagree between them. Callers
-    # pass the already-aggregated frame to rank, so the cached copy is that
-    # reduced frame, not raw input. The cache is bounded to ONE live frame:
-    # each call evicts the previous call's cache (consume a global_rank
-    # result before issuing the next call).
-    parts = parts.persist()
-    global _last_rank_cache
-    if _last_rank_cache is not None:
-        _last_rank_cache.unpersist(blocking=False)
-    _last_rank_cache = parts
+    # Materialize the pid assignment ONCE, eagerly, call-scoped:
+    # repartitionByRange samples range boundaries (seeded by RDD id) and AQE
+    # may give the two consumers below different shuffle readers, so a lazy
+    # __pid could be recomputed differently per consumer — silently wrong
+    # ranks. localCheckpoint(eager=True) pins the assignment as data and
+    # truncates lineage (same pattern as bpe_train), with no global mutable
+    # state and no consume-before-next-call invariant for lazy composers.
+    # Callers pass the already-aggregated frame to rank, so the checkpointed
+    # copy is that reduced frame (key-count-sized), not raw input.
+    parts = parts.localCheckpoint(eager=True)
     sizes = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     # single-partition window is fine here: `sizes` has one row per shuffle

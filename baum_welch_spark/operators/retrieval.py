@@ -65,7 +65,9 @@ def bm25_topk(
 
     Output: (q_id, doc_id, score, rk), rk in 1..k per query.
     """
-    qrows = queries or DEFAULT_QUERIES
+    # lowercase query text: the corpus tokenizer (words()) lowercases every
+    # token, so un-normalized queries like "Spark" would silently match nothing
+    qrows = [(qid, qtext.lower()) for qid, qtext in (queries or DEFAULT_QUERIES)]
     spark = documents.sparkSession
     terms = spark.createDataFrame(
         [(qid, t) for qid, qtext in qrows for t in dict.fromkeys(qtext.split())],

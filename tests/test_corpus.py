@@ -162,6 +162,28 @@ def test_clean_corpus_plan_joins_on_ids_only(spark, documents):
     assert report["nested_loop_joins"] == 0
 
 
+def test_clean_corpus_minhash_pair_generator(spark, documents):
+    """The scale path: clean_corpus with MinHash-LSH pairs must keep at
+    least every doc the exact-Jaccard path keeps (LSH pairs are an
+    exact-verified SUBSET of the exact pairs at the same threshold, so the
+    drop list can only shrink), and the two survivor sets should agree
+    almost everywhere (recall loss is bounded, not structural)."""
+    from baum_welch_spark.operators.dedup import minhash_lsh_pairs
+
+    thr = 0.4
+    exact = {r["doc_id"] for r in corpus.clean_corpus(documents, jaccard_threshold=thr).collect()}
+    lsh = {
+        r["doc_id"]
+        for r in corpus.clean_corpus(
+            documents,
+            jaccard_threshold=thr,
+            pair_generator=lambda d: minhash_lsh_pairs(d, verify_threshold=thr),
+        ).collect()
+    }
+    assert exact <= lsh  # missed pairs can only ADD survivors
+    assert len(lsh - exact) <= max(3, len(exact) // 20)  # bounded recall loss
+
+
 def test_bm25_matches_numpy_reference(spark):
     """BM25 scores against a direct NumPy computation on a tiny corpus."""
     import math
@@ -201,6 +223,20 @@ def test_bm25_matches_numpy_reference(spark):
     # rank order follows rounded score desc
     ranked = sorted(out.values(), key=lambda x: x[1])
     assert all(a[0] >= b[0] for a, b in zip(ranked, ranked[1:]))
+
+
+def test_bm25_query_case_insensitive(spark):
+    """Mixed-case query terms must match the lowercased corpus tokens —
+    'Spark' and 'spark' are the same query."""
+    from baum_welch_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, "spark join spark merge"), (1, "filter scan")], "doc_id long, text string"
+    )
+    lower = bm25_topk(df, queries=[(0, "spark join")], k=10).collect()
+    mixed = bm25_topk(df, queries=[(0, "Spark JOIN")], k=10).collect()
+    assert [tuple(r) for r in lower] == [tuple(r) for r in mixed]
+    assert lower  # and they actually matched something
 
 
 def test_bm25_plan_filters_corpus_before_shuffle(spark, documents):

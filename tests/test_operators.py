@@ -464,6 +464,32 @@ def test_global_rank_matches_window_rank(spark):
     assert all(abs(g["pct"] - x["pct"]) < 1e-12 for g, x in zip(got, want))
 
 
+def test_global_rank_lazy_composition_of_two_calls(spark):
+    """Two global_rank results built BEFORE either is consumed must both be
+    correct: materialization is call-scoped (eager localCheckpoint), so a
+    later call can't invalidate an earlier, still-lazy result the way a
+    shared single-slot cache could."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.relational import global_rank
+
+    df = spark.range(0, 500, 1, 11).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("double").alias("v")
+    )
+    a = global_rank(df, [F.desc("v"), F.asc("k")], rank_col="rk")
+    b = global_rank(df.where(F.col("k") % 2 == 0), [F.asc("v"), F.asc("k")], rank_col="rk")
+    # consume in reverse issue order, then the first again
+    got_b = {r["k"]: r["rk"] for r in b.collect()}
+    got_a = {r["k"]: r["rk"] for r in a.collect()}
+    got_a2 = {r["k"]: r["rk"] for r in a.collect()}
+    assert got_a == got_a2
+    assert sorted(got_a.values()) == list(range(1, 501))
+    assert sorted(got_b.values()) == list(range(1, 251))
+    # spot-check ordering semantics on a: rank 1 is the max-v, min-k row
+    top = min(got_a, key=lambda k: got_a[k])
+    assert top == 4  # v = 4.0 (max), smallest k with that v
+
+
 def test_global_rank_single_row_pct_zero(spark):
     from pyspark.sql import functions as F
 
