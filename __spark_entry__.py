@@ -364,6 +364,28 @@ def _q_seq_scores(spark, sf):
     return score_sequences_face(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_posterior_decode(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import posterior_decode
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return posterior_decode(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
+def _q_hmm_generate(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.generate import generate_face
+
+    return generate_face(spark, HMM.random(4, 5, seed=42), n_sequences=200, t_len=20)
+
+
+def _q_dup_ngrams(spark, sf):
+    from baum_welch_spark.operators.ngramaudit import dup_ngrams
+
+    return dup_ngrams(*_tables(spark, sf, "documents"))
+
+
 def _q_stratified_sample(spark, sf):
     from baum_welch_spark.operators.sampling import stratified_sample
 
@@ -558,7 +580,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_fit": _q_hmm_fit,
         "viterbi_decode": _q_viterbi_decode,
         "seq_scores": _q_seq_scores,
-        # new this round / never driver-verified
+        # new this round (r5): posterior decode (DuckDB-exact), generation
+        # (rows-only by nature), and the three entries never driver-verified
+        # before r5 (rows-only training loops)
+        "posterior_decode": _q_posterior_decode,
+        "hmm_generate": _q_hmm_generate,
+        "quality_classifier": _q_quality_classifier,
+        "bpe_merges": _q_bpe_merges,
+        "hmm_fit_grouped": _q_hmm_fit_grouped,
+        "dup_ngrams": _q_dup_ngrams,
+        # changed r4 / driver-verified r4, kept under watch
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
@@ -591,23 +622,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "clean_corpus": _q_clean_corpus,
-        "cap_per_source": _q_cap_per_source,
         "weighted_sample": _q_weighted_sample,
-        # family representatives (green in r03, kept under driver watch)
+        # family representatives (green in r03/r04, kept under driver watch)
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
-        "q6_forecast_revenue": _q_q6,
-        "event_pivot": _q_event_pivot,
-        "events_cube": _q_events_cube,
         "sessionize": _q_sessionize,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
+        "q6_forecast_revenue": _q_q6,
+        # ---- driver's 50-entry window ends here; everything below is green
+        # in CORRECTNESS_r03/r04 (or rows-only by nature) and unchanged
+        "event_pivot": _q_event_pivot,
+        "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        # ---- driver's 50-entry window ends here; everything below is green
-        # in CORRECTNESS_r03 (or rows-only by nature) and unchanged
+        "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "neardup_jaccard": _q_neardup_jaccard,
@@ -634,10 +665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
         "chunk_documents": _q_chunk_documents,
-        # rows-only by nature (iterative training loops)
-        "quality_classifier": _q_quality_classifier,
-        "bpe_merges": _q_bpe_merges,
-        "hmm_fit_grouped": _q_hmm_fit_grouped,
     }
 
 
@@ -729,6 +756,11 @@ def oracle_sql() -> dict[str, str]:
         # the seed-42 model embedded as full-precision literals (decode.py)
         "seq_scores": _score_oracle(),
         "viterbi_decode": _viterbi_oracle(),
+        # posterior decode: forward+backward recursions as recursive CTEs,
+        # same literal-model convention (hmm_generate stays rows-only —
+        # sampling from λ is not SQL-expressible)
+        "posterior_decode": _posterior_oracle(),
+        "dup_ngrams": _dup_ngrams_sql(),
         # clustering oracle: recursive-CTE transitive closure over the exact
         # Jaccard pair set (dedup.py) — upgrades dedup_clusters from rows-only
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
@@ -781,3 +813,16 @@ def _viterbi_oracle() -> str:
     from baum_welch_spark.hmm.decode import viterbi_oracle_sql
 
     return viterbi_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _posterior_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import posterior_oracle_sql
+
+    return posterior_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _dup_ngrams_sql() -> str:
+    from baum_welch_spark.operators.ngramaudit import DUP_NGRAMS_SQL
+
+    return DUP_NGRAMS_SQL

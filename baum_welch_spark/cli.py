@@ -68,11 +68,35 @@ def cmd_train(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    from baum_welch_spark.hmm.decode import viterbi_decode
+    from baum_welch_spark.hmm.decode import posterior_decode, viterbi_decode
 
     spark, _own = _session("baum-welch-decode")
     model = HMM.read(spark, args.model)
-    out = viterbi_decode(spark, _build_sequences(spark, args.input), model)
+    seqs = _build_sequences(spark, args.input)
+    if getattr(args, "posterior", False):
+        out = posterior_decode(spark, seqs, model)
+    else:
+        out = viterbi_decode(spark, seqs, model)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20, truncate=80)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from baum_welch_spark.hmm.generate import generate_sequences
+
+    spark, _own = _session("baum-welch-generate")
+    if args.model:
+        model = HMM.read(spark, args.model)
+    else:
+        model = HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
+    out = generate_sequences(
+        spark, model, args.n_sequences, args.t_len, seed=args.seed
+    )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
@@ -272,11 +296,23 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--seed", type=int, default=42)
     t.set_defaults(fn=cmd_train)
 
-    d = sub.add_parser("decode", help="Viterbi decode sequences under a model")
+    d = sub.add_parser("decode", help="Viterbi (or posterior) decode sequences under a model")
     d.add_argument("-i", "--input", required=True)
     d.add_argument("--model", required=True)
+    d.add_argument("--posterior", action="store_true",
+                   help="per-step argmax-gamma decode instead of Viterbi")
     d.add_argument("-o", "--output")
     d.set_defaults(fn=cmd_decode)
+
+    g = sub.add_parser("generate", help="sample sequences from a trained model")
+    g.add_argument("--model", help="model parquet dir (default: random model)")
+    g.add_argument("-n", "--n-sequences", type=int, default=100)
+    g.add_argument("-t", "--t-len", type=int, default=20)
+    g.add_argument("--num-hidden", type=int, default=4)
+    g.add_argument("--num-observed", type=int, default=5)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("-o", "--output")
+    g.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("score", help="per-sequence log-likelihood under a model")
     s.add_argument("-i", "--input", required=True)

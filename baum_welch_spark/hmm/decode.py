@@ -5,6 +5,9 @@ sequential HmmEvaluator, outside the reference repo — SURVEY §3.3); here
 they are first-class distributed operators over the ``sequences`` corpus:
 
   * viterbi_decode    — most likely hidden path per sequence (log-space DP)
+  * posterior_decode  — per-step most-likely state (argmax gamma_t) — the
+                        cheap alternative to Viterbi when per-step marginals,
+                        not the jointly-best path, are wanted
   * score_sequences   — per-sequence log-likelihood under a model
   * top_k_sequences   — k most likely sequences under the model (window rank)
 
@@ -85,6 +88,40 @@ def viterbi_decode_face(spark: SparkSession, sequences: DataFrame, model: HMM) -
         F.round("loglik", 6).alias("loglik"),
         F.array_join(F.transform("path", lambda x: x.cast("string")), ",").alias("path_str"),
     )
+
+
+def posterior_decode(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
+    """Posterior (gamma) decoding: per step t, the state maximizing the
+    marginal P(s_t = q | O, λ) = gamma_t(q) from the scaled forward-backward
+    kernel — first-max tiebreak (np.argmax), matching the SQL oracle's CASE.
+
+    Unlike Viterbi this picks each step independently (the resulting path
+    can even have zero joint probability); it is the right decode when
+    per-step accuracy is the loss. Same scale shape as viterbi_decode: the
+    model broadcasts, the map is narrow, no shuffle.
+
+    Output: (seq_id, path_str) with path_str the comma-joined argmax states.
+    """
+    bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from baum_welch_spark.hmm.kernel import forward_backward
+
+        pi, A, B = bc.value
+        for pdf in batches:
+            ids, paths = [], []
+            for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
+                if obs is None or len(obs) == 0:
+                    continue
+                alpha, beta, _, _ = forward_backward(
+                    pi, A, B, np.asarray(obs, dtype=np.int64)
+                )
+                states = np.argmax(alpha * beta, axis=1)
+                ids.append(seq_id)
+                paths.append(",".join(str(int(s)) for s in states))
+            yield pd.DataFrame({"seq_id": ids, "path_str": paths})
+
+    return sequences.mapInPandas(decode, schema="seq_id bigint, path_str string")
 
 
 def score_sequences_face(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
@@ -185,6 +222,92 @@ FROM alpha a JOIN lens l ON l.user_id = a.user_id AND a.t = l.t_len - 1
 """
 
 
+def _argmax_case(cand: list[str]) -> str:
+    """First-max-tiebreak argmax over SQL expressions, mirroring np.argmax."""
+    if len(cand) == 1:
+        return "0"  # a zero-WHEN "CASE ELSE 0 END" is a parse error
+    whens = []
+    for k in range(len(cand) - 1):
+        cond = " AND ".join(f"{cand[k]} >= {cand[m]}" for m in range(k + 1, len(cand)))
+        whens.append(f"WHEN {cond} THEN {k}")
+    return "CASE " + " ".join(whens) + f" ELSE {len(cand) - 1} END"
+
+
+def posterior_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for posterior_decode: the scaled forward
+    recursion (normalized alphas, as in score_oracle_sql) plus the scaled
+    backward recursion as a second recursive CTE running t_len-1 -> 0, then
+    per-step argmax of gamma_j = p_j * b_j.
+
+    The two engines accumulate the recursions in different float-summation
+    orders (agreeing to ~1e-12); argmax is stable because distinct gammas
+    under a generic random model are separated by far more than that — no
+    rounding boundary is involved, unlike value-emitting faces."""
+    N = model.pi.shape[0]
+    pi, A, B = model.pi, model.A, model.B
+    j1 = range(1, N + 1)
+    base_u = ",\n         ".join(
+        f"{_lit(pi[j - 1])} * ({_blist(B[j - 1])})[c.sym + 1] AS u{j}" for j in j1
+    )
+    step_u = ",\n         ".join(
+        "("
+        + " + ".join(f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1)
+        + f") * ({_blist(B[j - 1])})[c.sym + 1] AS nu{j}"
+        for j in j1
+    )
+    usum = " + ".join(f"u{j}" for j in j1)
+    nusum = " + ".join(f"nu{j}" for j in j1)
+    norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
+    nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+    base_b = ", ".join(f"{_lit(1.0)} AS b{j}" for j in j1)
+    # beta step: nb_i = sum_j A[i][j] * B[j][o_{t+1}] * b_j / scale[t+1];
+    # joining coded and alpha at the PRE-step row (c.t = a.t = b.t) makes
+    # c.sym = o_{t+1} and a.s = scale[t+1] for the new row at t = b.t - 1
+    step_b = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"{_lit(A[i - 1][j - 1])} * ({_blist(B[j - 1])})[c.sym + 1] * b.b{j}"
+            for j in j1
+        )
+        + f") / a.s AS nb{i}"
+        for i in j1
+    )
+    gamma_argmax = _argmax_case([f"al.p{j} * bt.b{j}" for j in j1])
+    return f"""
+WITH RECURSIVE coded AS ({_CODED_SQL}),
+lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS (
+  SELECT c.user_id, 0 AS t,
+         {base_u},
+         ({usum}) AS s, {norm}
+  FROM coded c WHERE c.t = 0
+  UNION ALL
+  SELECT a.user_id, a.t + 1,
+         {step_u},
+         ({nusum}) AS ns, {nnorm}
+  FROM alpha a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+),
+beta AS (
+  SELECT l.user_id, l.t_len - 1 AS t, {base_b}
+  FROM lens l
+  UNION ALL
+  SELECT b.user_id, b.t - 1,
+         {step_b}
+  FROM beta b
+  JOIN coded c ON c.user_id = b.user_id AND c.t = b.t
+  JOIN alpha a ON a.user_id = b.user_id AND a.t = b.t
+  WHERE b.t > 0
+),
+g AS (
+  SELECT al.user_id, al.t, ({gamma_argmax}) AS state
+  FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
+)
+SELECT user_id AS seq_id,
+       string_agg(state::VARCHAR, ',' ORDER BY t) AS path_str
+FROM g GROUP BY user_id
+"""
+
+
 def viterbi_oracle_sql(model: HMM) -> str:
     """ANSI-SQL (DuckDB) oracle for viterbi_decode_face: log-space max-product
     forward recursion + backward path reconstruction, two recursive CTEs.
@@ -208,17 +331,7 @@ def viterbi_oracle_sql(model: HMM) -> str:
         for j in j1
     )
 
-    def argmax_case(cand: list[str]) -> str:
-        # first-max tiebreak, mirroring np.argmax
-        if len(cand) == 1:
-            return "0"  # a zero-WHEN "CASE ELSE 0 END" is a parse error
-        whens = []
-        for k in range(len(cand) - 1):
-            cond = " AND ".join(f"{cand[k]} >= {cand[m]}" for m in range(k + 1, len(cand)))
-            whens.append(f"WHEN {cond} THEN {k}")
-        return "CASE " + " ".join(whens) + f" ELSE {len(cand) - 1} END"
-
-    final_argmax = argmax_case([f"d.d{j}" for j in j1])
+    final_argmax = _argmax_case([f"d.d{j}" for j in j1])
     # backtrack candidates: c_i = delta[t-1][i] + logA[i][state], with the
     # state-dependent logA picked by a CASE on the current row's state
     back_cand = [
@@ -227,7 +340,7 @@ def viterbi_oracle_sql(model: HMM) -> str:
         + " END)"
         for i in j1
     ]
-    back_argmax = argmax_case(back_cand)
+    back_argmax = _argmax_case(back_cand)
     dmax = ", ".join(f"d.d{j}" for j in j1)
     return f"""
 WITH RECURSIVE coded AS ({_CODED_SQL}),

@@ -8,9 +8,12 @@ Scale posture (100 TB corpus):
 - Features are shuffle-free codegen projections (same family as
   ``text.doc_quality``).
 - Each training iteration is one ``mapInPandas`` pass that folds every
-  Arrow batch into a single (d+1)-vector gradient partial (in-UDF combine —
+  Arrow batch into a single gradient + 5x5-Hessian partial (in-UDF combine —
   the E-step / k-means shape again): shuffle volume is
-  O(partitions x (d+1)) per iteration, independent of corpus size.
+  O(partitions x (d+1)^2) per iteration, independent of corpus size.
+- Newton/IRLS steps on the driver (the Hessian is model-sized), so the
+  pass count is ~8 instead of gradient descent's 30+ — at 100 TB the
+  number of passes over the cached features IS the training cost.
 - The model (w, b) is a handful of floats on the driver; scoring broadcasts
   it back as literals inside a codegen sigmoid — no UDF in the scoring path.
 
@@ -65,14 +68,22 @@ def doc_features(documents: DataFrame, label: Column | None = None) -> DataFrame
 
 
 def fit_logreg(
-    feats: DataFrame, lr: float = 0.5, n_iter: int = 30
+    feats: DataFrame, lr: float = 1.0, n_iter: int = 8
 ) -> tuple[np.ndarray, list[float]]:
-    """Full-batch gradient descent on standardized features.
+    """Full-batch NEWTON (IRLS) iterations on standardized features.
 
-    Returns (weights over FEATURES + [bias] in STANDARDIZED space folded
-    back to raw-feature coefficients, loss trace). Standardization moments
-    come from one combinable aggregate; each GD step shuffles only
-    O(partitions x (d+2)) gradient-partial rows.
+    With d+1 = 5 parameters the Hessian is 5x5, so each iteration folds the
+    exact gradient AND Hessian into one in-UDF-combine pass and the driver
+    takes a (ridge-damped) Newton step — quadratic convergence means ~8
+    passes where plain gradient descent needed 30+. At 100 TB the pass
+    count IS the cost (each is a full read of the cached training frame),
+    so the optimizer choice is a scale decision, not a styling one.
+
+    Returns (weights over FEATURES + [bias] folded back to raw-feature
+    coefficients, loss trace). Standardization moments come from one
+    combinable aggregate; each Newton step shuffles only
+    O(partitions x (d+1)^2) partial rows. ``lr`` damps the Newton step
+    (1.0 = full step).
     """
     from pyspark import StorageLevel
 
@@ -104,16 +115,18 @@ def _fit_logreg_cached(
     n = float(stats["n"])
 
     sc = src.sparkSession.sparkContext
-    w = np.zeros(d + 1)
+    D = d + 1
+    w = np.zeros(D)
     trace: list[float] = []
     for _ in range(n_iter):
         bc = sc.broadcast((w, mu, sd))
 
-        def grad_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def newton_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             wv, m, s = bc.value
-            g = np.zeros(len(wv))
+            Dl = len(wv)
+            g = np.zeros(Dl)
+            H = np.zeros((Dl, Dl))
             loss = 0.0
-            seen = 0
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -123,26 +136,35 @@ def _fit_logreg_cached(
                 z = Xb @ wv
                 p = 1.0 / (1.0 + np.exp(-z))
                 g += Xb.T @ (p - yv)
+                H += (Xb * (p * (1.0 - p))[:, None]).T @ Xb
                 eps = 1e-12
                 loss += float(-(yv * np.log(p + eps) + (1 - yv) * np.log(1 - p + eps)).sum())
-                seen += len(X)
+            vec = np.concatenate([g, H.ravel(), [loss]])
             yield pd.DataFrame(
-                {"i": np.arange(len(wv) + 1, dtype=np.int32),
-                 "v": np.concatenate([g, [loss]])}
+                {"i": np.arange(len(vec), dtype=np.int32), "v": vec}
             )
 
         agg = (
-            src.mapInPandas(grad_partial, schema="i int, v double")
+            src.mapInPandas(newton_partial, schema="i int, v double")
             .groupBy("i")
             .agg(F.sum("v").alias("v"))
             .collect()
         )
         bc.destroy()
-        vec = np.zeros(d + 2)
+        vec = np.zeros(D + D * D + 1)
         for r in agg:
             vec[r["i"]] = r["v"]
-        w = w - lr * vec[: d + 1] / n
-        trace.append(vec[d + 1] / n)
+        g = vec[:D]
+        H = vec[D : D + D * D].reshape(D, D)
+        # ridge-damped Newton: the planted-separable case drives p -> 0/1 and
+        # the Hessian toward singular; the tiny ridge keeps the solve stable
+        # without biasing well-conditioned steps
+        try:
+            step = np.linalg.solve(H + 1e-8 * n * np.eye(D), g)
+        except np.linalg.LinAlgError:
+            step = g / n  # degenerate Hessian: fall back to a gradient step
+        w = w - lr * step
+        trace.append(vec[-1] / n)
 
     # fold standardization into raw-space coefficients: w_raw = w_std / sd,
     # b_raw = b - sum(w_std * mu / sd)

@@ -174,6 +174,16 @@ def main() -> None:
         if error is not None:
             out["error"] = error
         print(json.dumps(out))
+        # Sidecar with the full parsed result: the driver's BENCH_r{N}.json
+        # stores only a truncated stdout tail, which has silently dropped
+        # per-query timings before (BENCH_r04 carried "parsed": null) — the
+        # machine-readable record must not depend on stdout surviving.
+        try:
+            sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_parsed.json")
+            with open(sidecar, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError as e:
+            print(f"bench: sidecar write failed: {e}", file=sys.stderr)
         spark.stop()
     if error is not None:
         raise SystemExit(1)

@@ -56,6 +56,33 @@ def test_cli_dedup_kmeans_knn(spark, tmp_path, capsys):
     assert knn.count() == 12  # 3 queries x top-4
 
 
+def test_cli_generate_and_posterior_decode(spark, tmp_path):
+    # generate from a random model, then chain: train -> generate from the
+    # trained model -> posterior-decode the corpus under it
+    gen = str(tmp_path / "generated")
+    assert main(["generate", "-n", "25", "-t", "10", "--seed", "3", "-o", gen]) == 0
+    g = spark.read.parquet(gen)
+    assert g.count() == 25
+    assert set(g.columns) == {"seq_id", "states", "obs"}
+    assert all(len(r.obs) == 10 for r in g.collect())
+
+    out = str(tmp_path / "hmm_out")
+    assert main([
+        "train", "-i", SF0001, "-o", out,
+        "--num-hidden", "3", "--num-observed", "5", "--max-iterations", "1",
+    ]) == 0
+    gen2 = str(tmp_path / "generated_trained")
+    assert main(["generate", "--model", f"{out}/model-final", "-n", "5", "-t", "6", "-o", gen2]) == 0
+    assert spark.read.parquet(gen2).count() == 5
+
+    dec = str(tmp_path / "posterior")
+    assert main(["decode", "-i", SF0001, "--model", f"{out}/model-final",
+                 "--posterior", "-o", dec]) == 0
+    d = spark.read.parquet(dec)
+    assert set(d.columns) == {"seq_id", "path_str"}
+    assert d.count() > 0
+
+
 def test_cli_rejects_unknown_subcommand():
     with pytest.raises(SystemExit):
         main(["compact"])

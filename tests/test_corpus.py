@@ -225,6 +225,27 @@ def test_bm25_matches_numpy_reference(spark):
     assert all(a[0] >= b[0] for a, b in zip(ranked, ranked[1:]))
 
 
+def test_dup_ngrams_finds_planted_boilerplate(spark):
+    """A 5-gram shared across docs (boilerplate) must surface with the right
+    df/total counts; unique text must not appear; short docs must not error."""
+    from baum_welch_spark.operators.ngramaudit import dup_ngrams
+
+    boiler = "all rights reserved by acme"
+    docs = [
+        (0, f"alpha beta {boiler} gamma"),
+        (1, f"{boiler} delta epsilon"),
+        (2, f"unique words only here today {boiler}"),
+        (3, "totally different text with no repeats whatsoever"),
+        (4, "tiny"),  # shorter than n
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["ngram"]: (r["total_count"], r["df"]) for r in dup_ngrams(df, n=5).collect()}
+    assert out[boiler] == (3, 3)
+    assert all("whatsoever" not in g for g in out)
+    # every reported ngram is shared by >= 2 docs
+    assert all(d >= 2 for _, d in out.values())
+
+
 def test_bm25_query_case_insensitive(spark):
     """Mixed-case query terms must match the lowercased corpus tokens —
     'Spark' and 'spark' are the same query."""

@@ -107,6 +107,48 @@ def test_dp_oracle_sql_matches_spark_operators(spark):
         assert row.t_len == o.t_len and abs(row.loglik - o.loglik) < 1e-9, seq_id
 
 
+def brute_posterior_states(m: HMM, obs):
+    """argmax_q P(s_t = q | O) by full path enumeration."""
+    T = len(obs)
+    marg = np.zeros((T, m.n_hidden))
+    for path in itertools.product(range(m.n_hidden), repeat=T):
+        p = m.pi[path[0]] * m.B[path[0], obs[0]]
+        for t in range(1, T):
+            p *= m.A[path[t - 1], path[t]] * m.B[path[t], obs[t]]
+        for t, q in enumerate(path):
+            marg[t, q] += p
+    return [int(np.argmax(marg[t])) for t in range(T)]
+
+
+def test_posterior_decode_matches_enumeration(spark):
+    from baum_welch_spark.hmm.decode import posterior_decode
+
+    seqs = [(0, [0, 1, 2]), (1, [4, 4, 0, 1]), (2, [3]), (3, [2, 2, 2, 2, 2])]
+    df = spark.createDataFrame(seqs, schema="seq_id bigint, obs array<int>")
+    got = {r.seq_id: r.path_str for r in posterior_decode(spark, df, MODEL).collect()}
+    for seq_id, obs in seqs:
+        want = ",".join(str(q) for q in brute_posterior_states(MODEL, obs))
+        assert got[seq_id] == want, seq_id
+
+
+def test_posterior_oracle_sql_matches_spark(spark):
+    """The forward+backward recursive-CTE oracle must reproduce
+    posterior_decode's argmax path exactly on the real sf0.001 stream."""
+    import duckdb
+
+    from baum_welch_spark.hmm.decode import posterior_decode, posterior_oracle_sql
+
+    model = HMM.random(4, 5, seed=42)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF0001}/events.parquet'")
+    seqs = build_sequences(load_table(spark, SF0001, "events"))
+    got = {r.seq_id: r.path_str for r in posterior_decode(spark, seqs, model).collect()}
+    ora = con.execute(posterior_oracle_sql(model)).df().set_index("seq_id")
+    assert len(got) == len(ora)
+    for seq_id, path_str in got.items():
+        assert path_str == ora.loc[seq_id].path_str, seq_id
+
+
 def test_seq_decode_names_roundtrips_the_encoding(spark):
     """S5 decode join: encoding then name-joining back must reproduce the
     original event_type stream per entity."""

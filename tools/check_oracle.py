@@ -45,6 +45,35 @@ def dtype_kinds(df: pd.DataFrame) -> list[str]:
     return [df[c].dtype.kind for c in df.columns]
 
 
+def diff_report(s: pd.DataFrame, o: pd.DataFrame, max_rows: int = 12) -> str:
+    """Value-level diff for a hash/value mismatch between aligned frames:
+    lists the first rows whose values differ per column, with both values and
+    the delta — near-boundary float flips (e.g. two engines rounding
+    x.xxxxxx5 differently) are diagnosable straight from this output."""
+    lines = []
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f":
+            both_nan = sv.isna() & ov.isna()
+            neq = ~both_nan & (sv.sub(ov).abs() > 1e-9)
+        else:
+            neq = sv.astype(str) != ov.astype(str)
+        idx = list(s.index[neq][:max_rows])
+        if not idx:
+            continue
+        lines.append(f"  column {c}: {int(neq.sum())} differing rows")
+        for i in idx:
+            if sv.dtype.kind == "f":
+                d = float(sv[i]) - float(ov[i])
+                lines.append(
+                    f"    row {i}: spark={sv[i]!r} oracle={ov[i]!r} delta={d:.3e}"
+                    f"  (key: {dict((k, s[k][i]) for k in s.columns if k != c and s[k].dtype.kind != 'f')})"
+                )
+            else:
+                lines.append(f"    row {i}: spark={sv[i]!r} oracle={ov[i]!r}")
+    return "\n".join(lines) if lines else "  (no per-column differences above atol — ordering artifact?)"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -111,6 +140,7 @@ def main() -> int:
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
+            print(diff_report(s, o))
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     return 1 if failures else 0
 
