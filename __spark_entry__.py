@@ -380,6 +380,24 @@ def _q_hmm_generate(spark, sf):
     return generate_face(spark, HMM.random(4, 5, seed=42), n_sequences=200, t_len=20)
 
 
+def _q_temperature_mixture(spark, sf):
+    from baum_welch_spark.operators.sampling import temperature_mixture_documents
+
+    return temperature_mixture_documents(*_tables(spark, sf, "documents"))
+
+
+def _q_emb_quantize(spark, sf):
+    from baum_welch_spark.operators.quantize import emb_quantize
+
+    return emb_quantize(*_tables(spark, sf, "embeddings"))
+
+
+def _q_knn_quantized(spark, sf):
+    from baum_welch_spark.operators.quantize import knn_quantized
+
+    return knn_quantized(*_tables(spark, sf, "embeddings"))
+
+
 def _q_dup_ngrams(spark, sf):
     from baum_welch_spark.operators.ngramaudit import dup_ngrams
 
@@ -589,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "hmm_fit_grouped": _q_hmm_fit_grouped,
         "dup_ngrams": _q_dup_ngrams,
+        "emb_quantize": _q_emb_quantize,
+        "knn_quantized": _q_knn_quantized,
+        "temperature_mixture": _q_temperature_mixture,
         # changed r4 / driver-verified r4, kept under watch
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
@@ -628,12 +649,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
         "sessionize": _q_sessionize,
+        # ---- driver's 50-entry window ends here (sessionize is #50);
+        # everything below is green in CORRECTNESS_r03/r04 (or rows-only by
+        # nature) and unchanged
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
         "q6_forecast_revenue": _q_q6,
-        # ---- driver's 50-entry window ends here; everything below is green
-        # in CORRECTNESS_r03/r04 (or rows-only by nature) and unchanged
         "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
@@ -761,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
         # sampling from λ is not SQL-expressible)
         "posterior_decode": _posterior_oracle(),
         "dup_ngrams": _dup_ngrams_sql(),
+        "emb_quantize": _quantize_sql()[0],
+        "knn_quantized": _quantize_sql()[1],
+        "temperature_mixture": _temperature_sql(),
         # clustering oracle: recursive-CTE transitive closure over the exact
         # Jaccard pair set (dedup.py) — upgrades dedup_clusters from rows-only
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
@@ -826,3 +851,15 @@ def _dup_ngrams_sql() -> str:
     from baum_welch_spark.operators.ngramaudit import DUP_NGRAMS_SQL
 
     return DUP_NGRAMS_SQL
+
+
+def _quantize_sql() -> tuple[str, str]:
+    from baum_welch_spark.operators.quantize import EMB_QUANTIZE_SQL, KNN_QUANTIZED_SQL
+
+    return EMB_QUANTIZE_SQL, KNN_QUANTIZED_SQL
+
+
+def _temperature_sql() -> str:
+    from baum_welch_spark.operators.sampling import TEMPERATURE_MIXTURE_SQL
+
+    return TEMPERATURE_MIXTURE_SQL

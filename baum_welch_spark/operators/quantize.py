@@ -1,0 +1,177 @@
+"""Embedding quantization: int8 scalar quantization (per-dimension global
+min/max) and top-k search over the quantized vectors — the memory/IO lever
+for ANN at 100 TB (4-8x smaller candidate scans; FAISS's ScalarQuantizer
+recipe, public knowledge).
+
+Scale posture:
+
+- Pass 1 (per-dim min/max) is an exact combinable aggregate, d rows to the
+  driver — model-sized, like the PCA mean collect (`linalg.py`).
+- Pass 2 is a SHUFFLE-FREE Catalyst fold against literal (min, range)
+  vectors: no UDF, no corpus-keyed shuffle. Codes live alongside the
+  full-precision column; a production pipeline writes them once and scans
+  the int8 column for candidate generation thereafter.
+- ``knn_quantized`` reconstructs v̂ = mn + code * range / 255 inside the
+  same fold and reuses the brute-force broadcast-query top-k shape
+  (`similarity.knn_brute`) — recall loss comes only from rounding, pinned
+  by tests against the exact kNN.
+
+Cross-engine exactness: min/max are order-insensitive (no float summation),
+and both engines evaluate the identical rounding expression, so codes —
+unlike sums — are bit-reproducible and the whole operator is DuckDB exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from baum_welch_spark.functions.columns import as_double_array as _as_double
+from baum_welch_spark.functions.columns import dot as _dot
+from baum_welch_spark.functions.columns import l2_norm as _norm
+
+#: quantization levels - 1 (int8 codes 0..255)
+_QMAX = 255.0
+
+
+def _dim_ranges(embeddings: DataFrame) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) — exact aggregates, d rows (driver-sized)."""
+    rows = (
+        embeddings.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    return [(r["mn"], r["mx"]) for r in rows]
+
+
+def _code_array(ranges: list[tuple[float, float]]):
+    """Codes for every dim as ONE nested zip_with fold against literal
+    (min, range) arrays — a d-wide array expression compiles to a loop,
+    where d separate per-dim column expressions would explode whole-stage
+    codegen (measured: 32 s -> ~2 s at d = 64). The arithmetic is written
+    with the exact operation order of the SQL oracle:
+    round((v - mn) * 255 / (mx - mn)), 0 where the dim is constant."""
+    emb = _as_double(F.col("embedding"))
+    mn_arr = F.array(*[F.lit(float(mn)) for mn, _ in ranges])
+    rng_arr = F.array(*[F.lit(float(mx) - float(mn)) for mn, mx in ranges])
+    centered = F.zip_with(emb, mn_arr, lambda v, m: v - m)
+    return F.zip_with(
+        centered,
+        rng_arr,
+        lambda d, r: F.when(r == 0.0, F.lit(0.0)).otherwise(
+            F.round(d * F.lit(_QMAX) / r)
+        ),
+    )
+
+
+def emb_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 codes: (vec_id, codes_str), codes comma-joined in
+    dimension order (strings because the driver's canonicalizer can't hash
+    arrays — same convention as viterbi's path_str)."""
+    ranges = _dim_ranges(embeddings)
+    if not ranges:
+        return embeddings.sparkSession.createDataFrame([], "vec_id long, codes_str string")
+    codes_str = F.array_join(
+        F.transform(_code_array(ranges), lambda c: c.cast("bigint").cast("string")), ","
+    )
+    return embeddings.select("vec_id", codes_str.alias("codes_str")).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+codes AS (
+  SELECT x.vec_id, x.i,
+         CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE CAST(round((x.v - mm.mn) * 255.0 / (mm.mx - mm.mn)) AS BIGINT)
+         END AS code
+  FROM x JOIN mm ON x.i = mm.i
+)
+SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY i) AS codes_str
+FROM codes GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+KNN_QUANTIZED_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+recon AS (
+  SELECT x.vec_id, x.i,
+         CASE WHEN mm.mx = mm.mn THEN mm.mn
+              ELSE mm.mn + CAST(CAST(round((x.v - mm.mn) * 255.0 / (mm.mx - mm.mn)) AS BIGINT) AS DOUBLE)
+                   * (mm.mx - mm.mn) / 255.0
+         END AS rv
+  FROM x JOIN mm ON x.i = mm.i
+),
+vecs AS (SELECT vec_id, list(rv ORDER BY i) AS v FROM recon GROUP BY vec_id),
+q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+  FROM c, q
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def _recon_array(ranges: list[tuple[float, float]]):
+    """Reconstruction v̂_i = mn + code_i * (mx - mn) / 255 as the same
+    compact nested zip_with fold (SQL-oracle operation order; constant dims
+    reconstruct to mn exactly since their code is 0)."""
+    mn_arr = F.array(*[F.lit(float(mn)) for mn, _ in ranges])
+    rng_arr = F.array(*[F.lit(float(mx) - float(mn)) for mn, mx in ranges])
+    scaled = F.zip_with(_code_array(ranges), rng_arr, lambda c, r: c * r / F.lit(_QMAX))
+    return F.zip_with(scaled, mn_arr, lambda t, m: m + t)
+
+
+def knn_quantized(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k over RECONSTRUCTED int8 vectors — measures
+    exactly what a quantized candidate scan would rank. Same shape as
+    knn_brute: query side broadcast, corpus side shuffle-free, per-query
+    window over Q x k rows. Output: (q_id, c_id, cos, rk)."""
+    ranges = _dim_ranges(embeddings)
+    if not ranges:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, cos double, rk int"
+        )
+    recon = _recon_array(ranges)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), recon.alias("qv")
+    )
+    c = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("c_id"), recon.alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "c_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos", "rk")
+    )

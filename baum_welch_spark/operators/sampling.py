@@ -207,6 +207,91 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame, group_col: str, key_col: str, alpha: float = 0.5, seed: int = 13
+) -> DataFrame:
+    """Temperature-flattened domain mixing: keep per-group counts
+    proportional to n_g^alpha (alpha < 1 upweights small domains — the
+    multilingual/domain-balancing exponent of XLM-R / GLaM, public
+    knowledge), capped by the no-upsampling feasibility constraint. The
+    weights need no normalization: floor-allocation is invariant to scaling
+    all weights, so w_g = n_g^alpha is used directly.
+
+    With the default alpha = 0.5 the weight is ``sqrt(n)`` — IEEE-exact
+    (correctly rounded) in every engine, so keep counts are bit-identical
+    cross-engine and the face is DuckDB exact. Other alphas go through
+    ``pow`` whose last-ulp behavior is libm-specific; semantics identical,
+    oracle-exactness only guaranteed for 0.5.
+
+    Scale shape: group counts are one combinable aggregate broadcast back;
+    selection is the per-group portable-hash rank window (cap_per_group's
+    shape and caveats).
+    """
+    from pyspark.sql import Window
+
+    wcol = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    scale = counts.agg(F.min(F.col("__n") / wcol).alias("__scale"))
+    keep = (
+        counts.join(F.broadcast(scale), how="cross")
+        .select(
+            group_col,
+            F.floor(wcol * F.col("__scale")).cast("bigint").alias("__keep"),
+        )
+    )
+    h = _keyed_hash(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(keep), group_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__keep"))
+        .drop("__keep", "__rk")
+    )
+
+
+def temperature_mixture_documents(documents: DataFrame) -> DataFrame:
+    """Driver-contract face: same source buckets as the fixed-weight mixture
+    face, flattened at alpha = 0.5."""
+    b = F.concat(
+        F.lit("bucket"),
+        (F.regexp_extract("source", r"(\d+)$", 1).cast("bigint") % 3).cast("string"),
+    )
+    docs = documents.withColumn("bucket", b)
+    out = temperature_mixture(docs, "bucket", "doc_id")
+    return out.select("doc_id", "bucket").orderBy("doc_id")
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         'bucket' || (regexp_extract(source, '(\\d+)$', 1)::BIGINT % 3)::VARCHAR AS bucket
+  FROM documents
+),
+counts AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+k AS (
+  SELECT bucket,
+         CAST(floor(sqrt(n::DOUBLE) * (SELECT min(n::DOUBLE / sqrt(n::DOUBLE)) FROM counts)) AS BIGINT) AS keep
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM b
+)
+SELECT r.doc_id, r.bucket FROM ranked r JOIN k ON r.bucket = k.bucket
+WHERE r.rk <= k.keep
+ORDER BY doc_id
+"""
+
+
 # driver face: documents re-mixed to 60/30/10 over three source buckets
 # (srcN mapped by trailing number mod 3), keyed by doc_id. The bucket trick
 # exercises non-uniform group sizes at sf0.01 (rest of the sources dropped).

@@ -106,6 +106,33 @@ def test_cap_per_group_bounds_and_determinism(spark):
     assert ids1 == ids2
 
 
+def test_temperature_mixture_flattens_toward_sqrt(spark):
+    """alpha = 0.5 keeps per-group counts proportional to sqrt(n): the
+    smallest group keeps (nearly) everything and the largest is downsampled
+    the hardest; allocation is exact floor(sqrt(n) * min(n / sqrt(n)))."""
+    import math
+
+    from baum_welch_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "k long, g string")
+    kept = temperature_mixture(df, "g", "k").groupBy("g").count().collect()
+    got = {r.g: r["count"] for r in kept}
+    scale = min(n / math.sqrt(n) for n in (400, 100, 25))  # = sqrt(25) = 5
+    want = {g: math.floor(math.sqrt(n) * scale) for g, n in [("big", 400), ("mid", 100), ("small", 25)]}
+    assert got == want  # {big: 100, mid: 50, small: 25}
+    # the kept ratio rises as group size falls (the flattening property)
+    assert got["small"] / 25 > got["mid"] / 100 > got["big"] / 400
+    # deterministic on rerun
+    a = {r.k for r in temperature_mixture(df, "g", "k").select("k").collect()}
+    b = {r.k for r in temperature_mixture(df, "g", "k").select("k").collect()}
+    assert a == b
+
+
 def test_portable_hash60_matches_duckdb_on_arbitrary_strings(spark):
     """The whole portable-oracle foundation: Spark's portable_hash60 must
     equal DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT for arbitrary
