@@ -253,6 +253,42 @@ def _q_q4(spark, sf):
     return q4_late_orders(*_tables(spark, sf, "orders", "lineitem"))
 
 
+def _q_q10(spark, sf):
+    from baum_welch_spark.operators.relational import q10_returned_revenue
+
+    return q10_returned_revenue(*_tables(spark, sf, "customer", "orders", "lineitem", "nation"))
+
+
+def _q_q14(spark, sf):
+    from baum_welch_spark.operators.relational import q14_promo_share
+
+    return q14_promo_share(*_tables(spark, sf, "lineitem", "part"))
+
+
+def _q_q15(spark, sf):
+    from baum_welch_spark.operators.relational import q15_top_supplier
+
+    return q15_top_supplier(*_tables(spark, sf, "lineitem", "supplier"))
+
+
+def _q_q19(spark, sf):
+    from baum_welch_spark.operators.relational import q19_bracket_revenue
+
+    return q19_bracket_revenue(*_tables(spark, sf, "lineitem", "part"))
+
+
+def _q_merge_upsert(spark, sf):
+    from baum_welch_spark.operators.merge import merge_upsert
+
+    return merge_upsert(*_tables(spark, sf, "orders"))
+
+
+def _q_scd2_history(spark, sf):
+    from baum_welch_spark.operators.merge import scd2_history
+
+    return scd2_history(*_tables(spark, sf, "events"))
+
+
 def _q_daily_revenue_ma7(spark, sf):
     from baum_welch_spark.operators.relational import daily_revenue_ma7
 
@@ -672,6 +708,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewers_no_purchase": _q_viewers_no_purchase,
         "value_quantiles": _q_value_quantiles,
         "q4_late_orders": _q_q4,
+        # new r5 relational faces (multi-way joins, conditional agg,
+        # max-subquery, disjunctive brackets) — driver-verify next rotation
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
+        "q15_top_supplier": _q_q15,
+        "q19_bracket_revenue": _q_q19,
+        "merge_upsert": _q_merge_upsert,
+        "scd2_history": _q_scd2_history,
         "daily_revenue_ma7": _q_daily_revenue_ma7,
         "user_type_stats": _q_user_type_stats,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -698,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         layout,
         linalg,
         markov,
+        merge,
         packing,
         quality,
         rangejoin,
@@ -759,6 +804,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": similarity.KNN_BRUTE_SQL,
         "cosine_neardup": similarity.COSINE_NEARDUP_SQL,
         "q4_late_orders": relational.Q4_SQL,
+        "q10_returned_revenue": relational.Q10_SQL,
+        "q14_promo_share": relational.Q14_SQL,
+        "q15_top_supplier": relational.Q15_SQL,
+        "q19_bracket_revenue": relational.Q19_SQL,
+        "merge_upsert": merge.MERGE_UPSERT_SQL,
+        "scd2_history": merge.SCD2_HISTORY_SQL,
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
