@@ -382,6 +382,15 @@ def _q_knn_ivf_kmeans(spark, sf):
     return knn_ivf_kmeans(*_tables(spark, sf, "embeddings"))
 
 
+def _q_knn_pq(spark, sf):
+    # rows-only by nature: the PQ codebooks come from a distributed k-means
+    # (operators/pq.py), not SQL-expressible; pytest pins recall >= 0.5 vs
+    # knn_brute and exact-cos agreement on overlapping pairs
+    from baum_welch_spark.operators.pq import knn_pq
+
+    return knn_pq(*_tables(spark, sf, "embeddings"))
+
+
 def _q_viterbi_decode(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.decode import viterbi_decode_face
@@ -723,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyer_days": _q_repeat_buyer_days,
         "value_approx_quantiles": _q_value_approx_quantiles,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "knn_pq": _q_knn_pq,
         "stratified_sample": _q_stratified_sample,
         "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,

@@ -1,0 +1,271 @@
+"""Product quantization (PQ) for embedding ANN — the memory-scale path.
+
+Beyond-reference LLM-pipeline operator (the reference engine has no vector
+surface; SURVEY §2.7 north star). IVF (clustering.py) prunes WHICH vectors
+get scored; PQ compresses WHAT is scored: each d-dim float vector becomes
+``m`` one-byte codes (one codeword index per d/m-dim subspace), a 32x
+compression at d=64/m=8 that lets a 100 TB embedding corpus's index fit in
+executor memory. Search uses the classic asymmetric distance computation
+(ADC, Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+Search"): per query, a (m, n_codes) lookup table of exact
+subspace-distances to every codeword, so a candidate's approximate distance
+is m table adds — no float vector is ever touched at query time.
+
+Scale posture:
+- Training: ALL m codebooks train in one Lloyd loop — each iteration is a
+  single ``mapInPandas`` scan emitting (subspace, cluster, pos, partial)
+  rows, combined by a Catalyst partial agg; the shuffle is
+  m * n_codes * (d/m + 1) rows, model-sized, independent of corpus size.
+  The normalized source frame is persisted across iterations (the
+  classifier-fix pattern; one corpus read total).
+- Encoding: one shuffle-free ``mapInPandas`` pass with broadcast codebooks.
+- Search: LUTs are query-side-only (n_queries * m * n_codes doubles,
+  broadcast); candidate scoring is shuffle-free; the final per-query top-k
+  is the same window ``knn_brute`` uses.
+
+Vectors are L2-normalized first, so squared-L2 ADC order == cosine order
+(``cos = 1 - d2/2``) and recall is directly comparable to ``knn_brute``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: sentinel `pos` carrying the per-(subspace, cluster) count
+_COUNT_POS = -1
+
+
+def _normalized(embeddings: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    return embeddings.select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("nv")
+    )
+
+
+def _seed_codebooks(src: DataFrame, m: int, n_codes: int, seed: int) -> np.ndarray:
+    """Deterministic seeding, the clustering.py convention: the n_codes
+    vectors with the smallest murmur3(vec_id, seed) seed EVERY subspace
+    (their subvectors differ per subspace, so the codebooks diverge from
+    iteration 1)."""
+    rows = (
+        src.select("vec_id", "nv", F.hash("vec_id", F.lit(seed)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"n_codes={n_codes} exceeds embedding rows ({len(rows)})")
+    X = np.vstack([np.asarray(r.nv, dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    # (m, n_codes, ds)
+    return np.stack([X[:, j * ds : (j + 1) * ds] for j in range(m)])
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 8,
+    seed: int = 7,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Train m subspace codebooks jointly; returns (m, n_codes, d/m)."""
+    spark = embeddings.sparkSession
+    sc = spark.sparkContext
+    src = _normalized(embeddings).persist()
+    try:
+        books = _seed_codebooks(src, m, n_codes, seed)
+        ds = books.shape[2]
+
+        for _ in range(max_iter):
+            bc = sc.broadcast(books)
+
+            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                B = bc.value  # (m, k, ds)
+                mm, kk, dd = B.shape
+                sums = np.zeros((mm, kk, dd))
+                counts = np.zeros((mm, kk))
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+                    for j in range(mm):
+                        S = X[:, j * dd : (j + 1) * dd]
+                        d2 = (
+                            (S * S).sum(axis=1)[:, None]
+                            - 2.0 * (S @ B[j].T)
+                            + (B[j] * B[j]).sum(axis=1)[None, :]
+                        )
+                        a = np.argmin(d2, axis=1)
+                        np.add.at(sums[j], a, S)
+                        np.add.at(counts[j], a, 1.0)
+                out = []
+                for j in range(mm):
+                    nz = np.nonzero(counts[j])[0]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "subspace": np.repeat(j, len(nz) * dd + len(nz)).astype(np.int32),
+                                "cluster": np.concatenate([np.repeat(nz, dd), nz]).astype(np.int32),
+                                "pos": np.concatenate(
+                                    [np.tile(np.arange(dd), len(nz)), np.full(len(nz), _COUNT_POS)]
+                                ).astype(np.int32),
+                                "val": np.concatenate([sums[j][nz].ravel(), counts[j][nz]]),
+                            }
+                        )
+                    )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+            agg = (
+                src.mapInPandas(partials, schema="subspace int, cluster int, pos int, val double")
+                .groupBy("subspace", "cluster", "pos")
+                .agg(F.sum("val").alias("val"))
+                .collect()
+            )
+            bc.unpersist()
+            sums = np.zeros((m, n_codes, ds))
+            counts = np.zeros((m, n_codes))
+            for r in agg:
+                if r.pos == _COUNT_POS:
+                    counts[r.subspace, r.cluster] = r.val
+                else:
+                    sums[r.subspace, r.cluster, r.pos] = r.val
+            new_books = books.copy()  # empty codewords hold position
+            nz = counts > 0
+            new_books[nz] = sums[nz] / counts[nz][:, None]
+            shift = float(np.linalg.norm(new_books - books))
+            books = new_books
+            if shift < tol:
+                break
+        return books
+    finally:
+        src.unpersist()
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — one shuffle-free Arrow pass."""
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for j in range(mm):
+                S = X[:, j * dd : (j + 1) * dd]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "codes": list(codes)})
+
+    return _normalized(embeddings).mapInPandas(encode, schema="vec_id bigint, codes array<int>")
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 8,
+    seed: int = 7,
+    rerank: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ/ADC with exact re-ranking — the
+    production IVFADC pipeline shape (Jegou et al. §V): ADC over the byte
+    codes prunes the corpus to a per-query shortlist of ``rerank``
+    candidates (compressed-domain, no float vector touched), then ONLY the
+    shortlist rows fetch their real vectors for an exact cosine. At 100 TB
+    the exact stage reads rerank * n_queries vectors instead of the corpus.
+    Output schema matches ``knn_brute`` (q_id, c_id, cos, rk) with ``cos``
+    exact, so overlapping pairs agree with the brute list bit-for-bit."""
+    spark = embeddings.sparkSession
+    books = pq_train(embeddings, m=m, n_codes=n_codes, max_iter=max_iter, seed=seed)
+    corpus = pq_encode(embeddings.filter(F.col("vec_id") >= n_queries), books)
+
+    q_rows = (
+        _normalized(embeddings.filter(F.col("vec_id") < n_queries))
+        .orderBy("vec_id")
+        .collect()
+    )
+    # per-query LUT of exact subspace distances to every codeword
+    mm, kk, dd = books.shape
+    luts = np.empty((len(q_rows), mm, kk))
+    q_ids = []
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r.nv, dtype=np.float64)
+        q_ids.append(int(r.vec_id))
+        for j in range(mm):
+            sub = qv[j * dd : (j + 1) * dd]
+            luts[qi, j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+    sc = spark.sparkContext
+    bc = sc.broadcast((np.asarray(q_ids, dtype=np.int64), luts))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, L = bc.value  # (Q,), (Q, m, k)
+        Q = len(ids)
+        flat = L.reshape(Q, mm * kk)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # offset codes into the flattened (m*k) LUT axis
+            idx = C + (np.arange(mm) * kk)[None, :]
+            # (N, Q): ADC distance of every candidate to every query
+            d2 = flat[:, idx].sum(axis=2).T
+            n = len(C)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids, n),
+                    "c_id": np.tile(pdf["vec_id"].values, Q),
+                    "adc": np.round(1.0 - d2.T.ravel() / 2.0, 6),
+                }
+            )
+
+    scored = corpus.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w))
+        .filter(F.col("srk") <= rerank)
+        .select("q_id", "c_id")
+    )
+    # exact re-rank: shortlist ids join back their normalized vectors;
+    # the query side is a broadcast n_queries-row frame
+    q_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in np.asarray(r.nv)]) for i, r in zip(q_ids, q_rows)],
+        schema="q_id bigint, qv array<double>",
+    )
+    cand = _normalized(embeddings).select(
+        F.col("vec_id").alias("c_id"), F.col("nv").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    exact = (
+        shortlist.join(cand, "c_id")
+        .join(F.broadcast(q_df), "q_id")
+        .withColumn("cos", F.round(dot, 6))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos", "rk")
+    )

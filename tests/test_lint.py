@@ -29,6 +29,9 @@ ALLOWED = {
     "operators/bpe.py": {"collect": 1, "toPandas": 0},
     # int8 quantizer: d-row per-dimension (min, max) ranges — model-sized
     "operators/quantize.py": {"collect": 1, "toPandas": 0},
+    # PQ: n_codes seed rows, m*k*(ds+1) Lloyd partials per iteration,
+    # n_queries query rows — all model-sized
+    "operators/pq.py": {"collect": 3, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},

@@ -1,0 +1,82 @@
+"""Product-quantization ANN (operators/pq.py): NumPy codebook oracle for a
+single Lloyd step, encode determinism, ADC math, and recall vs brute force."""
+
+import numpy as np
+import pytest
+
+from baum_welch_spark.operators.pq import knn_pq, pq_encode, pq_train
+from baum_welch_spark.operators.similarity import knn_brute
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF0001, "embeddings").cache()
+
+
+def _norm_matrix(embeddings):
+    pdf = embeddings.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
+def test_pq_train_shapes_and_determinism(spark, embeddings):
+    b1 = pq_train(embeddings, m=8, n_codes=16, max_iter=3)
+    b2 = pq_train(embeddings, m=8, n_codes=16, max_iter=3)
+    assert b1.shape == (8, 16, 8)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_pq_codebooks_match_numpy_lloyd(spark, embeddings):
+    """One distributed Lloyd step == one in-memory Lloyd step from the same
+    seeds (the kmeans_fit oracle pattern, per subspace)."""
+    from baum_welch_spark.operators.pq import _normalized, _seed_codebooks
+
+    src = _normalized(embeddings)
+    seeds = _seed_codebooks(src, m=8, n_codes=16, seed=7)
+    spark_books = pq_train(embeddings, m=8, n_codes=16, max_iter=1)
+    _, M = _norm_matrix(embeddings)
+    ds = M.shape[1] // 8
+    for j in range(8):
+        S = M[:, j * ds : (j + 1) * ds]
+        C = seeds[j]
+        d2 = (S * S).sum(1)[:, None] - 2 * S @ C.T + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        expect = C.copy()
+        for c in range(16):
+            if (a == c).any():
+                expect[c] = S[a == c].mean(axis=0)
+        np.testing.assert_allclose(spark_books[j], expect, atol=1e-9)
+
+
+def test_pq_encode_matches_numpy(spark, embeddings):
+    books = pq_train(embeddings, m=8, n_codes=16, max_iter=2)
+    codes = {
+        r.vec_id: list(r.codes) for r in pq_encode(embeddings, books).collect()
+    }
+    ids, M = _norm_matrix(embeddings)
+    ds = M.shape[1] // 8
+    for i, vid in enumerate(ids[:50]):
+        for j in range(8):
+            S = M[i, j * ds : (j + 1) * ds]
+            d2 = ((books[j] - S[None, :]) ** 2).sum(axis=1)
+            assert codes[vid][j] == int(np.argmin(d2))
+
+
+def test_knn_pq_recall_vs_brute(spark, embeddings):
+    brute = {(r.q_id, r.c_id) for r in knn_brute(embeddings, n_queries=5, k=5).collect()}
+    pq = knn_pq(embeddings, n_queries=5, k=5, m=8, n_codes=16).collect()
+    hits = {(r.q_id, r.c_id) for r in pq}
+    recall = len(brute & hits) / len(brute)
+    assert recall >= 0.5, f"PQ recall {recall}"
+    # every query returns exactly k ranked candidates with rk dense from 1
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rks in by_q.values():
+        assert sorted(rks) == [1, 2, 3, 4, 5]
