@@ -613,6 +613,12 @@ def _q_trigram_lm_score(spark, sf):
     return trigram_lm_score(*_tables(spark, sf, "documents"))
 
 
+def _q_ppl_filter(spark, sf):
+    from baum_welch_spark.operators.corpus import ppl_filter
+
+    return ppl_filter(*_tables(spark, sf, "documents"))
+
+
 def _q_cohort_retention(spark, sf):
     from baum_welch_spark.operators.relational import cohort_retention
 
@@ -725,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_revenue": _q_q19,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
+        "ppl_filter": _q_ppl_filter,
         "daily_revenue_ma7": _q_daily_revenue_ma7,
         "user_type_stats": _q_user_type_stats,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -832,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": corpus.CORPUS_REPORT_SQL,
         "ohlc_bars": relational.OHLC_BARS_SQL,
         "trigram_lm_score": corpus.TRIGRAM_LM_SCORE_SQL,
+        "ppl_filter": corpus._ppl_filter_sql(),
         "cohort_retention": relational.COHORT_RETENTION_SQL,
         "rolling_user_spend": relational.ROLLING_USER_SPEND_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,

@@ -683,3 +683,48 @@ SELECT doc_id,
        round(sum(fell_back) * 1.0 / sum(cnt), 6) AS backoff_frac
 FROM scored GROUP BY doc_id
 """
+
+
+def ppl_filter(documents: DataFrame, keep_fraction: float = 0.8, train_mod: int = 5) -> DataFrame:
+    """Perplexity-percentile corpus filter — the CCNet/Gopher-style quality
+    gate: score every document with the held-out trigram Stupid-Backoff LM
+    (:func:`trigram_lm_score`; higher ``avg_log_s`` = more fluent), then
+    keep the most fluent ``keep_fraction`` by GLOBAL percent-rank.
+
+    A percentile cut (unlike a fixed threshold) is stable across corpora
+    whose absolute LM scores drift — but naively it is a global sort. Uses
+    :func:`relational.global_rank` (range-partitioned two-phase rank) over
+    the doc-count-sized score frame, so no stage funnels the corpus through
+    one partition. Tie-break on doc_id makes the rank unique, so
+    rank()/percent_rank() semantics match the oracle exactly.
+
+    Output: (doc_id, avg_log_s, rk, pct_rank) for kept docs.
+    """
+    from baum_welch_spark.operators.relational import global_rank
+
+    scored = trigram_lm_score(documents, train_mod=train_mod).select(
+        "doc_id", "avg_log_s"
+    )
+    ranked = global_rank(
+        scored, [F.desc("avg_log_s"), F.asc("doc_id")], rank_col="rk", pct_col="__pct"
+    )
+    return (
+        ranked.withColumn("pct_rank", F.round(F.col("__pct"), 6))
+        .filter(F.col("pct_rank") <= keep_fraction)
+        .select("doc_id", "avg_log_s", "rk", "pct_rank")
+        .orderBy("rk")
+    )
+
+
+def _ppl_filter_sql(keep_fraction: float = 0.8) -> str:
+    return f"""
+WITH base AS ({TRIGRAM_LM_SCORE_SQL}),
+ranked AS (
+  SELECT doc_id, avg_log_s,
+         rank() OVER (ORDER BY avg_log_s DESC, doc_id ASC) AS rk,
+         round(percent_rank() OVER (ORDER BY avg_log_s DESC, doc_id ASC), 6) AS pct_rank
+  FROM base
+)
+SELECT doc_id, avg_log_s, rk, pct_rank FROM ranked
+WHERE pct_rank <= {keep_fraction} ORDER BY rk
+"""
