@@ -576,3 +576,31 @@ def test_rolling_user_spend_range_frame_semantics(spark):
         4: (1, 40.0),
         5: (1, 5.0),
     }
+
+
+def test_q10_plan_broadcasts_nation_and_pushes_filters(spark):
+    dfs = [load_table(spark, SF0001, t) for t in ("customer", "orders", "lineitem", "nation")]
+    rep = assert_plan(
+        relational.q10_returned_revenue(*dfs), require_broadcast=True, require_pushdown=True
+    )
+    assert rep["python_stages"] == 0
+
+
+def test_q14_q19_plans_push_filters_stay_codegen(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    part = load_table(spark, SF0001, "part")
+    rep = assert_plan(relational.q14_promo_share(li, part), require_pushdown=True, max_shuffles=3)
+    assert rep["python_stages"] == 0
+    # q19: the OR of the three quantity ranges must still reach the scan
+    rep = assert_plan(relational.q19_bracket_revenue(li, part), require_pushdown=True)
+    assert rep["python_stages"] == 0
+
+
+def test_merge_upsert_plan_single_join_no_python(spark):
+    from baum_welch_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, SF0001, "orders")
+    rep = plan_report(merge_upsert(orders))
+    assert rep["python_stages"] == 0
+    assert rep["nested_loop_joins"] == 0
+    assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 1

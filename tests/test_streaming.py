@@ -276,3 +276,32 @@ def test_spend_alert_tws_variant_skips_or_matches(spark):
     stream = spend_alert_stream_tws(stream_events(spark, SF0001), threshold=500.0)
     run_to_memory(stream, "alerts_tws", output_mode="append")
     assert spark.sql("SELECT count(*) AS n FROM alerts_tws").collect()[0].n > 0
+
+
+def test_stream_trending_topk_matches_batch(spark):
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+    from baum_welch_spark.streaming.trending import topk_per_window, trending_counts
+
+    stream = trending_counts(stream_events(spark, SF0001))
+    run_to_memory(stream, "trending_counts_sink")
+    got = {
+        (r.w_start, r.key): (r.cnt, r.rk)
+        for r in topk_per_window(spark.sql("SELECT * FROM trending_counts_sink")).collect()
+    }
+    batch_counts = (
+        load_table(spark, SF0001, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                 F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "key", "cnt")
+    )
+    expect = {
+        (r.w_start, r.key): (r.cnt, r.rk)
+        for r in topk_per_window(batch_counts).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+    # sliding windows: every event timestamp is covered by 2 windows, so
+    # there are ~2x as many (window, key) sink rows as tumbling would give
+    n_windows = spark.sql("SELECT count(DISTINCT w_start) AS n FROM trending_counts_sink").collect()[0].n
+    assert n_windows >= 2
