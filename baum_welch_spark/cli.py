@@ -158,16 +158,40 @@ def cmd_kmeans(args) -> int:
 
 
 def cmd_knn(args) -> int:
-    from baum_welch_spark.operators.similarity import knn_brute
     from baum_welch_spark.sources.io import load_table
 
     spark, _own = _session("baum-welch-knn")
     emb = load_table(spark, args.input, "embeddings")
-    out = knn_brute(emb, n_queries=args.n_queries, k=args.k)
+    if args.method == "brute":
+        from baum_welch_spark.operators.similarity import knn_brute as _knn
+    elif args.method == "ivf":
+        from baum_welch_spark.operators.clustering import knn_ivf_kmeans as _knn
+    else:
+        from baum_welch_spark.operators.pq import knn_pq as _knn
+    out = _knn(emb, n_queries=args.n_queries, k=args.k)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
         out.show(args.n_queries * args.k)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from baum_welch_spark.operators.corpus import clean_corpus, ppl_filter
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-filter")
+    docs = load_table(spark, args.input, "documents")
+    if args.gate == "ppl":
+        out = ppl_filter(docs, keep_fraction=args.keep_fraction)
+    else:
+        out = clean_corpus(docs)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20)
     if _own:
         spark.stop()
     return 0
@@ -335,12 +359,23 @@ def main(argv: list[str] | None = None) -> int:
     km.add_argument("-o", "--output")
     km.set_defaults(fn=cmd_kmeans)
 
-    kn = sub.add_parser("knn", help="exact cosine top-k similarity search")
+    kn = sub.add_parser("knn", help="cosine top-k similarity search (exact or ANN)")
     kn.add_argument("-i", "--input", required=True)
     kn.add_argument("--n-queries", type=int, default=5)
     kn.add_argument("-k", type=int, default=5)
+    kn.add_argument(
+        "--method", choices=["brute", "ivf", "pq"], default="brute",
+        help="brute = exact; ivf = trained-kmeans cells; pq = product-quantization ADC + exact re-rank",
+    )
     kn.add_argument("-o", "--output")
     kn.set_defaults(fn=cmd_knn)
+
+    fl = sub.add_parser("filter", help="corpus quality gates: perplexity percentile or full clean pipeline")
+    fl.add_argument("-i", "--input", required=True)
+    fl.add_argument("--gate", choices=["ppl", "clean"], default="ppl")
+    fl.add_argument("--keep-fraction", type=float, default=0.8)
+    fl.add_argument("-o", "--output")
+    fl.set_defaults(fn=cmd_filter)
 
     co = sub.add_parser(
         "corpus", help="corpus reports: vocab | lm-score | decontaminate | tfidf"

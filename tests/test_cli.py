@@ -119,3 +119,16 @@ def test_cli_search_bpe_zorder(spark, tmp_path):
     assert main(["zorder", "-i", SF0001, "-o", out3, "--n-files", "4"]) == 0
     zo = spark.read.parquet(out3)
     assert zo.count() == spark.read.parquet(f"{SF0001}/events.parquet").count()
+
+
+def test_cli_knn_pq_and_filter(spark, tmp_path):
+    kn = str(tmp_path / "knn_pq_out")
+    assert main(["knn", "-i", SF0001, "--method", "pq", "--n-queries", "2", "-k", "3", "-o", kn]) == 0
+    knn = spark.read.parquet(kn)
+    assert knn.count() == 6  # 2 queries x top-3
+
+    fo = str(tmp_path / "filter_out")
+    assert main(["filter", "-i", SF0001, "--gate", "ppl", "--keep-fraction", "0.5", "-o", fo]) == 0
+    kept = spark.read.parquet(fo)
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    assert 0 < kept.count() <= n_docs * 0.55
