@@ -418,6 +418,21 @@ def _q_posterior_decode(spark, sf):
     return posterior_decode(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_state_occupancy(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import state_occupancy
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return state_occupancy(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
+def _q_salted_join_segment_stats(spark, sf):
+    from baum_welch_spark.operators.skew import segment_value_stats_salted_join
+
+    return segment_value_stats_salted_join(*_tables(spark, sf, "events", "customer"))
+
+
 def _q_hmm_generate(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.generate import generate_face
@@ -711,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
+        "state_occupancy": _q_state_occupancy,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -831,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
         "salted_value_stats": skew.USER_VALUE_STATS_SALTED_SQL,
+        "salted_join_segment_stats": skew.SEGMENT_VALUE_STATS_SQL,
+        "state_occupancy": _occupancy_oracle(),
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "repeat_buyer_days": relational.REPEAT_BUYER_DAYS_SQL,
         "props_k_stats": relational.PROPS_K_STATS_SQL,
@@ -914,6 +933,13 @@ def _posterior_oracle() -> str:
     from baum_welch_spark.hmm.decode import posterior_oracle_sql
 
     return posterior_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _occupancy_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import occupancy_oracle_sql
+
+    return occupancy_oracle_sql(HMM.random(4, 5, seed=42))
 
 
 def _dup_ngrams_sql() -> str:

@@ -244,6 +244,25 @@ def posterior_oracle_sql(model: HMM) -> str:
     under a generic random model are separated by far more than that — no
     rounding boundary is involved, unlike value-emitting faces."""
     N = model.pi.shape[0]
+    j1 = range(1, N + 1)
+    gamma_argmax = _argmax_case([f"al.p{j} * bt.b{j}" for j in j1])
+    return _fb_ctes(model) + f"""
+g AS (
+  SELECT al.user_id, al.t, ({gamma_argmax}) AS state
+  FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
+)
+SELECT user_id AS seq_id,
+       string_agg(state::VARCHAR, ',' ORDER BY t) AS path_str
+FROM g GROUP BY user_id
+"""
+
+
+def _fb_ctes(model: HMM) -> str:
+    """Shared WITH-prefix for γ-based oracles: coded/lens/alpha/beta CTEs
+    (scaled forward + scaled backward recursions with the model embedded as
+    full-precision literals). Ends with a trailing comma — append the
+    consuming CTE/SELECT."""
+    N = model.pi.shape[0]
     pi, A, B = model.pi, model.A, model.B
     j1 = range(1, N + 1)
     base_u = ",\n         ".join(
@@ -260,9 +279,6 @@ def posterior_oracle_sql(model: HMM) -> str:
     norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
     nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
     base_b = ", ".join(f"{_lit(1.0)} AS b{j}" for j in j1)
-    # beta step: nb_i = sum_j A[i][j] * B[j][o_{t+1}] * b_j / scale[t+1];
-    # joining coded and alpha at the PRE-step row (c.t = a.t = b.t) makes
-    # c.sym = o_{t+1} and a.s = scale[t+1] for the new row at t = b.t - 1
     step_b = ",\n         ".join(
         "("
         + " + ".join(
@@ -272,7 +288,6 @@ def posterior_oracle_sql(model: HMM) -> str:
         + f") / a.s AS nb{i}"
         for i in j1
     )
-    gamma_argmax = _argmax_case([f"al.p{j} * bt.b{j}" for j in j1])
     return f"""
 WITH RECURSIVE coded AS ({_CODED_SQL}),
 lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
@@ -298,14 +313,70 @@ beta AS (
   JOIN alpha a ON a.user_id = b.user_id AND a.t = b.t
   WHERE b.t > 0
 ),
+"""
+
+
+def state_occupancy(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
+    """Expected state-occupancy counts: per (seq_id, state), the expected
+    number of steps spent in that state, Σ_t γ_t(state) with γ normalized
+    per step — Rabiner's occupancy statistic (1989 eq. 27 numerator), the
+    soft version of counting a decoded path's states. Same scale shape as
+    the decodes: model broadcast, narrow map, no shuffle; output is
+    N rows per sequence.
+    """
+    bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
+
+    def occupancy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from baum_welch_spark.hmm.kernel import forward_backward
+
+        pi, A, B = bc.value
+        n = pi.shape[0]
+        for pdf in batches:
+            ids, states, occs = [], [], []
+            for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
+                if obs is None or len(obs) == 0:
+                    continue
+                alpha, beta, _, _ = forward_backward(
+                    pi, A, B, np.asarray(obs, dtype=np.int64)
+                )
+                g = alpha * beta
+                g = g / g.sum(axis=1, keepdims=True)
+                occ = g.sum(axis=0)
+                ids.extend([seq_id] * n)
+                states.extend(range(n))
+                occs.extend(np.round(occ, 6))
+            yield pd.DataFrame({"seq_id": ids, "state": states, "occupancy": occs})
+
+    return sequences.mapInPandas(
+        occupancy, schema="seq_id bigint, state int, occupancy double"
+    )
+
+
+def occupancy_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for state_occupancy: the shared scaled
+    forward/backward CTEs, per-step normalized γ, summed over t per state
+    (one UNION ALL branch per state — N is model-sized)."""
+    N = model.pi.shape[0]
+    j1 = range(1, N + 1)
+    gsum = " + ".join(f"al.p{j} * bt.b{j}" for j in j1)
+    gcols = ",\n         ".join(
+        f"(al.p{j} * bt.b{j}) / ({gsum}) AS g{j}" for j in j1
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT user_id AS seq_id, {j - 1} AS state, round(sum(g{j}), 6) AS occupancy FROM g GROUP BY user_id"
+        for j in j1
+    )
+    return (
+        _fb_ctes(model)
+        + f"""
 g AS (
-  SELECT al.user_id, al.t, ({gamma_argmax}) AS state
+  SELECT al.user_id, al.t,
+         {gcols}
   FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
 )
-SELECT user_id AS seq_id,
-       string_agg(state::VARCHAR, ',' ORDER BY t) AS path_str
-FROM g GROUP BY user_id
+{branches}
 """
+    )
 
 
 def viterbi_oracle_sql(model: HMM) -> str:

@@ -129,3 +129,34 @@ SELECT event_type,
        round(max(value), 6) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def segment_value_stats_salted_join(
+    events: DataFrame, customer: DataFrame, n_salt: int = 16
+) -> DataFrame:
+    """Event value stats per customer market segment via ``salted_join`` —
+    the skew-join face: events is the big side (user_id is the join key and
+    the synthetic generator makes low ids hot), customer the replicated
+    small side. Result is identical to the plain join (the DuckDB oracle
+    runs the unsalted SQL)."""
+    big = events.select(F.col("user_id").alias("c_custkey"), "value")
+    joined = salted_join(
+        big, customer.select("c_custkey", "c_mktsegment"), key="c_custkey", n_salt=n_salt
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_VALUE_STATS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
