@@ -676,19 +676,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "knn_quantized": _q_knn_quantized,
         "temperature_mixture": _q_temperature_mixture,
-        # changed r4 / driver-verified r4, kept under watch
-        "bm25_topk": _q_bm25_topk,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "zorder_events": _q_zorder_events,
+        # new this round, second wave: relational joins/merge/SCD2, the
+        # PQ ANN and perplexity/occupancy/skew-join faces — never
+        # driver-verified, so they take window slots from entries whose last
+        # driver check (r4) is both recent and green (bm25_topk,
+        # decontaminate_bloom, zorder_events, semantic_dedup, vocab_topk_cms,
+        # corpus_report, ohlc_bars, trigram_lm_score, cohort_retention,
+        # rolling_user_spend — all rotated out, unchanged since r4)
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
+        "q15_top_supplier": _q_q15,
+        "q19_bracket_revenue": _q_q19,
+        "merge_upsert": _q_merge_upsert,
+        "scd2_history": _q_scd2_history,
+        "ppl_filter": _q_ppl_filter,
+        "knn_pq": _q_knn_pq,
+        "state_occupancy": _q_state_occupancy,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
+        # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
-        "semantic_dedup": _q_semantic_dedup,
-        "vocab_topk_cms": _q_vocab_topk_cms,
-        "corpus_report": _q_corpus_report,
-        "ohlc_bars": _q_ohlc_bars,
-        "trigram_lm_score": _q_trigram_lm_score,
-        "cohort_retention": _q_cohort_retention,
-        "rolling_user_spend": _q_rolling_user_spend,
         # changed this round (global_rank / staged PII counts / pos guard /
         # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
@@ -726,8 +733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        "salted_join_segment_stats": _q_salted_join_segment_stats,
-        "state_occupancy": _q_state_occupancy,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -740,15 +745,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewers_no_purchase": _q_viewers_no_purchase,
         "value_quantiles": _q_value_quantiles,
         "q4_late_orders": _q_q4,
-        # new r5 relational faces (multi-way joins, conditional agg,
-        # max-subquery, disjunctive brackets) — driver-verify next rotation
-        "q10_returned_revenue": _q_q10,
-        "q14_promo_share": _q_q14,
-        "q15_top_supplier": _q_q15,
-        "q19_bracket_revenue": _q_q19,
-        "merge_upsert": _q_merge_upsert,
-        "scd2_history": _q_scd2_history,
-        "ppl_filter": _q_ppl_filter,
+        # rotated OUT of the window this round (driver-verified green in r4,
+        # unchanged since)
+        "bm25_topk": _q_bm25_topk,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "zorder_events": _q_zorder_events,
+        "semantic_dedup": _q_semantic_dedup,
+        "vocab_topk_cms": _q_vocab_topk_cms,
+        "corpus_report": _q_corpus_report,
+        "ohlc_bars": _q_ohlc_bars,
+        "trigram_lm_score": _q_trigram_lm_score,
+        "cohort_retention": _q_cohort_retention,
+        "rolling_user_spend": _q_rolling_user_spend,
         "daily_revenue_ma7": _q_daily_revenue_ma7,
         "user_type_stats": _q_user_type_stats,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -756,7 +764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyer_days": _q_repeat_buyer_days,
         "value_approx_quantiles": _q_value_approx_quantiles,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "knn_pq": _q_knn_pq,
         "stratified_sample": _q_stratified_sample,
         "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,

@@ -39,29 +39,43 @@ def _build_sequences(spark, sf_dir: str):
 
 
 def cmd_train(args) -> int:
-    from baum_welch_spark.hmm.fit import fit
+    from baum_welch_spark.hmm.fit import fit, fit_restarts
 
     spark, _own = _session("baum-welch-train")
     seqs = _build_sequences(spark, args.input)
-    if args.model_in:
-        init = HMM.read(spark, args.model_in)
+    finals = None
+    if args.restarts > 1 and not args.model_in:
+        result, finals = fit_restarts(
+            spark, seqs,
+            n_hidden=args.num_hidden, n_observed=args.num_observed,
+            n_restarts=args.restarts,
+            max_iter=args.max_iterations,
+            tol=args.convergence_delta,
+            base_seed=args.seed,
+        )
     else:
-        # random seed model when none supplied (reference S6,
-        # BaumWelchUtils.BuildRandomModel / BaumWelchDriver.java:74-76)
-        init = HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
-    result = fit(
-        spark, seqs, init,
-        max_iter=args.max_iterations,
-        tol=args.convergence_delta,
-        model_out=args.output,
-    )
+        if args.model_in:
+            init = HMM.read(spark, args.model_in)
+        else:
+            # random seed model when none supplied (reference S6,
+            # BaumWelchUtils.BuildRandomModel / BaumWelchDriver.java:74-76)
+            init = HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
+        result = fit(
+            spark, seqs, init,
+            max_iter=args.max_iterations,
+            tol=args.convergence_delta,
+            model_out=args.output,
+        )
     result.model.write(spark, f"{args.output}/model-final")
-    print(json.dumps({
+    out = {
         "iterations": result.iterations,
         "converged": result.converged,
         "loglik_trace": result.loglik_trace,
         "model_dir": f"{args.output}/model-final",
-    }))
+    }
+    if finals is not None:
+        out["restart_final_logliks"] = finals
+    print(json.dumps(out))
     if _own:
         spark.stop()
     return 0
@@ -318,6 +332,10 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--convergence-delta", type=float, default=0.0)
     t.add_argument("--max-iterations", type=int, default=10)
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument(
+        "--restarts", type=int, default=1,
+        help="random restarts; keeps the best final log-likelihood (ignored with --model-in)",
+    )
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("decode", help="Viterbi (or posterior) decode sequences under a model")

@@ -196,3 +196,52 @@ def fit(
         if not caller_persisted:
             sequences.unpersist()
     return FitResult(model=model, loglik_trace=trace, iterations=iterations, converged=converged)
+
+
+def fit_restarts(
+    spark: SparkSession,
+    sequences: DataFrame,
+    n_hidden: int,
+    n_observed: int,
+    n_restarts: int = 4,
+    max_iter: int = 10,
+    tol: float = 0.0,
+    base_seed: int = 42,
+) -> tuple[FitResult, list[float]]:
+    """Multi-restart EM: run :func:`fit` from ``n_restarts`` random
+    initializations (seeds ``base_seed + r``) and keep the run with the
+    best final-iteration log-likelihood — the standard guard against EM's
+    local optima that a single random init cannot give (the reference
+    driver trains one init only; this is the robustness wrapper around its
+    D2 loop).
+
+    The sequence corpus is persisted ONCE here and shared by every restart
+    (fit respects a caller-managed cache), so n_restarts costs n_restarts
+    EM loops over cached data, not n_restarts corpus reads. Restarts run
+    sequentially; per-restart work is already cluster-wide parallel, so
+    concurrency across restarts would only contend for the same executors.
+
+    Final log-likelihoods are comparable across restarts because every
+    trace entry r is P(O | λ_r) evaluated by the SAME E-step at the same
+    iteration index. Returns (best FitResult, final loglik per restart).
+    """
+    from baum_welch_spark.hmm.model import HMM
+
+    if n_restarts < 1:
+        raise ValueError("n_restarts must be >= 1")
+    caller_persisted = sequences.storageLevel.useMemory or sequences.storageLevel.useDisk
+    if not caller_persisted:
+        sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        best: FitResult | None = None
+        finals: list[float] = []
+        for r in range(n_restarts):
+            init = HMM.random(n_hidden, n_observed, seed=base_seed + r)
+            res = fit(spark, sequences, init, max_iter=max_iter, tol=tol)
+            finals.append(res.loglik_trace[-1])
+            if best is None or res.loglik_trace[-1] > best.loglik_trace[-1]:
+                best = res
+        return best, finals
+    finally:
+        if not caller_persisted:
+            sequences.unpersist()

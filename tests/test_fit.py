@@ -91,3 +91,20 @@ def test_model_parquet_roundtrip(spark, sequences_df, tmp_path):
     reloaded = HMM.read(spark, f"{out}/model-1")
     np.testing.assert_allclose(reloaded.A, result.model.A, atol=1e-12)
     np.testing.assert_allclose(reloaded.B, result.model.B, atol=1e-12)
+
+
+def test_fit_restarts_picks_best_loglik(spark):
+    from baum_welch_spark.hmm.fit import fit_restarts
+    from baum_welch_spark.operators.sequences import build_sequences
+    from baum_welch_spark.sources.io import load_table
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_sequences(events)
+    best, finals = fit_restarts(spark, seqs, n_hidden=3, n_observed=5,
+                                n_restarts=3, max_iter=2, base_seed=7)
+    assert len(finals) == 3
+    assert best.loglik_trace[-1] == max(finals)
+    # deterministic: same seeds, same winner
+    best2, finals2 = fit_restarts(spark, seqs, n_hidden=3, n_observed=5,
+                                  n_restarts=3, max_iter=2, base_seed=7)
+    assert finals == finals2

@@ -97,4 +97,5 @@ def test_driver_window_stays_oracle_dense():
         "quality_classifier",
         "bpe_merges",
         "hmm_fit_grouped",
+        "knn_pq",
     }, rows_only_in_window
