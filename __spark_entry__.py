@@ -568,6 +568,12 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_linreg_price(spark, sf):
+    from baum_welch_spark.operators.linalg import linreg_price
+
+    return linreg_price(*_tables(spark, sf, "lineitem"))
+
+
 def _q_emb_covariance(spark, sf):
     from baum_welch_spark.operators.linalg import emb_covariance
 
@@ -733,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
+        "linreg_price": _q_linreg_price,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -833,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
+        "linreg_price": linalg.LINREG_PRICE_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

@@ -190,3 +190,55 @@ def emb_pca(embeddings: DataFrame, k: int = 2) -> DataFrame:
         for ki in range(len(comps))
     ]
     return embeddings.select("vec_id", *cols).orderBy("vec_id")
+
+
+def linreg_price(lineitem: DataFrame) -> DataFrame:
+    """Distributed bivariate OLS per (l_returnflag): slope/intercept of
+    ``l_extendedprice ~ l_quantity`` from two-pass CENTERED sufficient
+    statistics — the GLM-sufficient-statistics pattern (one partial-agg
+    shuffle of group-count-sized rows; the corpus never moves).
+
+    Two-pass for the same reason as ``emb_covariance``: the one-pass
+    ``(nΣxy - ΣxΣy)`` slope numerator subtracts large near-equal terms and
+    is float-order-unstable across engines; centered moments are not.
+    Pass 1 computes per-group means (group-count-sized broadcast), pass 2
+    aggregates centered products. Oracle: DuckDB's regr_slope /
+    regr_intercept / regr_r2 on the same grouping.
+
+    Output: (l_returnflag, n, slope, intercept, r2).
+    """
+    means = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("mx"), F.avg("l_extendedprice").alias("my"))
+    )
+    j = lineitem.select("l_returnflag", "l_quantity", "l_extendedprice").join(
+        F.broadcast(means), "l_returnflag"
+    )
+    cx = F.col("l_quantity") - F.col("mx")
+    cy = F.col("l_extendedprice") - F.col("my")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cx * cy).alias("sxy"),
+        F.sum(cx * cx).alias("sxx"),
+        F.sum(cy * cy).alias("syy"),
+        F.first("mx").alias("mx"),
+        F.first("my").alias("my"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+LINREG_PRICE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
