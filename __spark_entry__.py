@@ -568,6 +568,12 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_funnel_conversion(spark, sf):
+    from baum_welch_spark.operators.relational import funnel_conversion
+
+    return funnel_conversion(*_tables(spark, sf, "events"))
+
+
 def _q_linreg_price(spark, sf):
     from baum_welch_spark.operators.linalg import linreg_price
 
@@ -740,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
         "linreg_price": _q_linreg_price,
+        "funnel_conversion": _q_funnel_conversion,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -841,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "linreg_price": linalg.LINREG_PRICE_SQL,
+        "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

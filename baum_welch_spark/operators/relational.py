@@ -1066,3 +1066,112 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def funnel_conversion(events: DataFrame, deadline_hours: int = 24) -> DataFrame:
+    """Ordered funnel with a conversion deadline (view -> click -> purchase):
+    a user advances a stage only by an event strictly AFTER the previous
+    stage's timestamp and within ``deadline_hours`` of it — the
+    product-analytics conversion query, non-vacuous on sparse streams.
+
+    Shape: three per-user conditional-min aggregations, each one groupBy
+    shuffle on user_id; the stage anchors travel via user-count-sized
+    joins (AQE-decided broadcast). No window functions, no event-to-event
+    self-join — at 100 TB the only big shuffles are the per-user
+    aggregations of the already-filtered event scan.
+
+    Output: (stage, step, n_users, pct_of_step1) ordered by position.
+    """
+    us = F.col("ts").cast("timestamp")
+    dl = F.expr(f"INTERVAL {int(deadline_hours)} HOURS")
+    t1 = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t1")
+    )
+    t2 = (
+        events.join(t1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (us > F.col("t1"))
+                    & (us <= F.col("t1") + dl),
+                    us,
+                )
+            ).alias("t2")
+        )
+    )
+    t3 = (
+        events.join(t2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (us > F.col("t2"))
+                    & (us <= F.col("t2") + dl),
+                    us,
+                )
+            ).alias("t3")
+        )
+    )
+    stages = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
+        )
+    )
+    one = stages.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("view").alias("step"), F.col("n1").alias("n_users")),
+                F.struct(F.lit(2).alias("stage"), F.lit("click_after_view").alias("step"), F.col("n2").alias("n_users")),
+                F.struct(F.lit(3).alias("stage"), F.lit("purchase_after_click").alias("step"), F.col("n3").alias("n_users")),
+            )
+        ).alias("s"),
+        F.col("n1"),
+    )
+    return one.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("n1"), 6).alias("pct_of_step1"),
+    ).orderBy("stage")
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1
+                       AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+                  THEN e.ts END) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2
+                       AND e.ts <= t2.t2 + INTERVAL 24 HOURS
+                  THEN e.ts END) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id
+),
+stages AS (
+  SELECT count(t1.t1) AS n1, count(t2.t2) AS n2, count(t3.t3) AS n3
+  FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+          LEFT JOIN t3 ON t1.user_id = t3.user_id
+)
+SELECT v.stage, v.step,
+       CASE v.stage WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_users,
+       round(CASE v.stage WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END * 1.0 / n1, 6)
+         AS pct_of_step1
+FROM stages,
+     (VALUES (1, 'view'), (2, 'click_after_view'), (3, 'purchase_after_click'))
+       AS v(stage, step)
+ORDER BY v.stage
+"""
