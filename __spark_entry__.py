@@ -568,6 +568,12 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_trending_topk(spark, sf):
+    from baum_welch_spark.operators.relational import trending_topk
+
+    return trending_topk(*_tables(spark, sf, "events"))
+
+
 def _q_funnel_conversion(spark, sf):
     from baum_welch_spark.operators.relational import funnel_conversion
 
@@ -747,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_stats": _q_salted_value_stats,
         "linreg_price": _q_linreg_price,
         "funnel_conversion": _q_funnel_conversion,
+        "trending_topk": _q_trending_topk,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -849,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "linreg_price": linalg.LINREG_PRICE_SQL,
         "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,
+        "trending_topk": relational.TRENDING_TOPK_SQL,
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

@@ -1175,3 +1175,55 @@ FROM stages,
        AS v(stage, step)
 ORDER BY v.stage
 """
+
+
+def trending_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """Batch face of the streaming trending operator
+    (``streaming/trending.py``): event-type counts per OVERLAPPING
+    10-minute window sliding every 5 minutes, top-k per window.
+
+    Catalyst's ``window(ts, length, slide)`` explodes each event into its
+    length/slide = 2 covering windows, then it is a plain partial-agg
+    groupBy; the rank runs per window over the window-count-sized
+    aggregate. The oracle reproduces the explode with an explicit
+    2-element unnest — pinning the window-assignment semantics the
+    streaming twin relies on.
+
+    Output: (w_start, key, cnt, rk).
+    """
+    counts = (
+        events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_micros(F.col("w.start")).alias("w_start"), "key", "cnt")
+    )
+    w = Window.partitionBy("w_start").orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("w_start", "key", "cnt", "rk")
+        .orderBy("w_start", "rk")
+    )
+
+
+TRENDING_TOPK_SQL = """
+WITH slid AS (
+  -- each ts belongs to the 2 sliding windows [start, start + 10min) with
+  -- start = slide-aligned bucket minus j slides, j in {0, 1}
+  SELECT ((epoch_us(ts) // 300000000) - j.j) * 300000000 AS w_start,
+         event_type AS key
+  FROM events, (VALUES (0), (1)) AS j(j)
+),
+counts AS (
+  SELECT w_start, key, count(*) AS cnt FROM slid GROUP BY w_start, key
+),
+ranked AS (
+  SELECT w_start, key, cnt,
+         row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, key ASC) AS rk
+  FROM counts
+)
+SELECT w_start, key, cnt, rk FROM ranked WHERE rk <= 3
+ORDER BY w_start, rk
+"""
