@@ -291,3 +291,44 @@ def neardup_assets_by_feature(
         .filter(F.col("cos") >= threshold)
         .select("asset_a", "asset_b", "cos")
     )
+
+
+def resize_ppm(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, 3) uint8 image — pure NumPy
+    index sampling (pixel-center convention: src = floor((i + 0.5) * H/out_h)),
+    no imaging library required."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[rows][:, cols]
+
+
+def resize_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Batch image resize: decode PPM payloads, nearest-neighbor resample to
+    (out_h, out_w), re-encode PPM — the preprocessing step a vision
+    training pipeline runs before feature extraction, as a shuffle-free
+    Arrow kernel (one mapInPandas pass; non-image rows are filtered at the
+    scan, so the codec never sees them). Unsupported image sub-formats
+    raise (the module's real-codec boundary convention).
+
+    Output: (asset_id, width, height, payload) with payload the resized
+    PPM bytes.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))
+                out = resize_ppm(px, out_h, out_w)
+                ids.append(aid)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                outs.append(encode_ppm(out))
+            yield pd.DataFrame(
+                {"asset_id": ids, "width": ws, "height": hs, "payload": outs}
+            )
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(resize, schema="asset_id bigint, width int, height int, payload binary")

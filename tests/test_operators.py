@@ -604,3 +604,29 @@ def test_merge_upsert_plan_single_join_no_python(spark):
     assert rep["python_stages"] == 0
     assert rep["nested_loop_joins"] == 0
     assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 1
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from baum_welch_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+        resize_ppm,
+        synthetic_assets,
+    )
+
+    # planted 4x4 -> 2x2: nearest-neighbor picks pixel centers (rows 1,3)
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_ppm(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    np.testing.assert_array_equal(small, px[[1, 3]][:, [1, 3]])
+
+    assets = synthetic_assets(spark, n=24)
+    out = resize_images(assets, out_h=4, out_w=4).collect()
+    n_images = assets.filter("modality = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    for r in out:
+        assert (r.width, r.height) == (4, 4)
+        assert decode_ppm(bytes(r.payload)).shape == (4, 4, 3)
