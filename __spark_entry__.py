@@ -568,6 +568,12 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_canonical_docs(spark, sf):
+    from baum_welch_spark.operators.dedup import canonical_docs
+
+    return canonical_docs(*_tables(spark, sf, "documents"))
+
+
 def _q_trending_topk(spark, sf):
     from baum_welch_spark.operators.relational import trending_topk
 
@@ -754,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg_price": _q_linreg_price,
         "funnel_conversion": _q_funnel_conversion,
         "trending_topk": _q_trending_topk,
+        "canonical_docs": _q_canonical_docs,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -857,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "linreg_price": linalg.LINREG_PRICE_SQL,
         "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,
         "trending_topk": relational.TRENDING_TOPK_SQL,
+        "canonical_docs": dedup._canonical_docs_sql(),
         "vocab_topk": corpus.VOCAB_TOPK_SQL,
         "bigram_lm_score": corpus.BIGRAM_LM_SCORE_SQL,
         "decontaminate": corpus.DECONTAMINATE_SQL,

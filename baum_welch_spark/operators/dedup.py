@@ -619,3 +619,74 @@ def dedup_clusters_jaccard(documents: DataFrame, threshold: float = 0.4) -> Data
         .select("keep_doc_id", "n_docs")
         .orderBy("keep_doc_id")
     )
+
+
+def canonical_docs(documents: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead of
+    ``dedup_clusters_jaccard``'s keep-min-id policy, each connected
+    component keeps its HIGHEST-quality member (``text.doc_quality`` score,
+    tiebreak doc_id asc) — what a production dedup actually ships: drop the
+    duplicates, keep the best-written copy.
+
+    Plan: pairs -> components (both audited operators), then one
+    component-count-sized join to the quality scores and a per-component
+    window over cluster members (cluster-sized partitions — the window
+    never sees the corpus).
+
+    Output: (component, keep_doc_id, quality_score, n_docs).
+    """
+    from baum_welch_spark.operators.text import doc_quality
+
+    pairs = neardup_jaccard(documents, threshold=threshold)
+    comp = connected_components(pairs)
+    q = doc_quality(documents).select("doc_id", "quality_score")
+    members = comp.join(q, comp.node == q.doc_id).select(
+        "component", "node", "quality_score"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("node")
+    )
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_docs",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("bigint"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_doc_id"),
+            "quality_score",
+            "n_docs",
+        )
+        .orderBy("component")
+    )
+
+
+def _canonical_docs_sql() -> str:
+    from baum_welch_spark.operators.text import STOPWORDS
+
+    stop = ", ".join("'" + s + "'" for s in STOPWORDS)
+    return (
+        JACCARD_COMPONENTS_CTE
+        + f""",
+q AS (
+  SELECT doc_id,
+         round(CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END
+               + CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ({stop})))
+                      * 1.0 / len(string_split(lower(text), ' ')) > 0.02
+                      THEN 0.5 ELSE 0.0 END, 1) AS quality_score
+  FROM documents
+),
+members AS (
+  SELECT c.component, c.node, q.quality_score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.node ASC) AS rk,
+         count(*) OVER (PARTITION BY c.component) AS n_docs
+  FROM comp c JOIN q ON c.node = q.doc_id
+)
+SELECT component, node AS keep_doc_id, quality_score, n_docs
+FROM members WHERE rk = 1 ORDER BY component
+"""
+    )
