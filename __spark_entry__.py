@@ -568,6 +568,15 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_pagerank_docs(spark, sf):
+    # rows-only by nature: fixed-point float iteration with per-step
+    # aggregation is not expressible in DuckDB recursive CTEs; pytest pins
+    # it against a NumPy power-iteration oracle + mass conservation
+    from baum_welch_spark.operators.graph import pagerank_docs
+
+    return pagerank_docs(*_tables(spark, sf, "documents"))
+
+
 def _q_canonical_docs(spark, sf):
     from baum_welch_spark.operators.dedup import canonical_docs
 
@@ -761,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "trending_topk": _q_trending_topk,
         "canonical_docs": _q_canonical_docs,
+        "pagerank_docs": _q_pagerank_docs,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,

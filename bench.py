@@ -28,7 +28,13 @@ from baum_welch_spark.session import get_spark
 SELF_EXECUTING = {"hmm_fit"}
 # iterative trainers: a repeat doubles a multi-job training loop for little
 # signal — time them once (same policy as hmm_fit)
-SINGLE_RUN = SELF_EXECUTING | {"bpe_merges", "quality_classifier", "hmm_fit_grouped", "knn_pq"}
+SINGLE_RUN = SELF_EXECUTING | {
+    "bpe_merges",
+    "quality_classifier",
+    "hmm_fit_grouped",
+    "knn_pq",
+    "pagerank_docs",
+}
 
 HEADLINE = [
     "q1_pricing_summary",
