@@ -568,6 +568,14 @@ def _q_zorder_events(spark, sf):
     return zorder_events(*_tables(spark, sf, "events"))
 
 
+def _q_compression_ratio(spark, sf):
+    # rows-only by nature: zlib deflate is not SQL-expressible; pytest pins
+    # byte-exact agreement with direct zlib on a sample
+    from baum_welch_spark.operators.quality import compression_ratio
+
+    return compression_ratio(*_tables(spark, sf, "documents"))
+
+
 def _q_pagerank_docs(spark, sf):
     # rows-only by nature: fixed-point float iteration with per-step
     # aggregation is not expressible in DuckDB recursive CTEs; pytest pins
@@ -771,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_topk": _q_trending_topk,
         "canonical_docs": _q_canonical_docs,
         "pagerank_docs": _q_pagerank_docs,
+        "compression_ratio": _q_compression_ratio,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,

@@ -303,3 +303,36 @@ SELECT d.doc_id,
        coalesce(r.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
+
+
+def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the redundancy quality signal
+    (boilerplate/template/spam text compresses far better than prose; the
+    Gopher-family pipelines threshold on exactly this).
+
+    Arrow-batched ``mapInPandas`` over stdlib zlib (no Python-side shuffle;
+    one narrow pass). Ratio = deflated_bytes / utf8_bytes, rounded —
+    LOW means highly repetitive. Empty docs get ratio NULL rather than a
+    division blow-up.
+
+    Output: (doc_id, n_bytes, ratio).
+    """
+    def score(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sizes, ratios = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                ratios.append(
+                    round(len(zlib.compress(raw, level)) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": sizes, "ratio": ratios})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        score, schema="doc_id bigint, n_bytes bigint, ratio double"
+    )

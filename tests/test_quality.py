@@ -126,3 +126,26 @@ def documents_sf0001(spark):
     from conftest import SF0001
 
     return load_table(spark, SF0001, "documents")
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from conftest import SF0001
+
+    from baum_welch_spark.operators.quality import compression_ratio
+    from baum_welch_spark.sources.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    got = {r.doc_id: (r.n_bytes, r.ratio) for r in compression_ratio(docs).collect()}
+    sample = docs.select("doc_id", "text").limit(30).collect()
+    assert len(got) == docs.count()
+    for r in sample:
+        raw = (r.text or "").encode("utf-8")
+        if raw:
+            expect = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+            assert got[r.doc_id] == (len(raw), expect)
+    # repetitive text compresses better than prose
+    rep = spark.createDataFrame([(1, "spam " * 200), (2, None)], "doc_id long, text string")
+    out = {r.doc_id: r.ratio for r in compression_ratio(rep).collect()}
+    assert out[1] < 0.1 and out[2] is None
