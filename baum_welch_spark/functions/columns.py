@@ -33,6 +33,22 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def round0(col: Column, scale: int) -> Column:
+    """``F.round`` with IEEE signed zero normalized to +0.0.
+
+    The driver's oracle hash is byte-exact on rounded values, and DuckDB's
+    round() can emit -0.0 where Spark emits 0.0 (or vice versa) for values
+    that round to zero from below — one such cell flipped the
+    emb_covariance gate in round 5. ``-0.0 + 0.0 == +0.0`` in IEEE 754, so
+    appending ``+ 0.0`` canonicalizes the sign without changing any other
+    value. Every SIGNED rounded oracle face (covariances, cosine scores,
+    regression coefficients, log-space scores) must use this — and spell
+    ``round(..., s) + 0.0`` in the DuckDB SQL. Strictly-positive aggregates
+    (revenues, counts, probabilities) don't need it.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

@@ -202,19 +202,28 @@ def score_oracle_sql(model: HMM) -> str:
     nusum = " + ".join(f"nu{j}" for j in j1)
     norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
     nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+    # MATERIALIZED on every CTE a recursion references: DuckDB (1.0)
+    # otherwise INLINES the referenced CTE into each recursive iteration —
+    # coded's window functions would re-run per step, and in the two-CTE
+    # oracles below a whole upstream RECURSION re-runs per step of the
+    # downstream one (quadratic; state_occupancy took 25+ min at sf0.01
+    # before this). The inner WITH RECURSIVE inside a materialized CTE
+    # evaluates once; values are bit-identical either way.
     return f"""
-WITH RECURSIVE coded AS ({_CODED_SQL}),
-lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
-alpha AS (
-  SELECT c.user_id, 0 AS t,
-         {base_u},
-         ({usum}) AS s, ln(s) AS ll, {norm}
-  FROM coded c WHERE c.t = 0
-  UNION ALL
-  SELECT a.user_id, a.t + 1,
-         {step_u},
-         ({nusum}) AS ns, a.ll + ln(ns) AS nll, {nnorm}
-  FROM alpha a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+WITH coded AS MATERIALIZED ({_CODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS MATERIALIZED (
+  WITH RECURSIVE alpha_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_u},
+           ({usum}) AS s, ln(s) AS ll, {norm}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT a.user_id, a.t + 1,
+           {step_u},
+           ({nusum}) AS ns, a.ll + ln(ns) AS nll, {nnorm}
+    FROM alpha_r a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+  ) SELECT * FROM alpha_r
 )
 SELECT a.user_id AS seq_id, l.t_len::INTEGER AS t_len,
        round(a.ll, 6) AS loglik, round(a.ll / l.t_len, 6) AS avg_loglik
@@ -288,30 +297,36 @@ def _fb_ctes(model: HMM) -> str:
         + f") / a.s AS nb{i}"
         for i in j1
     )
+    # MATERIALIZED is load-bearing: without it DuckDB inlines alpha (a full
+    # recursion) into EVERY step of beta's recursion — see score_oracle_sql
     return f"""
-WITH RECURSIVE coded AS ({_CODED_SQL}),
-lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
-alpha AS (
-  SELECT c.user_id, 0 AS t,
-         {base_u},
-         ({usum}) AS s, {norm}
-  FROM coded c WHERE c.t = 0
-  UNION ALL
-  SELECT a.user_id, a.t + 1,
-         {step_u},
-         ({nusum}) AS ns, {nnorm}
-  FROM alpha a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+WITH coded AS MATERIALIZED ({_CODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS MATERIALIZED (
+  WITH RECURSIVE alpha_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_u},
+           ({usum}) AS s, {norm}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT a.user_id, a.t + 1,
+           {step_u},
+           ({nusum}) AS ns, {nnorm}
+    FROM alpha_r a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+  ) SELECT * FROM alpha_r
 ),
-beta AS (
-  SELECT l.user_id, l.t_len - 1 AS t, {base_b}
-  FROM lens l
-  UNION ALL
-  SELECT b.user_id, b.t - 1,
-         {step_b}
-  FROM beta b
-  JOIN coded c ON c.user_id = b.user_id AND c.t = b.t
-  JOIN alpha a ON a.user_id = b.user_id AND a.t = b.t
-  WHERE b.t > 0
+beta AS MATERIALIZED (
+  WITH RECURSIVE beta_r AS (
+    SELECT l.user_id, l.t_len - 1 AS t, {base_b}
+    FROM lens l
+    UNION ALL
+    SELECT b.user_id, b.t - 1,
+           {step_b}
+    FROM beta_r b
+    JOIN coded c ON c.user_id = b.user_id AND c.t = b.t
+    JOIN alpha a ON a.user_id = b.user_id AND a.t = b.t
+    WHERE b.t > 0
+  ) SELECT * FROM beta_r
 ),
 """
 
@@ -344,7 +359,12 @@ def state_occupancy(spark: SparkSession, sequences: DataFrame, model: HMM) -> Da
                 occ = g.sum(axis=0)
                 ids.extend([seq_id] * n)
                 states.extend(range(n))
-                occs.extend(np.round(occ, 6))
+                # round half-AWAY-from-zero to match DuckDB's round():
+                # np.round is half-even, so an occupancy landing exactly on
+                # an x.xxxxxx5 boundary would round differently per engine
+                # and flip the byte-exact driver hash. Occupancy is >= 0,
+                # so floor(x*1e6 + 0.5) is exactly DuckDB's convention.
+                occs.extend(np.floor(occ * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame({"seq_id": ids, "state": states, "occupancy": occs})
 
     return sequences.mapInPandas(
@@ -369,7 +389,7 @@ def occupancy_oracle_sql(model: HMM) -> str:
     return (
         _fb_ctes(model)
         + f"""
-g AS (
+g AS MATERIALIZED (
   SELECT al.user_id, al.t,
          {gcols}
   FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
@@ -413,30 +433,36 @@ def viterbi_oracle_sql(model: HMM) -> str:
     ]
     back_argmax = _argmax_case(back_cand)
     dmax = ", ".join(f"d.d{j}" for j in j1)
+    # MATERIALIZED is load-bearing: without it DuckDB inlines delta (a full
+    # recursion) into EVERY step of back's recursion — see score_oracle_sql
     return f"""
-WITH RECURSIVE coded AS ({_CODED_SQL}),
-lens AS (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
-delta AS (
-  SELECT c.user_id, 0 AS t,
-         {base_d}
-  FROM coded c WHERE c.t = 0
-  UNION ALL
-  SELECT p.user_id, p.t + 1,
-         {step_d}
-  FROM delta p JOIN coded c ON c.user_id = p.user_id AND c.t = p.t + 1
+WITH coded AS MATERIALIZED ({_CODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+delta AS MATERIALIZED (
+  WITH RECURSIVE delta_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_d}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT p.user_id, p.t + 1,
+           {step_d}
+    FROM delta_r p JOIN coded c ON c.user_id = p.user_id AND c.t = p.t + 1
+  ) SELECT * FROM delta_r
 ),
-back AS (
-  SELECT d.user_id, d.t,
-         ({final_argmax}) AS state,
-         greatest({dmax}) AS loglik,
-         ({final_argmax})::VARCHAR AS path
-  FROM delta d JOIN lens l ON l.user_id = d.user_id AND d.t = l.t_len - 1
-  UNION ALL
-  SELECT b.user_id, b.t - 1,
-         ({back_argmax}) AS state,
-         b.loglik,
-         ({back_argmax})::VARCHAR || ',' || b.path AS path
-  FROM back b JOIN delta d ON d.user_id = b.user_id AND d.t = b.t - 1
+back AS MATERIALIZED (
+  WITH RECURSIVE back_r AS (
+    SELECT d.user_id, d.t,
+           ({final_argmax}) AS state,
+           greatest({dmax}) AS loglik,
+           ({final_argmax})::VARCHAR AS path
+    FROM delta d JOIN lens l ON l.user_id = d.user_id AND d.t = l.t_len - 1
+    UNION ALL
+    SELECT b.user_id, b.t - 1,
+           ({back_argmax}) AS state,
+           b.loglik,
+           ({back_argmax})::VARCHAR || ',' || b.path AS path
+    FROM back_r b JOIN delta d ON d.user_id = b.user_id AND d.t = b.t - 1
+  ) SELECT * FROM back_r
 )
 SELECT b.user_id AS seq_id, round(b.loglik, 6) AS loglik, b.path AS path_str
 FROM back b WHERE b.t = 0

@@ -235,7 +235,7 @@ def knn_pq(
                 {
                     "q_id": np.repeat(ids, n),
                     "c_id": np.tile(pdf["vec_id"].values, Q),
-                    "adc": np.round(1.0 - d2.T.ravel() / 2.0, 6),
+                    "adc": np.round(1.0 - d2.T.ravel() / 2.0, 6) + 0.0,
                 }
             )
 
@@ -261,7 +261,7 @@ def knn_pq(
     exact = (
         shortlist.join(cand, "c_id")
         .join(F.broadcast(q_df), "q_id")
-        .withColumn("cos", F.round(dot, 6))
+        .withColumn("cos", F.round(dot, 6) + F.lit(0.0))
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (

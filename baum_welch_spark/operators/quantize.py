@@ -123,7 +123,7 @@ scored AS (
   SELECT q_id, c_id,
          round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
                / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
   FROM c, q
 ),
 ranked AS (
@@ -165,8 +165,13 @@ def knn_quantized(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> Data
     scored = c.crossJoin(F.broadcast(q)).select(
         "q_id",
         "c_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        (
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            )
+            + F.lit(0.0)  # signed-zero canonicalization, see columns.round0
         ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))

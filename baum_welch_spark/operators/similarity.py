@@ -58,7 +58,7 @@ def knn_brute(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFram
     scored = c.crossJoin(F.broadcast(q)).select(
         "q_id",
         "c_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6).alias("cos"),
+        (F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6) + F.lit(0.0)).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
@@ -91,7 +91,7 @@ scored AS (
   SELECT q_id, c_id,
          round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
                / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
   FROM c JOIN q USING (bucket)
 ),
 ranked AS (
@@ -113,7 +113,7 @@ scored AS (
   SELECT q_id, c_id,
          round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
                / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
   FROM c, q
 ),
 ranked AS (
@@ -489,7 +489,7 @@ def knn_ivf(embeddings: DataFrame, n_queries: int = 5, k: int = 5, bits: int = 2
     scored = c.join(F.broadcast(q), "bucket").select(
         "q_id",
         "c_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6).alias("cos"),
+        (F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6) + F.lit(0.0)).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (

@@ -45,6 +45,30 @@ def dtype_kinds(df: pd.DataFrame) -> list[str]:
     return [df[c].dtype.kind for c in df.columns]
 
 
+def strict_mismatches(s: pd.DataFrame, o: pd.DataFrame, max_rows: int = 8) -> list[str]:
+    """Driver-strength comparison on atol-aligned frames: the driver hashes
+    canonical BYTE representations of every value, so `-0.0` vs `0.0`,
+    differing NaN-ness, and sub-atol last-ulp drift all flip its gate even
+    though `assert_frame_equal(atol=...)` treats them as equal (that gap is
+    exactly how the emb_covariance red cell survived two local green runs,
+    r4-r5). After the atol check passes, require repr-level equality —
+    `repr(-0.0) == '-0.0' != '0.0'`, `repr(nan) == 'nan'` — and report any
+    cell that differs."""
+    out: list[str] = []
+    for c in s.columns:
+        if s[c].dtype.kind != "f":
+            continue  # non-float columns were already compared exactly
+        sv = [repr(float(x)) if pd.notna(x) else "nan" for x in s[c]]
+        ov = [repr(float(x)) if pd.notna(x) else "nan" for x in o[c]]
+        bad = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
+        if bad:
+            out.append(f"  column {c}: {len(bad)} byte-level differing cells")
+            for i in bad[:max_rows]:
+                key = {k: s[k][i] for k in s.columns if k != c and s[k].dtype.kind != "f"}
+                out.append(f"    row {i}: spark={sv[i]} oracle={ov[i]}  (key: {key})")
+    return out
+
+
 def diff_report(s: pd.DataFrame, o: pd.DataFrame, max_rows: int = 12) -> str:
     """Value-level diff for a hash/value mismatch between aligned frames:
     lists the first rows whose values differ per column, with both values and
@@ -132,6 +156,12 @@ def main() -> int:
             continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            strict = strict_mismatches(s, o)
+            if strict:
+                failures.append(name)
+                print(f"FAIL {name}: atol-equal but byte-level mismatch (driver hash would fail)")
+                print("\n".join(strict))
+                continue
             print(f"ok   {name}: {len(s)} rows match  ({elapsed:.1f}s)")
             if len(s) == 0 and name != "customers_without_orders":
                 # an empty-vs-empty compare proves nothing about the operator
