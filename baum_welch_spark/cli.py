@@ -334,7 +334,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--seed", type=int, default=42)
     t.add_argument(
         "--restarts", type=int, default=1,
-        help="random restarts; keeps the best final log-likelihood (ignored with --model-in)",
+        help="random restarts; keeps the best final log-likelihood (ignored with "
+        "--model-in; per-iteration model checkpoints are NOT written in restart "
+        "mode — only the winning final model is saved)",
     )
     t.set_defaults(fn=cmd_train)
 

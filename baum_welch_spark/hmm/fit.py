@@ -221,9 +221,16 @@ def fit_restarts(
     sequentially; per-restart work is already cluster-wide parallel, so
     concurrency across restarts would only contend for the same executors.
 
-    Final log-likelihoods are comparable across restarts because every
-    trace entry r is P(O | λ_r) evaluated by the SAME E-step at the same
-    iteration index. Returns (best FitResult, final loglik per restart).
+    Selection compares the FINAL log-likelihood of each trained model —
+    P(O | λ_r) from the same E-step, but not necessarily at the same
+    iteration index: with ``tol > 0`` some restarts may converge (and
+    stop) earlier than others, which is the intended semantics (best model
+    wins, however long it took).
+
+    Restart mode does NOT write per-iteration model checkpoints (``fit`` is
+    called without ``model_out``); callers that need the winning restart's
+    checkpoint trail should re-run ``fit`` with the winning seed and
+    ``model_out`` set. Returns (best FitResult, final loglik per restart).
     """
     from baum_welch_spark.hmm.model import HMM
 

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 def order_updates(orders: DataFrame) -> DataFrame:
     """Deterministic synthetic delta for ``merge_upsert``: every 7th order
     gets a 5% price bump (update), and every 97th key is re-issued shifted
-    by 10^8 as a brand-new order (insert). Derived from the snapshot itself
-    so the face needs no extra input table."""
+    above the table's key range as a brand-new order (insert). Derived from
+    the snapshot itself so the face needs no extra input table."""
     # All price arithmetic in integer cents: round-half behavior on the
     # x.xx5 boundary differs between engines (Spark HALF_UP vs DuckDB
     # round-half-even), so a `round(price * 1.05, 2)` face is not
@@ -41,10 +41,21 @@ def order_updates(orders: DataFrame) -> DataFrame:
             F.lit("update").alias("u_kind"),
         )
     )
+    # Insert keys must not collide with ANY base key at ANY sf: shift by the
+    # smallest power of 10 strictly above max(o_orderkey) (a fixed +1e8
+    # offset silently turns inserts into overwrites once keys reach 1e8).
+    # The offset is built via string repeat, not pow(): 10^k loses exactness
+    # in double beyond 2^53, string-concat BIGINT math never does. 1-row
+    # broadcast, same shape as the model collects elsewhere.
+    mx = orders.agg(F.max("o_orderkey").alias("mx"))
+    offset = F.concat(
+        F.lit("1"), F.repeat(F.lit("0"), F.length(F.col("mx").cast("string")))
+    ).cast("long")
     ins = (
         orders.where(F.col("o_orderkey") % 97 == 0)
+        .crossJoin(F.broadcast(mx))
         .select(
-            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + offset).alias("o_orderkey"),
             (F.floor(cents / 2) / 100.0).alias("u_totalprice"),
             F.lit("insert").alias("u_kind"),
         )
@@ -85,12 +96,18 @@ WITH cents_t AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
 ),
+off_t AS (
+  -- smallest power of 10 strictly above max(o_orderkey), via string repeat
+  -- (exact BIGINT; pow() would round beyond 2^53) — mirrors order_updates
+  SELECT CAST('1' || repeat('0', length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT) AS off
+  FROM orders
+),
 delta AS (
   SELECT o_orderkey, CAST(floor(cents * 21 / 20) AS BIGINT) / 100.0 AS u_totalprice,
          'update' AS u_kind
   FROM cents_t WHERE o_orderkey % 7 = 0
   UNION ALL
-  SELECT o_orderkey + 100000000 AS o_orderkey,
+  SELECT o_orderkey + (SELECT off FROM off_t) AS o_orderkey,
          CAST(floor(cents / 2) AS BIGINT) / 100.0 AS u_totalprice, 'insert' AS u_kind
   FROM cents_t WHERE o_orderkey % 97 = 0
 ),

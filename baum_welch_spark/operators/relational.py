@@ -1142,7 +1142,12 @@ def funnel_conversion(events: DataFrame, deadline_hours: int = 24) -> DataFrame:
     ).orderBy("stage")
 
 
-FUNNEL_CONVERSION_SQL = """
+def funnel_conversion_sql(deadline_hours: int = 24) -> str:
+    """DuckDB oracle for :func:`funnel_conversion`, generated from the SAME
+    parameter so face and oracle cannot drift when called with a
+    non-default deadline (the `_ppl_filter_sql(keep_fraction)` pattern)."""
+    h = int(deadline_hours)
+    return f"""
 WITH t1 AS (
   SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
   FROM events GROUP BY user_id
@@ -1150,14 +1155,14 @@ WITH t1 AS (
 t2 AS (
   SELECT e.user_id,
          min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1
-                       AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+                       AND e.ts <= t1.t1 + INTERVAL {h} HOURS
                   THEN e.ts END) AS t2
   FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id
 ),
 t3 AS (
   SELECT e.user_id,
          min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2
-                       AND e.ts <= t2.t2 + INTERVAL 24 HOURS
+                       AND e.ts <= t2.t2 + INTERVAL {h} HOURS
                   THEN e.ts END) AS t3
   FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id
 ),
@@ -1175,6 +1180,9 @@ FROM stages,
        AS v(stage, step)
 ORDER BY v.stage
 """
+
+
+FUNNEL_CONVERSION_SQL = funnel_conversion_sql()
 
 
 def trending_topk(events: DataFrame, k: int = 3) -> DataFrame:
@@ -1208,10 +1216,13 @@ def trending_topk(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-TRENDING_TOPK_SQL = """
+def trending_topk_sql(k: int = 3) -> str:
+    """DuckDB oracle for :func:`trending_topk`, generated from the SAME k
+    so face and oracle cannot drift on non-default calls."""
+    return f"""
 WITH slid AS (
   -- each ts belongs to the 2 sliding windows [start, start + 10min) with
-  -- start = slide-aligned bucket minus j slides, j in {0, 1}
+  -- start = slide-aligned bucket minus j slides, j in 0..1
   SELECT ((epoch_us(ts) // 300000000) - j.j) * 300000000 AS w_start,
          event_type AS key
   FROM events, (VALUES (0), (1)) AS j(j)
@@ -1224,6 +1235,9 @@ ranked AS (
          row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, key ASC) AS rk
   FROM counts
 )
-SELECT w_start, key, cnt, rk FROM ranked WHERE rk <= 3
+SELECT w_start, key, cnt, rk FROM ranked WHERE rk <= {int(k)}
 ORDER BY w_start, rk
 """
+
+
+TRENDING_TOPK_SQL = trending_topk_sql()

@@ -108,3 +108,29 @@ def test_fit_restarts_picks_best_loglik(spark):
     best2, finals2 = fit_restarts(spark, seqs, n_hidden=3, n_observed=5,
                                   n_restarts=3, max_iter=2, base_seed=7)
     assert finals == finals2
+
+
+def test_fit_restarts_persists_corpus_exactly_once(spark, monkeypatch):
+    # Scale-posture pin (VERDICT-r5 #5): fit_restarts persists the sequence
+    # corpus ONCE and every restart's fit() must respect that caller-managed
+    # cache (re-persisting per restart would re-read the corpus n_restarts
+    # times at 100 TB; un-persisting would silently recompute per EM
+    # iteration). Spy on DataFrame.persist across the whole call.
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class in pyspark 4
+
+    from baum_welch_spark.hmm.fit import fit_restarts
+    from baum_welch_spark.operators.sequences import build_sequences
+    from baum_welch_spark.sources.io import load_table
+
+    calls = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **k):
+        calls.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+    seqs = build_sequences(load_table(spark, SF0001, "events"))
+    best, finals = fit_restarts(spark, seqs, n_hidden=3, n_observed=5, n_restarts=2, max_iter=2)
+    assert len(finals) == 2
+    assert len(calls) == 1, f"expected exactly 1 persist call, saw {len(calls)}"

@@ -80,3 +80,29 @@ def test_knn_pq_recall_vs_brute(spark, embeddings):
     assert set(by_q) == {0, 1, 2, 3, 4}
     for rks in by_q.values():
         assert sorted(rks) == [1, 2, 3, 4, 5]
+
+
+def test_pq_train_scans_persisted_frame_once_per_iter(spark, embeddings, monkeypatch):
+    # Scale-posture pin (VERDICT-r5 #5): every training iteration must be
+    # ONE scan of the persisted normalized frame (InMemoryTableScan) with a
+    # single exchange (the partial-agg combine of model-sized stats) — no
+    # re-derivation from parquet, no extra shuffle. Captured by spying on
+    # DataFrame.collect, which the loop calls once per iteration.
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class in pyspark 4
+
+    from baum_welch_spark.plans.audit import _shuffle_count, explain_str
+
+    captured = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        captured.append(explain_str(self, "simple"))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    pq_train(embeddings, m=2, n_codes=4, max_iter=3, tol=0.0)
+    iter_plans = [p for p in captured if "MapInPandas" in p]
+    assert len(iter_plans) == 3, f"expected 3 training-iteration collects, saw {len(iter_plans)}"
+    for p in iter_plans:
+        assert "InMemoryTableScan" in p, f"iteration re-derives its input instead of reading cache:\n{p}"
+        assert _shuffle_count(p) <= 1, f"iteration plans extra shuffles:\n{p}"
