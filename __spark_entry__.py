@@ -744,28 +744,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
         "mixture_sample": _q_mixture_sample,
-        # similarity suite (driver-verified only in r01)
+        # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
+        # normalization on the cosine round), so they stay in the window
         "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
-        # corpus suite (driver-verified only in r02)
-        "vocab_topk": _q_vocab_topk,
-        "bigram_lm_score": _q_bigram_lm_score,
         "decontaminate": _q_decontaminate,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "time_bucket_gapfill": _q_time_bucket_gapfill,
         "clean_corpus": _q_clean_corpus,
-        "weighted_sample": _q_weighted_sample,
-        # family representatives (green in r03/r04, kept under driver watch)
-        "q1_pricing_summary": _q_q1,
+        # the six r5 faces that had never been driver-verified (VERDICT-r5
+        # #3), rotated IN this round; linreg_price / funnel_conversion /
+        # trending_topk / pagerank_docs also changed this round (signed-zero
+        # normalization, parameterized oracle SQL, pair_generator)
+        "linreg_price": _q_linreg_price,
+        "funnel_conversion": _q_funnel_conversion,
+        "trending_topk": _q_trending_topk,
+        "canonical_docs": _q_canonical_docs,
+        "pagerank_docs": _q_pagerank_docs,
+        "compression_ratio": _q_compression_ratio,
+        # family representatives (green in a prior round, kept under watch)
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
         "sessionize": _q_sessionize,
         # ---- driver's 50-entry window ends here (sessionize is #50);
-        # everything below is green in CORRECTNESS_r03/r04 (or rows-only by
-        # nature) and unchanged
+        # everything below was driver-verified green in a prior round
+        # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
+        # nature, and is code-unchanged since its last green check. RULE
+        # (VERDICT-r5): any face whose code changes, and any NEW face, must
+        # be rotated into the first 50 the same round it lands.
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -774,12 +781,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        "linreg_price": _q_linreg_price,
-        "funnel_conversion": _q_funnel_conversion,
-        "trending_topk": _q_trending_topk,
-        "canonical_docs": _q_canonical_docs,
-        "pagerank_docs": _q_pagerank_docs,
-        "compression_ratio": _q_compression_ratio,
+        # rotated OUT this round (r5-green, unchanged): q1_pricing_summary,
+        # vocab_topk, tfidf_top_terms, weighted_sample, time_bucket_gapfill,
+        # bigram_lm_score
+        "q1_pricing_summary": _q_q1,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "weighted_sample": _q_weighted_sample,
+        "time_bucket_gapfill": _q_time_bucket_gapfill,
+        "bigram_lm_score": _q_bigram_lm_score,
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,

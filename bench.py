@@ -148,6 +148,7 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     error = None
     try:
         for name in HEADLINE:
@@ -164,6 +165,7 @@ def main() -> None:
                     df.count()
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
+            run_counts[name] = n_runs
     except Exception as e:  # emit the partial timings rather than nothing
         error = f"{type(e).__name__}: {e}"
     finally:
@@ -175,6 +177,10 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "runs_per_query": runs,
+            # per-query actual run counts: iterative single-run trainers
+            # (runs == 1) must not be compared round-over-round against
+            # min-of-N numbers as if they were warmed minima
+            "runs": run_counts,
             "timing": "min_of_runs (iterative trainers: single run)",
         }
         if error is not None:
