@@ -609,6 +609,12 @@ def _q_linreg_price(spark, sf):
     return linreg_price(*_tables(spark, sf, "lineitem"))
 
 
+def _q_linreg_multi(spark, sf):
+    from baum_welch_spark.operators.linalg import linreg_multi
+
+    return linreg_multi(*_tables(spark, sf, "lineitem"))
+
+
 def _q_emb_covariance(spark, sf):
     from baum_welch_spark.operators.linalg import emb_covariance
 
@@ -751,13 +757,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
-        "decontaminate": _q_decontaminate,
         "clean_corpus": _q_clean_corpus,
         # the six r5 faces that had never been driver-verified (VERDICT-r5
         # #3), rotated IN this round; linreg_price / funnel_conversion /
         # trending_topk / pagerank_docs also changed this round (signed-zero
         # normalization, parameterized oracle SQL, pair_generator)
         "linreg_price": _q_linreg_price,
+        "linreg_multi": _q_linreg_multi,  # NEW r6: multivariate OLS
         "funnel_conversion": _q_funnel_conversion,
         "trending_topk": _q_trending_topk,
         "canonical_docs": _q_canonical_docs,
@@ -781,9 +787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        # rotated OUT this round (r5-green, unchanged): q1_pricing_summary,
-        # vocab_topk, tfidf_top_terms, weighted_sample, time_bucket_gapfill,
-        # bigram_lm_score
+        # rotated OUT this round (green in a prior round, unchanged):
+        # q1_pricing_summary, vocab_topk, tfidf_top_terms, weighted_sample,
+        # time_bucket_gapfill, bigram_lm_score, decontaminate
+        "decontaminate": _q_decontaminate,
         "q1_pricing_summary": _q_q1,
         "vocab_topk": _q_vocab_topk,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -891,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "linreg_price": linalg.LINREG_PRICE_SQL,
+        "linreg_multi": linalg.LINREG_MULTI_SQL,
         "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,
         "trending_topk": relational.TRENDING_TOPK_SQL,
         "canonical_docs": dedup._canonical_docs_sql(),

@@ -246,3 +246,178 @@ SELECT l_returnflag,
        round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def linreg_multi(lineitem: DataFrame) -> DataFrame:
+    """Distributed MULTIVARIATE OLS per (l_returnflag): coefficients of
+    ``l_extendedprice ~ l_quantity + l_discount + l_tax`` from two-pass
+    centered normal equations, solved in closed form (Cramer's rule on the
+    3x3 centered Gram matrix) INSIDE Catalyst expressions.
+
+    Scale posture: identical to :func:`linreg_price` — pass 1 is one
+    partial-agg shuffle producing group-count-sized means (broadcast back),
+    pass 2 one partial-agg shuffle of the 9 centered cross-moments + 3
+    response moments; the corpus never moves and nothing collects. The
+    Cramer solve runs on group-count-sized rows as plain column arithmetic,
+    so the whole face is whole-stage-codegen with zero Python.
+
+    The oracle (``LINREG_MULTI_SQL``) spells the SAME sufficient statistics
+    and the SAME operation-ordered Cramer formulas in DuckDB SQL, so both
+    engines differ only in float summation order of the moments (~1e-12
+    relative), absorbed by the 6-dp round; the signed rounds normalize zero
+    per SURVEY §5. A NumPy ``lstsq`` pytest pins the math independently.
+
+    Output: (l_returnflag, n, b_qty, b_disc, b_tax, intercept, r2).
+    """
+    means = lineitem.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_tax").alias("m3"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    j = lineitem.select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).join(F.broadcast(means), "l_returnflag")
+    c1 = F.col("l_quantity") - F.col("m1")
+    c2 = F.col("l_discount") - F.col("m2")
+    c3 = F.col("l_tax") - F.col("m3")
+    cy = F.col("l_extendedprice") - F.col("my")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c1 * c1).alias("s11"),
+        F.sum(c1 * c2).alias("s12"),
+        F.sum(c1 * c3).alias("s13"),
+        F.sum(c2 * c2).alias("s22"),
+        F.sum(c2 * c3).alias("s23"),
+        F.sum(c3 * c3).alias("s33"),
+        F.sum(c1 * cy).alias("s1y"),
+        F.sum(c2 * cy).alias("s2y"),
+        F.sum(c3 * cy).alias("s3y"),
+        F.sum(cy * cy).alias("syy"),
+        F.first("m1").alias("m1"),
+        F.first("m2").alias("m2"),
+        F.first("m3").alias("m3"),
+        F.first("my").alias("my"),
+    )
+    # Cramer's rule on the symmetric Gram matrix — operation order mirrors
+    # LINREG_MULTI_SQL token for token (SURVEY §5 parity discipline)
+    det = stats.withColumn(
+        "det",
+        F.col("s11") * (F.col("s22") * F.col("s33") - F.col("s23") * F.col("s23"))
+        - F.col("s12") * (F.col("s12") * F.col("s33") - F.col("s23") * F.col("s13"))
+        + F.col("s13") * (F.col("s12") * F.col("s23") - F.col("s22") * F.col("s13")),
+    )
+    b = (
+        det.withColumn(
+            "b1",
+            (
+                F.col("s1y") * (F.col("s22") * F.col("s33") - F.col("s23") * F.col("s23"))
+                - F.col("s12") * (F.col("s2y") * F.col("s33") - F.col("s23") * F.col("s3y"))
+                + F.col("s13") * (F.col("s2y") * F.col("s23") - F.col("s22") * F.col("s3y"))
+            )
+            / F.col("det"),
+        )
+        .withColumn(
+            "b2",
+            (
+                F.col("s11") * (F.col("s2y") * F.col("s33") - F.col("s23") * F.col("s3y"))
+                - F.col("s1y") * (F.col("s12") * F.col("s33") - F.col("s23") * F.col("s13"))
+                + F.col("s13") * (F.col("s12") * F.col("s3y") - F.col("s2y") * F.col("s13"))
+            )
+            / F.col("det"),
+        )
+        .withColumn(
+            "b3",
+            (
+                F.col("s11") * (F.col("s22") * F.col("s3y") - F.col("s23") * F.col("s2y"))
+                - F.col("s12") * (F.col("s12") * F.col("s3y") - F.col("s13") * F.col("s2y"))
+                + F.col("s1y") * (F.col("s12") * F.col("s23") - F.col("s22") * F.col("s13"))
+            )
+            / F.col("det"),
+        )
+    )
+    return b.select(
+        "l_returnflag",
+        "n",
+        (F.round(F.col("b1"), 6) + F.lit(0.0)).alias("b_qty"),
+        (F.round(F.col("b2"), 6) + F.lit(0.0)).alias("b_disc"),
+        (F.round(F.col("b3"), 6) + F.lit(0.0)).alias("b_tax"),
+        (
+            F.round(
+                F.col("my")
+                - F.col("b1") * F.col("m1")
+                - F.col("b2") * F.col("m2")
+                - F.col("b3") * F.col("m3"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (
+            F.round(
+                (
+                    F.col("b1") * F.col("s1y")
+                    + F.col("b2") * F.col("s2y")
+                    + F.col("b3") * F.col("s3y")
+                )
+                / F.col("syy"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+LINREG_MULTI_SQL = """
+WITH means AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS m1, avg(l_discount) AS m2, avg(l_tax) AS m3,
+         avg(l_extendedprice) AS my
+  FROM lineitem GROUP BY l_returnflag
+),
+stats AS (
+  SELECT l.l_returnflag,
+         count(*) AS n,
+         sum((l_quantity - m1) * (l_quantity - m1)) AS s11,
+         sum((l_quantity - m1) * (l_discount - m2)) AS s12,
+         sum((l_quantity - m1) * (l_tax - m3)) AS s13,
+         sum((l_discount - m2) * (l_discount - m2)) AS s22,
+         sum((l_discount - m2) * (l_tax - m3)) AS s23,
+         sum((l_tax - m3) * (l_tax - m3)) AS s33,
+         sum((l_quantity - m1) * (l_extendedprice - my)) AS s1y,
+         sum((l_discount - m2) * (l_extendedprice - my)) AS s2y,
+         sum((l_tax - m3) * (l_extendedprice - my)) AS s3y,
+         sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy,
+         any_value(m1) AS m1, any_value(m2) AS m2, any_value(m3) AS m3,
+         any_value(my) AS my
+  FROM lineitem l JOIN means USING (l_returnflag)
+  GROUP BY l.l_returnflag
+),
+solved AS (
+  SELECT *,
+         s11 * (s22 * s33 - s23 * s23)
+           - s12 * (s12 * s33 - s23 * s13)
+           + s13 * (s12 * s23 - s22 * s13) AS det
+  FROM stats
+),
+coefs AS (
+  SELECT *,
+         (s1y * (s22 * s33 - s23 * s23)
+           - s12 * (s2y * s33 - s23 * s3y)
+           + s13 * (s2y * s23 - s22 * s3y)) / det AS b1,
+         (s11 * (s2y * s33 - s23 * s3y)
+           - s1y * (s12 * s33 - s23 * s13)
+           + s13 * (s12 * s3y - s2y * s13)) / det AS b2,
+         (s11 * (s22 * s3y - s23 * s2y)
+           - s12 * (s12 * s3y - s13 * s2y)
+           + s1y * (s12 * s23 - s22 * s13)) / det AS b3
+  FROM solved
+)
+SELECT l_returnflag,
+       n,
+       round(b1, 6) + 0.0 AS b_qty,
+       round(b2, 6) + 0.0 AS b_disc,
+       round(b3, 6) + 0.0 AS b_tax,
+       round(my - b1 * m1 - b2 * m2 - b3 * m3, 6) + 0.0 AS intercept,
+       round((b1 * s1y + b2 * s2y + b3 * s3y) / syy, 6) + 0.0 AS r2
+FROM coefs ORDER BY l_returnflag
+"""

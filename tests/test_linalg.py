@@ -78,3 +78,29 @@ def test_pca_k_larger_than_dim_clamps(spark):
     out = emb_pca(df, k=10)
     assert set(out.columns) == {"vec_id", "pc0", "pc1"}  # d=2 caps the output
     assert out.count() == 20
+
+
+def test_linreg_multi_matches_numpy_lstsq(spark):
+    # Cramer-solved normal equations == np.linalg.lstsq on the same data,
+    # per group — pins the multivariate math independently of the DuckDB
+    # oracle (which shares the formulas by construction).
+    from baum_welch_spark.operators.linalg import linreg_multi
+
+    li = load_table(spark, SF0001, "lineitem")
+    got = {r.l_returnflag: r for r in linreg_multi(li).collect()}
+    pdf = li.select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).toPandas()
+    for flag, g in pdf.groupby("l_returnflag"):
+        X = np.column_stack(
+            [g["l_quantity"], g["l_discount"], g["l_tax"], np.ones(len(g))]
+        )
+        beta, *_ = np.linalg.lstsq(X, g["l_extendedprice"].to_numpy(), rcond=None)
+        r = got[flag]
+        assert r.n == len(g)
+        np.testing.assert_allclose(
+            [r.b_qty, r.b_disc, r.b_tax, r.intercept], beta, rtol=1e-4, atol=1e-4
+        )
+        # r2 must be in [0, 1] and at least the bivariate fit's (adding
+        # regressors never reduces in-sample R^2)
+        assert 0.0 <= r.r2 <= 1.0
