@@ -253,6 +253,48 @@ def _q_q4(spark, sf):
     return q4_late_orders(*_tables(spark, sf, "orders", "lineitem"))
 
 
+def _q_q7(spark, sf):
+    from baum_welch_spark.operators.relational import q7_volume_shipping
+
+    return q7_volume_shipping(
+        *_tables(spark, sf, "lineitem", "orders", "customer", "supplier", "nation")
+    )
+
+
+def _q_q8(spark, sf):
+    from baum_welch_spark.operators.relational import q8_market_share
+
+    return q8_market_share(
+        *_tables(
+            spark, sf, "lineitem", "orders", "customer", "supplier", "part", "nation", "region"
+        )
+    )
+
+
+def _q_q13(spark, sf):
+    from baum_welch_spark.operators.relational import q13_customer_distribution
+
+    return q13_customer_distribution(*_tables(spark, sf, "customer", "orders"))
+
+
+def _q_q17(spark, sf):
+    from baum_welch_spark.operators.relational import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(*_tables(spark, sf, "lineitem", "part"))
+
+
+def _q_q18(spark, sf):
+    from baum_welch_spark.operators.relational import q18_large_volume_customers
+
+    return q18_large_volume_customers(*_tables(spark, sf, "customer", "orders", "lineitem"))
+
+
+def _q_q22(spark, sf):
+    from baum_welch_spark.operators.relational import q22_dormant_customers
+
+    return q22_dormant_customers(*_tables(spark, sf, "customer", "orders"))
+
+
 def _q_q10(spark, sf):
     from baum_welch_spark.operators.relational import q10_returned_revenue
 
@@ -734,6 +776,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": _q_q14,
         "q15_top_supplier": _q_q15,
         "q19_bracket_revenue": _q_q19,
+        # NEW r6: the remaining TPC-H shapes expressible over the reduced
+        # schema (q2/q9/q11/q16/q20 need partsupp; q12/q21 need
+        # commit/receipt dates — neither exists in the testdata tables)
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "q13_customer_distribution": _q_q13,
+        "q17_small_quantity_revenue": _q_q17,
+        "q18_large_volume_customers": _q_q18,
+        "q22_dormant_customers": _q_q22,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
         "ppl_filter": _q_ppl_filter,
@@ -743,20 +794,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
-        # changed this round (global_rank / staged PII counts / pos guard /
-        # weight-normalization parity)
         "user_spend_rank": _q_user_spend_rank,
         "user_spend_deciles": _q_user_spend_deciles,
-        "pii_redact": _q_pii_redact,
-        "line_dedup": _q_line_dedup,
-        "mixture_sample": _q_mixture_sample,
         # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
         # normalization on the cosine round), so they stay in the window
-        "emb_norms": _q_emb_norms,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
-        "cosine_neardup": _q_cosine_neardup,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "clean_corpus": _q_clean_corpus,
         # the six r5 faces that had never been driver-verified (VERDICT-r5
         # #3), rotated IN this round; linreg_price / funnel_conversion /
@@ -789,7 +832,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_stats": _q_salted_value_stats,
         # rotated OUT this round (green in a prior round, unchanged):
         # q1_pricing_summary, vocab_topk, tfidf_top_terms, weighted_sample,
-        # time_bucket_gapfill, bigram_lm_score, decontaminate
+        # time_bucket_gapfill, bigram_lm_score, decontaminate, pii_redact,
+        # line_dedup, mixture_sample, emb_norms, cosine_neardup,
+        # cosine_neardup_lsh
+        "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
+        "mixture_sample": _q_mixture_sample,
+        "emb_norms": _q_emb_norms,
+        "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "decontaminate": _q_decontaminate,
         "q1_pricing_summary": _q_q1,
         "vocab_topk": _q_vocab_topk,
@@ -918,6 +969,12 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": relational.Q14_SQL,
         "q15_top_supplier": relational.Q15_SQL,
         "q19_bracket_revenue": relational.Q19_SQL,
+        "q7_volume_shipping": relational.Q7_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "q13_customer_distribution": relational.Q13_SQL,
+        "q17_small_quantity_revenue": relational.Q17_SQL,
+        "q18_large_volume_customers": relational.Q18_SQL,
+        "q22_dormant_customers": relational.Q22_SQL,
         "merge_upsert": merge.MERGE_UPSERT_SQL,
         "scd2_history": merge.SCD2_HISTORY_SQL,
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,

@@ -1241,3 +1241,322 @@ ORDER BY w_start, rk
 
 
 TRENDING_TOPK_SQL = trending_topk_sql()
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by ship year.
+
+    Scale: nation is constant-size and joined twice (supplier side,
+    customer side) — both forced broadcasts; supplier is small-dim (AQE
+    broadcasts); the two fact-sized joins (lineitem|><|orders on orderkey,
+    then orders|><|customer on custkey) shuffle on their keys. The
+    two-direction nation filter is applied AFTER the cheap broadcast joins
+    and prunes before the aggregate. Output is 2 nations x 2 directions x
+    years — group-count-sized.
+    """
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 4) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_2",
+    target_region: str = "ASIA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside one region's market
+    for one part type, by order year.
+
+    Scale: region/nation are constant-size broadcasts; part is filtered to
+    one p_type BEFORE its fact join (filter pushed to scan); the market
+    share is a conditional-sum / sum over the same aggregate — one partial
+    agg, group-count-sized output. The customer-region restriction prunes
+    via broadcast join, not a post-agg filter.
+    """
+    rk = region.filter(F.col("r_name") == target_region).select("r_regionkey")
+    cn = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(rk), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    pp = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    tgt = F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(tgt) / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count (customers
+    with zero orders included via left outer join).
+
+    Scale: one shuffle for the per-customer count (orderkey side pre-
+    projected to o_custkey only), one for the count-of-counts; both
+    partial-aggregable. The reduced schema has no o_comment, so the spec's
+    comment filter is omitted (documented divergence).
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"), customer.c_custkey == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", max_size: int = 10
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's small parts were not filled.
+
+    The spec's correlated subquery (per-part 0.2*avg(l_quantity)) becomes a
+    part-keyed aggregate joined back — the standard decorrelation. Scale:
+    part is filtered to one brand before anything joins it (broadcast);
+    the per-part threshold aggregate runs over the ALREADY part-pruned
+    lineitem (semi-join-reduced fact scan), so the corpus-wide groupBy
+    never sees unrelated parts. Reduced schema has no p_container; p_size
+    stands in as the second predicate.
+    """
+    pp = part.filter((F.col("p_brand") == brand) & (F.col("p_size") < max_size)).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+    return (
+        li.join(F.broadcast(thresh.withColumnRenamed("l_partkey", "t_partkey")),
+                F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q17_SQL = """
+WITH pruned AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_size < 10
+),
+thresh AS (
+  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+  FROM pruned GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM pruned JOIN thresh ON l_partkey = t_partkey
+WHERE l_quantity < qty_thresh
+"""
+
+
+def q18_large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: int = 300
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold, top 20 by order value.
+
+    The spec's IN-subquery over a grouped HAVING becomes a grouped
+    aggregate joined back to orders — Catalyst plans the orderkey-grouped
+    sum with map-side partials, and only qualifying orderkeys (a tiny
+    frame) join onward to orders/customer. Deterministic top-20 via
+    (o_totalprice desc, o_orderkey asc).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"), F.col("o_totalprice"),
+            F.round(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q22_dormant_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers with no RECENT orders, grouped
+    by market segment (reduced schema has no c_phone, so c_mktsegment
+    stands in for the phone-prefix country grouping; the testdata order
+    history covers every customer, so "no orders since `since`" replaces
+    the spec's "no orders ever" to keep the face non-vacuous).
+
+    The scalar avg-over-positive-balances subquery becomes a 1-row
+    broadcast; the NOT EXISTS becomes a left-anti join on the date-pruned,
+    pre-projected o_custkey column (the date filter pushes to the orders
+    scan). Integer-cents rounding for the balance sum keeps the
+    cross-engine hash exact (merge.py convention: Spark HALF_UP vs DuckDB
+    half-even differ on the x.xx5 boundary; cents math never does).
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    dormant = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

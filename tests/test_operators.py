@@ -630,3 +630,81 @@ def test_resize_images_nearest_neighbor(spark):
     for r in out:
         assert (r.width, r.height) == (4, 4)
         assert decode_ppm(bytes(r.payload)).shape == (4, 4, 3)
+
+
+def test_new_tpch_faces_plans(spark):
+    # r6 faces: date/type/brand filters must reach the scans, constant-size
+    # dims must broadcast, and nothing drops into Python.
+    li = load_table(spark, SF0001, "lineitem")
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    supplier = load_table(spark, SF0001, "supplier")
+    nation = load_table(spark, SF0001, "nation")
+    part = load_table(spark, SF0001, "part")
+    region = load_table(spark, SF0001, "region")
+
+    rep = assert_plan(
+        relational.q7_volume_shipping(li, orders, customer, supplier, nation),
+        require_broadcast=True,
+        require_pushdown=True,
+    )
+    assert rep["python_stages"] == 0
+    rep = assert_plan(
+        relational.q8_market_share(li, orders, customer, supplier, part, nation, region),
+        require_broadcast=True,
+        require_pushdown=True,
+    )
+    assert rep["python_stages"] == 0
+    # q13: two partial-agg shuffles + the customer|><|orders join only
+    rep = assert_plan(relational.q13_customer_distribution(customer, orders), max_shuffles=4)
+    assert rep["python_stages"] == 0
+    rep = assert_plan(
+        relational.q17_small_quantity_revenue(li, part),
+        require_broadcast=True,
+        require_pushdown=True,
+    )
+    assert rep["python_stages"] == 0
+    rep = assert_plan(relational.q18_large_volume_customers(customer, orders, li))
+    assert rep["python_stages"] == 0 and rep["nested_loop_joins"] == 0
+    rep = assert_plan(
+        relational.q22_dormant_customers(customer, orders), require_pushdown=True
+    )
+    assert rep["python_stages"] == 0
+
+
+def test_q18_threshold_semantics(spark):
+    # every returned order's sum_qty must exceed the threshold, and the
+    # top-20 ordering must be (o_totalprice desc, o_orderkey asc)
+    li = load_table(spark, SF0001, "lineitem")
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    rows = relational.q18_large_volume_customers(customer, orders, li, min_qty=300).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.sum_qty > 300 for r in rows)
+    keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q22_dormant_excludes_recent_buyers(spark):
+    from pyspark.sql import functions as FF
+
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    out = relational.q22_dormant_customers(customer, orders, since="2000-01-01")
+    got = {r.c_mktsegment: (r.numcust, r.totacctbal) for r in out.collect()}
+    assert got, "face must be non-vacuous on the fixture"
+    # oracle-independent invariant: no counted customer ordered after cutoff
+    recent = {
+        r.o_custkey
+        for r in orders.filter(FF.col("o_orderdate") >= "2000-01-01").select("o_custkey").collect()
+    }
+    avg_bal = customer.filter(FF.col("c_acctbal") > 0).agg(FF.avg("c_acctbal")).first()[0]
+    manual = {}
+    for r in customer.collect():
+        if r.c_acctbal > avg_bal and r.c_custkey not in recent:
+            n, s = manual.get(r.c_mktsegment, (0, 0.0))
+            manual[r.c_mktsegment] = (n + 1, s + round(r.c_acctbal * 100) / 100.0)
+    assert set(got) == set(manual)
+    for seg, (n, s) in manual.items():
+        assert got[seg][0] == n
+        assert abs(got[seg][1] - s) < 1e-6
