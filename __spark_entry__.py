@@ -433,6 +433,15 @@ def _q_knn_pq(spark, sf):
     return knn_pq(*_tables(spark, sf, "embeddings"))
 
 
+def _q_knn_ivfpq(spark, sf):
+    # rows-only by nature (k-means + residual-PQ training loops); pytest
+    # pins recall >= 0.5 vs knn_brute, residual-coding distortion strictly
+    # below flat PQ, and exact nearest-centroid cell assignment
+    from baum_welch_spark.operators.pq import knn_ivfpq
+
+    return knn_ivfpq(*_tables(spark, sf, "embeddings"))
+
+
 def _q_viterbi_decode(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.decode import viterbi_decode_face
@@ -764,7 +773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": _q_dup_ngrams,
         "emb_quantize": _q_emb_quantize,
         "knn_quantized": _q_knn_quantized,
-        "temperature_mixture": _q_temperature_mixture,
         # new this round, second wave: relational joins/merge/SCD2, the
         # PQ ANN and perplexity/occupancy/skew-join faces — never
         # driver-verified, so they take window slots from entries whose last
@@ -789,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "ppl_filter": _q_ppl_filter,
         "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
         "state_occupancy": _q_state_occupancy,
         "salted_join_segment_stats": _q_salted_join_segment_stats,
         # changed r5 (two-pass centered covariance; PCA consumes it)
@@ -835,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time_bucket_gapfill, bigram_lm_score, decontaminate, pii_redact,
         # line_dedup, mixture_sample, emb_norms, cosine_neardup,
         # cosine_neardup_lsh
+        "temperature_mixture": _q_temperature_mixture,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
         "mixture_sample": _q_mixture_sample,

@@ -79,77 +79,87 @@ def pq_train(
     tol: float = 1e-6,
 ) -> np.ndarray:
     """Train m subspace codebooks jointly; returns (m, n_codes, d/m)."""
-    spark = embeddings.sparkSession
-    sc = spark.sparkContext
     src = _normalized(embeddings).persist()
     try:
-        books = _seed_codebooks(src, m, n_codes, seed)
-        ds = books.shape[2]
-
-        for _ in range(max_iter):
-            bc = sc.broadcast(books)
-
-            def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                B = bc.value  # (m, k, ds)
-                mm, kk, dd = B.shape
-                sums = np.zeros((mm, kk, dd))
-                counts = np.zeros((mm, kk))
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
-                    for j in range(mm):
-                        S = X[:, j * dd : (j + 1) * dd]
-                        d2 = (
-                            (S * S).sum(axis=1)[:, None]
-                            - 2.0 * (S @ B[j].T)
-                            + (B[j] * B[j]).sum(axis=1)[None, :]
-                        )
-                        a = np.argmin(d2, axis=1)
-                        np.add.at(sums[j], a, S)
-                        np.add.at(counts[j], a, 1.0)
-                out = []
-                for j in range(mm):
-                    nz = np.nonzero(counts[j])[0]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "subspace": np.repeat(j, len(nz) * dd + len(nz)).astype(np.int32),
-                                "cluster": np.concatenate([np.repeat(nz, dd), nz]).astype(np.int32),
-                                "pos": np.concatenate(
-                                    [np.tile(np.arange(dd), len(nz)), np.full(len(nz), _COUNT_POS)]
-                                ).astype(np.int32),
-                                "val": np.concatenate([sums[j][nz].ravel(), counts[j][nz]]),
-                            }
-                        )
-                    )
-                if out:
-                    yield pd.concat(out, ignore_index=True)
-
-            agg = (
-                src.mapInPandas(partials, schema="subspace int, cluster int, pos int, val double")
-                .groupBy("subspace", "cluster", "pos")
-                .agg(F.sum("val").alias("val"))
-                .collect()
-            )
-            bc.unpersist()
-            sums = np.zeros((m, n_codes, ds))
-            counts = np.zeros((m, n_codes))
-            for r in agg:
-                if r.pos == _COUNT_POS:
-                    counts[r.subspace, r.cluster] = r.val
-                else:
-                    sums[r.subspace, r.cluster, r.pos] = r.val
-            new_books = books.copy()  # empty codewords hold position
-            nz = counts > 0
-            new_books[nz] = sums[nz] / counts[nz][:, None]
-            shift = float(np.linalg.norm(new_books - books))
-            books = new_books
-            if shift < tol:
-                break
-        return books
+        return _train_books(src, m, n_codes, max_iter, seed, tol)
     finally:
         src.unpersist()
+
+
+def _train_books(
+    src: DataFrame, m: int, n_codes: int, max_iter: int, seed: int, tol: float
+) -> np.ndarray:
+    """Codebook Lloyd loop over a caller-persisted ``(vec_id, nv)`` frame.
+
+    Split out of :func:`pq_train` so :func:`ivfpq_train` can run the SAME
+    loop over residual vectors (which must NOT be re-normalized — a
+    residual's length carries the quantization error being encoded)."""
+    sc = src.sparkSession.sparkContext
+    books = _seed_codebooks(src, m, n_codes, seed)
+    ds = books.shape[2]
+
+    for _ in range(max_iter):
+        bc = sc.broadcast(books)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            B = bc.value  # (m, k, ds)
+            mm, kk, dd = B.shape
+            sums = np.zeros((mm, kk, dd))
+            counts = np.zeros((mm, kk))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+                for j in range(mm):
+                    S = X[:, j * dd : (j + 1) * dd]
+                    d2 = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ B[j].T)
+                        + (B[j] * B[j]).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)
+                    np.add.at(sums[j], a, S)
+                    np.add.at(counts[j], a, 1.0)
+            out = []
+            for j in range(mm):
+                nz = np.nonzero(counts[j])[0]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "subspace": np.repeat(j, len(nz) * dd + len(nz)).astype(np.int32),
+                            "cluster": np.concatenate([np.repeat(nz, dd), nz]).astype(np.int32),
+                            "pos": np.concatenate(
+                                [np.tile(np.arange(dd), len(nz)), np.full(len(nz), _COUNT_POS)]
+                            ).astype(np.int32),
+                            "val": np.concatenate([sums[j][nz].ravel(), counts[j][nz]]),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+        agg = (
+            src.mapInPandas(partials, schema="subspace int, cluster int, pos int, val double")
+            .groupBy("subspace", "cluster", "pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        bc.unpersist()
+        sums = np.zeros((m, n_codes, ds))
+        counts = np.zeros((m, n_codes))
+        for r in agg:
+            if r.pos == _COUNT_POS:
+                counts[r.subspace, r.cluster] = r.val
+            else:
+                sums[r.subspace, r.cluster, r.pos] = r.val
+        new_books = books.copy()  # empty codewords hold position
+        nz = counts > 0
+        new_books[nz] = sums[nz] / counts[nz][:, None]
+        shift = float(np.linalg.norm(new_books - books))
+        books = new_books
+        if shift < tol:
+            break
+    return books
 
 
 def pq_encode(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
@@ -240,14 +250,29 @@ def knn_pq(
             )
 
     scored = corpus.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+    return _exact_rerank(embeddings, scored, q_ids, q_rows, rerank, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame,
+    scored: DataFrame,
+    q_ids: list[int],
+    q_rows: list,
+    rerank: int,
+    k: int,
+) -> DataFrame:
+    """Shared tail of the compressed-domain searches: top-``rerank`` ADC
+    shortlist per query, then ONLY the shortlist rows fetch their real
+    vectors for an exact cosine (the query side is a broadcast
+    n_queries-row frame). Output: (q_id, c_id, cos, rk) — matches
+    ``knn_brute`` so overlapping pairs agree bit-for-bit."""
+    spark = embeddings.sparkSession
     w = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
     shortlist = (
         scored.withColumn("srk", F.row_number().over(w))
         .filter(F.col("srk") <= rerank)
         .select("q_id", "c_id")
     )
-    # exact re-rank: shortlist ids join back their normalized vectors;
-    # the query side is a broadcast n_queries-row frame
     q_df = spark.createDataFrame(
         [(int(i), [float(x) for x in np.asarray(r.nv)]) for i, r in zip(q_ids, q_rows)],
         schema="q_id bigint, qv array<double>",
@@ -269,3 +294,210 @@ def knn_pq(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos", "rk")
     )
+
+
+def _residuals(src: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell, nv=residual) — assign each normalized vector to its
+    nearest coarse centroid and subtract it. Shuffle-free Arrow pass with
+    the (n_cells, d) centroid matrix broadcast."""
+    sc = src.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            R = X - C[a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": a.astype(np.int32),
+                    "nv": list(R),
+                }
+            )
+
+    return src.mapInPandas(go, schema="vec_id bigint, cell int, nv array<double>")
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    coarse_iter: int = 6,
+    pq_iter: int = 8,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF-PQ index (Jegou et al. 2011 §V, 'IVFADC'): a coarse
+    k-means quantizer over the corpus plus PQ codebooks trained on the
+    RESIDUALS ``x - centroid(x)``. Residuals are what the codes must
+    reconstruct — they are smaller and more isotropic than raw vectors, so
+    the same code budget quantizes them with far less error than flat PQ.
+
+    Scale posture: the coarse step is ``clustering.kmeans_fit`` (one scan
+    per Lloyd iteration, model-sized shuffle); the residual pass is one
+    shuffle-free Arrow map over the SAME persisted normalized frame; the
+    codebook loop is :func:`_train_books` over the persisted residual frame
+    (one scan per iteration, model-sized shuffle). Nothing corpus-sized
+    ever reaches the driver. Returns (centroids (n_cells, d),
+    books (m, n_codes, d/m)).
+    """
+    from baum_welch_spark.operators.clustering import kmeans_fit
+
+    src = _normalized(embeddings).persist()
+    try:
+        centroids, _ = kmeans_fit(
+            src.select("vec_id", F.col("nv").alias("embedding")),
+            k=n_cells,
+            max_iter=coarse_iter,
+            seed=seed,
+        )
+        res = _residuals(src, centroids).persist()
+        try:
+            books = _train_books(res.select("vec_id", "nv"), m, n_codes, pq_iter, seed, 1e-6)
+        finally:
+            res.unpersist()
+        return centroids, books
+    finally:
+        src.unpersist()
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, centroids: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """(vec_id, cell, codes array<int>) — cell assignment, residual, and PQ
+    codes in ONE shuffle-free Arrow pass (both models broadcast). At scale
+    the output would be written partitioned by ``cell`` so a search probing
+    n_probe cells partition-prunes the scan."""
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((centroids, books))
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, B = bc.value
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            d2c = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2c, axis=1)
+            R = X - C[a]
+            codes = np.empty((len(R), mm), dtype=np.int32)
+            for j in range(mm):
+                S = R[:, j * dd : (j + 1) * dd]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": a.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return _normalized(embeddings).mapInPandas(
+        go, schema="vec_id bigint, cell int, codes array<int>"
+    )
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    rerank: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k via the full IVFADC pipeline: coarse cells
+    prune WHICH candidates are scored (only vectors in each query's
+    ``n_probe`` nearest cells), residual-PQ codes compress WHAT is scored
+    (ADC over per-(query, probed-cell) LUTs), and the ADC shortlist gets an
+    exact re-rank — composing the pruning of ``knn_ivf_kmeans`` with the
+    compression of ``knn_pq``.
+
+    Scale posture: LUTs are (n_queries, n_probe, m, n_codes) doubles,
+    broadcast; scoring is one shuffle-free Arrow pass in which a candidate
+    is touched only by queries probing its cell (with cell-partitioned
+    storage this becomes partition pruning); the only shuffles are the two
+    query-count-bounded top-k windows. Output schema matches ``knn_brute``.
+    """
+    centroids, books = ivfpq_train(
+        embeddings, n_cells=n_cells, m=m, n_codes=n_codes, seed=seed
+    )
+    corpus = ivfpq_encode(
+        embeddings.filter(F.col("vec_id") >= n_queries), centroids, books
+    )
+    q_rows = (
+        _normalized(embeddings.filter(F.col("vec_id") < n_queries))
+        .orderBy("vec_id")
+        .collect()
+    )
+    mm, kk, dd = books.shape
+    Q = len(q_rows)
+    q_ids = [int(r.vec_id) for r in q_rows]
+    probe = np.empty((Q, n_probe), dtype=np.int32)
+    luts = np.empty((Q, n_probe, mm, kk))
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r.nv, dtype=np.float64)
+        d2c = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        cells = np.argsort(d2c, kind="stable")[:n_probe]
+        probe[qi] = cells
+        for p, c in enumerate(cells):
+            rq = qv - centroids[c]  # query residual w.r.t. the probed cell
+            for j in range(mm):
+                sub = rq[j * dd : (j + 1) * dd]
+                luts[qi, p, j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((np.asarray(q_ids, dtype=np.int64), probe, luts))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, P, L = bc.value  # (Q,), (Q, n_probe), (Q, n_probe, m, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            cells = pdf["cell"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            idx = C + (np.arange(mm) * kk)[None, :]  # flatten into (m*k)
+            out_q, out_c, out_a = [], [], []
+            for qi in range(len(ids)):
+                for p in range(P.shape[1]):
+                    mask = cells == P[qi, p]
+                    if not mask.any():
+                        continue
+                    flat = L[qi, p].reshape(mm * kk)
+                    d2 = flat[idx[mask]].sum(axis=1)
+                    out_q.append(np.full(int(mask.sum()), ids[qi], dtype=np.int64))
+                    out_c.append(vids[mask])
+                    out_a.append(np.round(1.0 - d2 / 2.0, 6) + 0.0)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "adc": np.concatenate(out_a),
+                }
+            )
+
+    scored = corpus.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+    return _exact_rerank(embeddings, scored, q_ids, q_rows, rerank, k)

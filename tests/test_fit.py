@@ -130,7 +130,14 @@ def test_fit_restarts_persists_corpus_exactly_once(spark, monkeypatch):
         return orig(self, *a, **k)
 
     monkeypatch.setattr(DataFrame, "persist", spy)
-    seqs = build_sequences(load_table(spark, SF0001, "events"))
+    from pyspark.sql import functions as FF
+
+    # the no-op filter makes this plan distinct from any frame another test
+    # module cached (cache lookup is plan-keyed): fit_restarts must see an
+    # UNcached input here, else it correctly skips its own persist
+    seqs = build_sequences(load_table(spark, SF0001, "events")).filter(
+        FF.col("seq_id") >= -(10**9)
+    )
     best, finals = fit_restarts(spark, seqs, n_hidden=3, n_observed=5, n_restarts=2, max_iter=2)
     assert len(finals) == 2
     assert len(calls) == 1, f"expected exactly 1 persist call, saw {len(calls)}"

@@ -106,3 +106,62 @@ def test_pq_train_scans_persisted_frame_once_per_iter(spark, embeddings, monkeyp
     for p in iter_plans:
         assert "InMemoryTableScan" in p, f"iteration re-derives its input instead of reading cache:\n{p}"
         assert _shuffle_count(p) <= 1, f"iteration plans extra shuffles:\n{p}"
+
+
+def test_ivfpq_encode_cells_and_codes_shapes(spark, embeddings):
+    from baum_welch_spark.operators.pq import ivfpq_encode, ivfpq_train
+
+    centroids, books = ivfpq_train(embeddings, n_cells=4, m=2, n_codes=4)
+    assert centroids.shape[0] == 4 and books.shape == (2, 4, centroids.shape[1] // 2)
+    enc = ivfpq_encode(embeddings, centroids, books).collect()
+    assert len(enc) == embeddings.count()
+    assert all(0 <= r.cell < 4 and len(r.codes) == 2 for r in enc)
+    assert all(all(0 <= c < 4 for c in r.codes) for r in enc)
+    # every vector's cell must be its true nearest centroid
+    ids, M = _norm_matrix(embeddings)
+    d2 = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    truth = dict(zip(ids, d2.argmin(axis=1)))
+    for r in enc:
+        assert r.cell == truth[r.vec_id]
+
+
+def test_ivfpq_residual_codes_beat_flat_pq_distortion(spark, embeddings):
+    # The point of residual encoding: reconstruction error of IVF-PQ
+    # (centroid + decoded residual) must undercut flat PQ with the same
+    # code budget. Computed in NumPy from the trained models.
+    from baum_welch_spark.operators.pq import ivfpq_train
+
+    ids, M = _norm_matrix(embeddings)
+    centroids, books = ivfpq_train(embeddings, n_cells=8, m=8, n_codes=16)
+    flat_books = pq_train(embeddings, m=8, n_codes=16)
+
+    def distortion(X, B, base=None):
+        mm, kk, dd = B.shape
+        R = X if base is None else X - base
+        err = 0.0
+        for j in range(mm):
+            S = R[:, j * dd : (j + 1) * dd]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            err += float(d2.min(axis=1).sum())
+        return err
+
+    cell = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    ivf_err = distortion(M, books, base=centroids[cell])
+    flat_err = distortion(M, flat_books)
+    assert ivf_err < flat_err, (ivf_err, flat_err)
+
+
+def test_knn_ivfpq_recall_vs_brute(spark, embeddings):
+    from baum_welch_spark.operators.pq import knn_ivfpq
+
+    brute = {(r.q_id, r.c_id) for r in knn_brute(embeddings, n_queries=5, k=5).collect()}
+    got = knn_ivfpq(embeddings, n_queries=5, k=5, n_cells=8, n_probe=4).collect()
+    hits = {(r.q_id, r.c_id) for r in got}
+    recall = len(brute & hits) / len(brute)
+    assert recall >= 0.5, f"IVF-PQ recall {recall}"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
