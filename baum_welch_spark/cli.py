@@ -180,6 +180,8 @@ def cmd_knn(args) -> int:
         from baum_welch_spark.operators.similarity import knn_brute as _knn
     elif args.method == "ivf":
         from baum_welch_spark.operators.clustering import knn_ivf_kmeans as _knn
+    elif args.method == "ivfpq":
+        from baum_welch_spark.operators.pq import knn_ivfpq as _knn
     else:
         from baum_welch_spark.operators.pq import knn_pq as _knn
     out = _knn(emb, n_queries=args.n_queries, k=args.k)
@@ -319,6 +321,27 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc ANSI SQL over the scale-factor tables: register every
+    ``<table>.parquet`` in the input dir as a temp view (io.register_views)
+    and hand the statement to Catalyst — a user of the reference engine's
+    query surface gets the entire Spark SQL dialect through one door."""
+    from baum_welch_spark.sources.io import register_views
+
+    spark, _own = _session("baum-welch-sql")
+    register_views(spark, args.input)
+    out = spark.sql(args.query)
+    if args.explain:
+        out.explain("formatted")
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baum_welch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -384,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
     kn.add_argument("--n-queries", type=int, default=5)
     kn.add_argument("-k", type=int, default=5)
     kn.add_argument(
-        "--method", choices=["brute", "ivf", "pq"], default="brute",
+        "--method", choices=["brute", "ivf", "pq", "ivfpq"], default="brute",
         help="brute = exact; ivf = trained-kmeans cells; pq = product-quantization ADC + exact re-rank",
     )
     kn.add_argument("-o", "--output")
@@ -435,6 +458,14 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("-k", type=int, default=2)
     pc.add_argument("-o", "--output")
     pc.set_defaults(fn=cmd_pca)
+
+    sq = sub.add_parser("sql", help="run ANSI SQL over the sf-dir tables (registered as views)")
+    sq.add_argument("-i", "--input", required=True, help="sf dir with <table>.parquet files")
+    sq.add_argument("query", help="SQL statement (tables: region nation customer supplier part orders lineitem events documents embeddings)")
+    sq.add_argument("-o", "--output", default=None, help="write result parquet here instead of showing")
+    sq.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    sq.add_argument("--explain", action="store_true", help="print the physical plan first")
+    sq.set_defaults(fn=cmd_sql)
 
     zo = sub.add_parser("zorder", help="write a Z-order clustered copy of events")
     zo.add_argument("-i", "--input", required=True)

@@ -132,3 +132,26 @@ def test_cli_knn_pq_and_filter(spark, tmp_path):
     kept = spark.read.parquet(fo)
     n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
     assert 0 < kept.count() <= n_docs * 0.55
+
+
+def test_cli_sql_and_knn_ivfpq(spark, tmp_path):
+    out = str(tmp_path / "sql_out")
+    assert (
+        main(
+            [
+                "sql",
+                "-i",
+                SF0001,
+                "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+                "-o",
+                out,
+            ]
+        )
+        == 0
+    )
+    res = spark.read.parquet(out)
+    assert res.count() == 3 and set(res.columns) == {"l_returnflag", "n"}
+
+    kn = str(tmp_path / "knn_ivfpq_out")
+    assert main(["knn", "-i", SF0001, "--method", "ivfpq", "--n-queries", "2", "-k", "3", "-o", kn]) == 0
+    assert spark.read.parquet(kn).count() == 6
