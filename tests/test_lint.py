@@ -30,8 +30,8 @@ ALLOWED = {
     # int8 quantizer: d-row per-dimension (min, max) ranges — model-sized
     "operators/quantize.py": {"collect": 1, "toPandas": 0},
     # PQ: n_codes seed rows, m*k*(ds+1) Lloyd partials per iteration,
-    # n_queries query rows — all model-sized
-    "operators/pq.py": {"collect": 3, "toPandas": 0},
+    # n_queries query rows for flat-PQ and IVF-PQ search — all model-sized
+    "operators/pq.py": {"collect": 4, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
@@ -90,6 +90,9 @@ def test_driver_window_stays_oracle_dense():
     # r5 curation: the three training-loop entries never driver-verified
     # before (VERDICT r4 "What's missing" #3) plus sampling-based generation
     # are rows-only by nature and deliberately rotated INTO the window
+    # r6 additions: pagerank_docs/compression_ratio (the two rows-only
+    # faces among the six never-driver-verified entries rotated in per
+    # VERDICT-r5 #3) and knn_ivfpq (training loops, like knn_pq)
     assert set(rows_only_in_window) <= {
         "hmm_fit",
         "emb_pca",
@@ -98,4 +101,7 @@ def test_driver_window_stays_oracle_dense():
         "bpe_merges",
         "hmm_fit_grouped",
         "knn_pq",
+        "knn_ivfpq",
+        "pagerank_docs",
+        "compression_ratio",
     }, rows_only_in_window

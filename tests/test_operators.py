@@ -602,7 +602,11 @@ def test_merge_upsert_plan_single_join_no_python(spark):
     orders = load_table(spark, SF0001, "orders")
     rep = plan_report(merge_upsert(orders))
     assert rep["python_stages"] == 0
-    assert rep["nested_loop_joins"] == 0
+    # exactly one BroadcastNestedLoopJoin is expected: the 1-row
+    # max(o_orderkey) frame that derives collision-free insert keys
+    # (ADVICE r5) cross-joins in as a broadcast, the graph.py dangling-mass
+    # pattern; anything more would be a real nested loop
+    assert rep["nested_loop_joins"] <= 1
     assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 1
 
 
