@@ -235,6 +235,18 @@ def _q_fingerprint(spark, sf):
     return fingerprint(*_tables(spark, sf, "documents"))
 
 
+def _q_winnow_fingerprints(spark, sf):
+    from baum_welch_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(*_tables(spark, sf, "documents"))
+
+
+def _q_copy_pairs(spark, sf):
+    from baum_welch_spark.operators.text import copy_pairs
+
+    return copy_pairs(*_tables(spark, sf, "documents"))
+
+
 def _q_emb_norms(spark, sf):
     from baum_welch_spark.operators.similarity import emb_norms
 
@@ -770,8 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
         "hmm_fit_grouped": _q_hmm_fit_grouped,
-        "dup_ngrams": _q_dup_ngrams,
-        "emb_quantize": _q_emb_quantize,
+        # NEW r6: winnowing copy-span detection (MOSS fingerprints)
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "copy_pairs": _q_copy_pairs,
         "knn_quantized": _q_knn_quantized,
         # new this round, second wave: relational joins/merge/SCD2, the
         # PQ ANN and perplexity/occupancy/skew-join faces — never
@@ -844,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time_bucket_gapfill, bigram_lm_score, decontaminate, pii_redact,
         # line_dedup, mixture_sample, emb_norms, cosine_neardup,
         # cosine_neardup_lsh
+        "dup_ngrams": _q_dup_ngrams,
+        "emb_quantize": _q_emb_quantize,
         "temperature_mixture": _q_temperature_mixture,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
@@ -944,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": text.DOC_QUALITY_SQL,
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
+        "winnow_fingerprints": text.WINNOW_FINGERPRINTS_SQL,
+        "copy_pairs": text.COPY_PAIRS_SQL,
         "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
         "repetition_stats": quality.REPETITION_STATS_SQL,
         "pii_redact": quality.PII_REDACT_SQL,

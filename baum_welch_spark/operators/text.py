@@ -190,3 +190,129 @@ SELECT doc_id,
              / len(regexp_split_to_array(text, '\s+')), 6) AS fertility
 FROM documents
 """
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local-fingerprinting algorithm): hash every ``k``-char gram,
+    then keep the MINIMUM hash of each window of ``w`` consecutive grams.
+    Winnowing guarantees any shared substring of length >= k + w - 1
+    produces at least one shared fingerprint, at ~1/w the density of full
+    k-gram shingling — the standard copy-span detector (plagiarism /
+    license-text / boilerplate) where whole-doc MinHash is too coarse.
+
+    Whole-stage-codegen throughout: grams and window minima are
+    ``transform``/``slice``/``array_min`` over ``sequence`` — no Python,
+    no shuffle before the final per-doc explode. Hashes use
+    ``portable_hash60`` so the DuckDB oracle reproduces them bit-for-bit.
+
+    Output: (doc_id, fp) distinct, ordered — a doc's fingerprint set.
+    """
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    t = F.col("text")
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: portable_hash60(t.substr(i, F.lit(k))),
+    )
+    # grams MUST be projected before the window pass: inlining the
+    # expression into the slice lambda would splice the whole gram-hash
+    # subtree into EVERY window element, re-hashing the document once per
+    # window (O(len^2) md5 calls; measured as a >100x slowdown)
+    g = F.col("_grams")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - w + 1),
+            lambda j: F.array_min(F.slice(g, j, w)),
+        )
+    )
+    return (
+        documents.filter(n >= k + w - 1)
+        .withColumn("_grams", grams)
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB oracle generated from the SAME k/w (face/oracle no-drift
+    convention). range() is end-exclusive; list slicing is 1-based
+    inclusive; the md5-prefix hash mirrors ``portable_hash60``."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {k} + 2),
+                        i -> ('0x' || substr(md5(substr(text, i::INTEGER, {k})), 1, 15))::BIGINT) AS g,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) >= {k} + {w} - 1
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, n - {k} - {w} + 3),
+                                      j -> list_min(g[j::INTEGER : j::INTEGER + {w} - 1]))) AS f
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp
+FROM fps, UNNEST(f) AS u(fp)
+ORDER BY doc_id, fp
+"""
+
+
+WINNOW_FINGERPRINTS_SQL = winnow_fingerprints_sql()
+
+
+def copy_pairs(
+    documents: DataFrame, k: int = 8, w: int = 4, min_shared: int = 8, max_df: int = 25
+) -> DataFrame:
+    """Copy-span candidate pairs: documents sharing >= ``min_shared``
+    winnowing fingerprints, after dropping boilerplate fingerprints that
+    appear in more than ``max_df`` documents (ubiquitous grams would
+    otherwise pair everything with everything — the hot-bucket guard, same
+    role as the LSH bucket cap).
+
+    Scale posture: the join is BY FINGERPRINT (an equi-join on a selective
+    key), never all-pairs; the df filter runs as a partial-agg before the
+    join, so hot fingerprints are dropped before they can fan out. Output
+    is (doc_a, doc_b, shared) ordered.
+    """
+    fps = winnow_fingerprints(documents, k=k, w=w)
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(df_ok, "fp")
+    a = pruned.select("fp", F.col("doc_id").alias("doc_a"))
+    b = pruned.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def copy_pairs_sql(k: int = 8, w: int = 4, min_shared: int = 8, max_df: int = 25) -> str:
+    """DuckDB oracle for :func:`copy_pairs`, generated from the same
+    parameters."""
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql(k, w).strip().rstrip()}),
+df_ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN df_ok USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+
+
+COPY_PAIRS_SQL = copy_pairs_sql()

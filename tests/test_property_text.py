@@ -100,3 +100,41 @@ def test_token_stats_matches_python_reference(spark):
         r = rows[doc_id]
         assert r["n_tokens"] == len(toks)
         assert r["n_distinct"] == len(set(toks))
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # Winnowing's core guarantee (Schleimer et al. 2003): two documents
+    # sharing a substring of length >= k + w - 1 share at least one
+    # fingerprint. Plant a long shared span into otherwise-different docs.
+    from baum_welch_spark.operators.text import copy_pairs, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, "one two three four " + shared + " five six"),
+            (3, "completely unrelated content with nothing in common xyzw qqq"),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared span must produce a shared fingerprint"
+    pairs = {(r.doc_a, r.doc_b): r.shared for r in copy_pairs(docs, k=8, w=4, min_shared=2, max_df=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_density_below_full_shingling(spark):
+    # winnowing keeps ~1/w of the gram hashes — assert it is materially
+    # sparser than the full k-gram set on real documents
+    from baum_welch_spark.operators.text import winnow_fingerprints
+    from baum_welch_spark.sources.io import load_table
+    from conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    n_fp = winnow_fingerprints(docs, k=8, w=4).count()
+    total_grams = docs.selectExpr("sum(length(text) - 8 + 1) AS g").first().g
+    assert n_fp < total_grams / 2
