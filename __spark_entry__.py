@@ -229,6 +229,12 @@ def _q_time_bucket_gapfill(spark, sf):
     return time_bucket_gapfill(*_tables(spark, sf, "events"))
 
 
+def _q_time_bucket_interpolate(spark, sf):
+    from baum_welch_spark.operators.relational import time_bucket_interpolate
+
+    return time_bucket_interpolate(*_tables(spark, sf, "events"))
+
+
 def _q_fingerprint(spark, sf):
     from baum_welch_spark.operators.text import fingerprint
 
@@ -785,7 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r6: winnowing copy-span detection (MOSS fingerprints)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
-        "knn_quantized": _q_knn_quantized,
+        "time_bucket_interpolate": _q_time_bucket_interpolate,
         # new this round, second wave: relational joins/merge/SCD2, the
         # PQ ANN and perplexity/occupancy/skew-join faces — never
         # driver-verified, so they take window slots from entries whose last
@@ -859,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine_neardup_lsh
         "dup_ngrams": _q_dup_ngrams,
         "emb_quantize": _q_emb_quantize,
+        "knn_quantized": _q_knn_quantized,
         "temperature_mixture": _q_temperature_mixture,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
@@ -960,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "winnow_fingerprints": text.WINNOW_FINGERPRINTS_SQL,
+        "time_bucket_interpolate": relational.TIME_BUCKET_INTERPOLATE_SQL,
         "copy_pairs": text.COPY_PAIRS_SQL,
         "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
         "repetition_stats": quality.REPETITION_STATS_SQL,

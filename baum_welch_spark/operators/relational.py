@@ -1560,3 +1560,90 @@ WHERE c_acctbal > avg_bal
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def time_bucket_interpolate(events: DataFrame) -> DataFrame:
+    """Hypertable-style gap filling with LINEAR interpolation: hourly mean
+    value per event_type over the type's [min, max] hour span; empty
+    buckets get the straight line between the surrounding present buckets
+    (TimescaleDB's ``interpolate()`` companion to ``locf()``, which
+    ``time_bucket_gapfill`` covers).
+
+    Same scale shape as the LOCF face: one combinable shuffle for the
+    hourly agg, calendar-sized spine, windows over calendar-sized
+    partitions. The interpolation weight divides exact integer epoch
+    seconds, so both engines compute identical doubles from identical
+    bucket positions. First/last buckets always have data (bounds come
+    from the data), so no edge extrapolation is ever needed.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy(F.col("event_type"), hour.alias("bucket")).agg(
+        F.avg("value").alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = spine.join(hourly, ["event_type", "bucket"], "left")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ep = F.col("bucket").cast("long")
+    prev_v = F.last("v", ignorenulls=True).over(w)
+    prev_t = F.last(F.when(F.col("v").isNotNull(), ep), ignorenulls=True).over(w)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_t = F.first(F.when(F.col("v").isNotNull(), ep), ignorenulls=True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * (ep - prev_t) / (next_t - prev_t)
+    )
+    return joined.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("bucket"),
+        F.col("v").isNotNull().alias("observed"),
+        (F.round(interp, 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+TIME_BUCKET_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.bucket, h.v,
+         epoch(s.bucket)::BIGINT AS ep
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.bucket = s.bucket
+),
+filled AS (
+  SELECT event_type, bucket, v,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket) AS prev_t,
+         first_value(v IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+         ep
+  FROM j
+)
+SELECT event_type,
+       CAST(bucket AS VARCHAR) AS bucket,
+       v IS NOT NULL AS observed,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE prev_v + (next_v - prev_v) * (ep - prev_t) / (next_t - prev_t)
+             END, 6) + 0.0 AS value
+FROM filled
+"""

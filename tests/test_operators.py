@@ -712,3 +712,21 @@ def test_q22_dormant_excludes_recent_buyers(spark):
     for seg, (n, s) in manual.items():
         assert got[seg][0] == n
         assert abs(got[seg][1] - s) < 1e-6
+
+
+def test_time_bucket_interpolate_linearity(spark):
+    # planted gap: hours 0 and 3 observed, 1 and 2 must sit on the line
+    events = spark.createDataFrame(
+        [
+            (1, 100, "a", "2024-01-01 00:30:00", 10.0),
+            (2, 100, "a", "2024-01-01 03:30:00", 40.0),
+        ],
+        schema="event_id bigint, user_id bigint, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.bucket: r for r in relational.time_bucket_interpolate(events).collect()}
+    assert len(rows) == 4
+    assert rows["2024-01-01 00:00:00"].value == 10.0 and rows["2024-01-01 00:00:00"].observed
+    assert not rows["2024-01-01 01:00:00"].observed
+    assert abs(rows["2024-01-01 01:00:00"].value - 20.0) < 1e-9
+    assert abs(rows["2024-01-01 02:00:00"].value - 30.0) < 1e-9
+    assert rows["2024-01-01 03:00:00"].value == 40.0
