@@ -33,6 +33,8 @@ SINGLE_RUN = SELF_EXECUTING | {
     "quality_classifier",
     "hmm_fit_grouped",
     "knn_pq",
+    "knn_ivfpq",
+    "knn_ivf_kmeans",
     "pagerank_docs",
 }
 
