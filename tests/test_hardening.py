@@ -72,3 +72,48 @@ def test_empty_and_null_sequences_skipped(spark):
     result = fit(spark, df, init, max_iter=2)
     np.testing.assert_allclose(result.model.A, expected.A, atol=1e-8)
     np.testing.assert_allclose(result.model.B, expected.B, atol=1e-8)
+
+
+def test_round6_faces_handle_empty_inputs(spark):
+    # every new face must return an EMPTY frame (not raise) on empty input
+    from baum_welch_spark.operators.linalg import linreg_multi
+    from baum_welch_spark.operators.relational import (
+        q7_volume_shipping,
+        q13_customer_distribution,
+        q18_large_volume_customers,
+        q22_dormant_customers,
+        time_bucket_interpolate,
+    )
+    from baum_welch_spark.operators.text import copy_pairs, winnow_fingerprints
+
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [], "c_custkey bigint, c_name string, c_nationkey bigint, c_acctbal double, c_mktsegment string"
+    )
+    supplier = spark.createDataFrame(
+        [], "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    )
+    nation = spark.createDataFrame([], "n_nationkey bigint, n_name string, n_regionkey bigint")
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    events = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    )
+
+    assert linreg_multi(li).count() == 0
+    assert q7_volume_shipping(li, orders, customer, supplier, nation).count() == 0
+    assert q13_customer_distribution(customer, orders).count() == 0
+    assert q18_large_volume_customers(customer, orders, li).count() == 0
+    assert q22_dormant_customers(customer, orders).count() == 0
+    assert time_bucket_interpolate(events).count() == 0
+    assert winnow_fingerprints(docs).count() == 0
+    assert copy_pairs(docs).count() == 0
