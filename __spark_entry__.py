@@ -235,6 +235,12 @@ def _q_time_bucket_interpolate(spark, sf):
     return time_bucket_interpolate(*_tables(spark, sf, "events"))
 
 
+def _q_lineitem_stats(spark, sf):
+    from baum_welch_spark.operators.relational import lineitem_stats
+
+    return lineitem_stats(*_tables(spark, sf, "lineitem"))
+
+
 def _q_fingerprint(spark, sf):
     from baum_welch_spark.operators.text import fingerprint
 
@@ -792,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
+        "lineitem_stats": _q_lineitem_stats,
         # new this round, second wave: relational joins/merge/SCD2, the
         # PQ ANN and perplexity/occupancy/skew-join faces — never
         # driver-verified, so they take window slots from entries whose last
@@ -822,7 +829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
-        "user_spend_rank": _q_user_spend_rank,
         "user_spend_deciles": _q_user_spend_deciles,
         # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
         # normalization on the cosine round), so they stay in the window
@@ -866,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": _q_dup_ngrams,
         "emb_quantize": _q_emb_quantize,
         "knn_quantized": _q_knn_quantized,
+        "user_spend_rank": _q_user_spend_rank,
         "temperature_mixture": _q_temperature_mixture,
         "pii_redact": _q_pii_redact,
         "line_dedup": _q_line_dedup,
@@ -968,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "winnow_fingerprints": text.WINNOW_FINGERPRINTS_SQL,
         "time_bucket_interpolate": relational.TIME_BUCKET_INTERPOLATE_SQL,
+        "lineitem_stats": relational.LINEITEM_STATS_SQL,
         "copy_pairs": text.COPY_PAIRS_SQL,
         "bpe_token_stats": text.BPE_TOKEN_STATS_SQL,
         "repetition_stats": quality.REPETITION_STATS_SQL,

@@ -1647,3 +1647,75 @@ SELECT event_type,
              END, 6) + 0.0 AS value
 FROM filled
 """
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass: row count, min,
+    max, mean, exact distinct count, and null count for the measure
+    columns — the stats a cost-based optimizer collects (Spark's own
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` shape, surfaced
+    as a queryable face).
+
+    Multiple exact COUNT(DISTINCT) in one aggregate: Catalyst rewrites
+    them into a single Expand + two-stage aggregate (one scan, one
+    shuffle of the expanded distinct keys) — no per-column re-scans.
+    Output: one row per column, long format.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            (F.round(F.avg(c), 6) + F.lit(0.0)).alias(f"{c}_avg"),
+            F.count_distinct(F.col(c)).alias(f"{c}_ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+        ]
+    wide = lineitem.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}_min").cast("double").alias("min_val"),
+            F.col(f"{c}_max").cast("double").alias("max_val"),
+            F.col(f"{c}_avg").alias("avg_val"),
+            F.col(f"{c}_ndv").alias("ndv"),
+            F.col(f"{c}_nulls").cast("bigint").alias("n_nulls"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+LINEITEM_STATS_SQL = """
+WITH wide AS (
+  SELECT count(*) AS n_rows,
+         min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+         round(avg(l_quantity), 6) + 0.0 AS q_avg,
+         count(DISTINCT l_quantity) AS q_ndv,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+         min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+         round(avg(l_extendedprice), 6) + 0.0 AS p_avg,
+         count(DISTINCT l_extendedprice) AS p_ndv,
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+         min(l_discount) AS d_min, max(l_discount) AS d_max,
+         round(avg(l_discount), 6) + 0.0 AS d_avg,
+         count(DISTINCT l_discount) AS d_ndv,
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls
+  FROM lineitem
+)
+SELECT 'l_discount' AS col_name, n_rows,
+       d_min::DOUBLE AS min_val, d_max::DOUBLE AS max_val, d_avg AS avg_val,
+       d_ndv::BIGINT AS ndv, d_nulls::BIGINT AS n_nulls FROM wide
+UNION ALL
+SELECT 'l_extendedprice', n_rows, p_min::DOUBLE, p_max::DOUBLE, p_avg,
+       p_ndv::BIGINT, p_nulls::BIGINT FROM wide
+UNION ALL
+SELECT 'l_quantity', n_rows, q_min::DOUBLE, q_max::DOUBLE, q_avg,
+       q_ndv::BIGINT, q_nulls::BIGINT FROM wide
+ORDER BY col_name
+"""

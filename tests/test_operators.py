@@ -730,3 +730,18 @@ def test_time_bucket_interpolate_linearity(spark):
     assert abs(rows["2024-01-01 01:00:00"].value - 20.0) < 1e-9
     assert abs(rows["2024-01-01 02:00:00"].value - 30.0) < 1e-9
     assert rows["2024-01-01 03:00:00"].value == 40.0
+
+
+def test_lineitem_stats_one_pass_and_values(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    rep = plan_report(relational.lineitem_stats(li))
+    assert rep["python_stages"] == 0
+    assert rep["scans"] == 1  # one pass: Expand handles the multi-distinct
+    rows = {r.col_name: r for r in relational.lineitem_stats(li).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount"}
+    n = li.count()
+    pdf = li.select("l_quantity").toPandas()["l_quantity"]
+    r = rows["l_quantity"]
+    assert r.n_rows == n and r.n_nulls == 0
+    assert r.min_val == pdf.min() and r.max_val == pdf.max()
+    assert r.ndv == pdf.nunique()
