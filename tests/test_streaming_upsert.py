@@ -73,3 +73,44 @@ def test_cdc_stream_snapshot_matches_batch_lww(spark, tmp_path):
         for r in load_table(spark, SF0001, "orders").collect()
     }
     assert bumped and all(abs(got[k] - (orders[k] + 1.0)) < 1e-9 for k in bumped)
+
+
+def test_cdc_stream_checkpoint_restart_no_double_apply(spark, tmp_path):
+    # run to completion, then drop MORE change files and restart with the
+    # SAME checkpoint: only the new files may be processed (no re-apply of
+    # old batches), and the final snapshot reflects both generations.
+    upd_dir = str(tmp_path / "updates")
+    snap_dir = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1)],
+        schema="o_orderkey bigint, price double, op string, ts long",
+    ).coalesce(1).write.mode("append").parquet(upd_dir)
+
+    def start():
+        stream = (
+            spark.readStream.schema("o_orderkey bigint, price double, op string, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(upd_dir)
+        )
+        return apply_cdc_stream(
+            stream, snap_dir, key="o_orderkey", value_cols=["price"], checkpoint=ckpt
+        )
+
+    q = start()
+    q.awaitTermination(300)
+    got1 = {r.o_orderkey: r.price for r in read_snapshot(spark, snap_dir).collect()}
+    assert got1 == {1: 10.0, 2: 20.0}
+
+    # second generation: bump key 1, delete key 2, insert key 3. If the
+    # restart re-applied the first file, key 2 would come back.
+    spark.createDataFrame(
+        [(1, 11.0, "upsert", 2), (2, 0.0, "delete", 2), (3, 30.0, "upsert", 2)],
+        schema="o_orderkey bigint, price double, op string, ts long",
+    ).coalesce(1).write.mode("append").parquet(upd_dir)
+
+    q = start()
+    q.awaitTermination(300)
+    got2 = {r.o_orderkey: r.price for r in read_snapshot(spark, snap_dir).collect()}
+    assert got2 == {1: 11.0, 3: 30.0}
