@@ -501,3 +501,135 @@ def knn_ivfpq(
 
     scored = corpus.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
     return _exact_rerank(embeddings, scored, q_ids, q_rows, rerank, k)
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build and PERSIST the IVF-PQ index — the build-once/search-many
+    serving split: ``centroids``/``books`` as tidy model parquet and the
+    byte codes PARTITIONED BY CELL, so a search probing ``n_probe`` cells
+    partition-prunes the code scan (the on-disk analogue of an inverted
+    file; at 100 TB only the probed lists are ever read)."""
+    spark = embeddings.sparkSession
+    centroids, books = ivfpq_train(
+        embeddings, n_cells=n_cells, m=m, n_codes=n_codes, seed=seed
+    )
+    mm, kk, dd = books.shape
+    c_rows = [
+        (int(c), int(p), float(centroids[c, p]))
+        for c in range(centroids.shape[0])
+        for p in range(centroids.shape[1])
+    ]
+    spark.createDataFrame(c_rows, "cell int, pos int, val double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    b_rows = [
+        (j, c, p, float(books[j, c, p]))
+        for j in range(mm)
+        for c in range(kk)
+        for p in range(dd)
+    ]
+    spark.createDataFrame(
+        b_rows, "subspace int, code int, pos int, val double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    ivfpq_encode(embeddings, centroids, books).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    return centroids, books
+
+
+def ivfpq_read_index(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(centroids, books, codes DataFrame) from :func:`ivfpq_write_index`.
+    Models are tiny tidy tables (model-sized collects); codes stay a lazy
+    cell-partitioned frame."""
+    c_rows = spark.read.parquet(f"{path}/centroids").collect()
+    n_cells = max(r.cell for r in c_rows) + 1
+    d = max(r.pos for r in c_rows) + 1
+    centroids = np.zeros((n_cells, d))
+    for r in c_rows:
+        centroids[r.cell, r.pos] = r.val
+    b_rows = spark.read.parquet(f"{path}/books").collect()
+    mm = max(r.subspace for r in b_rows) + 1
+    kk = max(r.code for r in b_rows) + 1
+    dd = max(r.pos for r in b_rows) + 1
+    books = np.zeros((mm, kk, dd))
+    for r in b_rows:
+        books[r.subspace, r.code, r.pos] = r.val
+    return centroids, books, spark.read.parquet(f"{path}/codes")
+
+
+def knn_ivfpq_query(
+    spark,
+    index_path: str,
+    query_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 50,
+) -> DataFrame:
+    """Search a PREBUILT IVF-PQ index (no training): probe each query's
+    ``n_probe`` nearest cells — the ``cell IN (...)`` filter partition-
+    prunes the cell-partitioned code files — ADC-score only the surviving
+    codes, exact-rerank the shortlist against ``corpus_embeddings``.
+    Queries are (vec_id, embedding) rows; output matches ``knn_brute``."""
+    centroids, books, codes = ivfpq_read_index(spark, index_path)
+    mm, kk, dd = books.shape
+    q_rows = _normalized(query_embeddings).orderBy("vec_id").collect()
+    Q = len(q_rows)
+    q_ids = [int(r.vec_id) for r in q_rows]
+    probe = np.empty((Q, n_probe), dtype=np.int32)
+    luts = np.empty((Q, n_probe, mm, kk))
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r.nv, dtype=np.float64)
+        d2c = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        cells = np.argsort(d2c, kind="stable")[:n_probe]
+        probe[qi] = cells
+        for p, c in enumerate(cells):
+            rq = qv - centroids[c]
+            for j in range(mm):
+                sub = rq[j * dd : (j + 1) * dd]
+                luts[qi, p, j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+    probed_cells = sorted({int(c) for c in probe.ravel()})
+    # the partition-pruning filter: only probed cells' files are read
+    pruned = codes.filter(F.col("cell").isin(probed_cells))
+    sc = spark.sparkContext
+    bc = sc.broadcast((np.asarray(q_ids, dtype=np.int64), probe, luts))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, P, L = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            cells = pdf["cell"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            idx = C + (np.arange(mm) * kk)[None, :]
+            out_q, out_c, out_a = [], [], []
+            for qi in range(len(ids)):
+                for p in range(P.shape[1]):
+                    mask = cells == P[qi, p]
+                    if not mask.any():
+                        continue
+                    flat = L[qi, p].reshape(mm * kk)
+                    d2 = flat[idx[mask]].sum(axis=1)
+                    out_q.append(np.full(int(mask.sum()), ids[qi], dtype=np.int64))
+                    out_c.append(vids[mask])
+                    out_a.append(np.round(1.0 - d2 / 2.0, 6) + 0.0)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "adc": np.concatenate(out_a),
+                }
+            )
+
+    scored = pruned.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+    return _exact_rerank(corpus_embeddings, scored, q_ids, q_rows, rerank, k)

@@ -30,8 +30,9 @@ ALLOWED = {
     # int8 quantizer: d-row per-dimension (min, max) ranges — model-sized
     "operators/quantize.py": {"collect": 1, "toPandas": 0},
     # PQ: n_codes seed rows, m*k*(ds+1) Lloyd partials per iteration,
-    # n_queries query rows for flat-PQ and IVF-PQ search — all model-sized
-    "operators/pq.py": {"collect": 4, "toPandas": 0},
+    # n_queries query rows for flat-PQ / IVF-PQ / index-served search, and
+    # the centroid+codebook model tables on index read — all model-sized
+    "operators/pq.py": {"collect": 7, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},

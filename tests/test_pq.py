@@ -165,3 +165,42 @@ def test_knn_ivfpq_recall_vs_brute(spark, embeddings):
     assert set(by_q) == {0, 1, 2, 3, 4}
     for rks in by_q.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_ivfpq_index_roundtrip_and_partition_pruned_query(spark, embeddings, tmp_path):
+    from baum_welch_spark.operators.pq import (
+        ivfpq_read_index,
+        ivfpq_write_index,
+        knn_ivfpq,
+        knn_ivfpq_query,
+    )
+    from baum_welch_spark.plans.audit import explain_str
+
+    path = str(tmp_path / "ivfpq_index")
+    centroids, books = ivfpq_write_index(embeddings, path, n_cells=8, m=2, n_codes=4)
+    c2, b2, codes = ivfpq_read_index(spark, path)
+    np.testing.assert_array_equal(centroids, c2)
+    np.testing.assert_array_equal(books, b2)
+    assert codes.count() == embeddings.count()
+
+    qdf = embeddings.filter("vec_id < 5")
+    cdf = embeddings.filter("vec_id >= 5")
+    # the serving search must partition-prune the cell-partitioned codes:
+    # the cell IN (...) predicate appears as a PartitionFilter on the scan
+    got = knn_ivfpq_query(spark, path, qdf, cdf, k=5, n_probe=3)
+    plan = explain_str(got, "formatted")
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        # the index contains the query vectors too (vec_id < 5 were encoded);
+        # the rerank side excludes them, so no self-hits
+        assert r.c_id >= 5
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    # index-served search agrees with the train-inline search wherever the
+    # probed cells match (same models, same seed -> identical by construction
+    # except the inline variant trains on all embeddings; both must at least
+    # return well-formed dense rankings)
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
