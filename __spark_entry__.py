@@ -484,6 +484,15 @@ def _q_seq_scores(spark, sf):
     return score_sequences_face(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_viterbi_reestimate(spark, sf):
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.viterbi_train import viterbi_reestimate
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return viterbi_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
 def _q_posterior_decode(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.decode import posterior_decode
@@ -790,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rows-only by nature), and the three entries never driver-verified
         # before r5 (rows-only training loops)
         "posterior_decode": _q_posterior_decode,
+        # NEW r6 third wave: hard-EM (segmental k-means) re-estimation step
+        "viterbi_reestimate": _q_viterbi_reestimate,
         "hmm_generate": _q_hmm_generate,
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
@@ -849,13 +860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family representatives (green in a prior round, kept under watch)
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
-        "sessionize": _q_sessionize,
-        # ---- driver's 50-entry window ends here (sessionize is #50);
+        # ---- driver's 50-entry window ends here (q5_region_revenue is #50);
         # everything below was driver-verified green in a prior round
         # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
         # nature, and is code-unchanged since its last green check. RULE
         # (VERDICT-r5): any face whose code changes, and any NEW face, must
         # be rotated into the first 50 the same round it lands.
+        # rotated OUT this round for viterbi_reestimate (driver-green r5,
+        # unchanged):
+        "sessionize": _q_sessionize,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -1042,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         # the seed-42 model embedded as full-precision literals (decode.py)
         "seq_scores": _score_oracle(),
         "viterbi_decode": _viterbi_oracle(),
+        # hard-EM re-estimation: shared Viterbi CTEs + relational counting
+        "viterbi_reestimate": _viterbi_reestimate_oracle(),
         # posterior decode: forward+backward recursions as recursive CTEs,
         # same literal-model convention (hmm_generate stays rows-only —
         # sampling from λ is not SQL-expressible)
@@ -1102,6 +1117,13 @@ def _viterbi_oracle() -> str:
     from baum_welch_spark.hmm.decode import viterbi_oracle_sql
 
     return viterbi_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _viterbi_reestimate_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.viterbi_train import viterbi_reestimate_oracle_sql
+
+    return viterbi_reestimate_oracle_sql(HMM.random(4, 5, seed=42))
 
 
 def _posterior_oracle() -> str:

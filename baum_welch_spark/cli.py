@@ -44,7 +44,22 @@ def cmd_train(args) -> int:
     spark, _own = _session("baum-welch-train")
     seqs = _build_sequences(spark, args.input)
     finals = None
-    if args.restarts > 1 and not args.model_in:
+    if args.method == "viterbi":
+        from baum_welch_spark.hmm.viterbi_train import fit_viterbi
+
+        if args.restarts > 1:
+            print("--restarts is ignored with --method viterbi", file=sys.stderr)
+        init = (
+            HMM.read(spark, args.model_in)
+            if args.model_in
+            else HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
+        )
+        result = fit_viterbi(
+            spark, seqs, init,
+            max_iter=args.max_iterations,
+            tol=args.convergence_delta,
+        )
+    elif args.restarts > 1 and not args.model_in:
         result, finals = fit_restarts(
             spark, seqs,
             n_hidden=args.num_hidden, n_observed=args.num_observed,
@@ -360,6 +375,11 @@ def main(argv: list[str] | None = None) -> int:
         help="random restarts; keeps the best final log-likelihood (ignored with "
         "--model-in; per-iteration model checkpoints are NOT written in restart "
         "mode — only the winning final model is saved)",
+    )
+    t.add_argument(
+        "--method", choices=["em", "viterbi"], default="em",
+        help="em = soft Baum-Welch; viterbi = hard EM (segmental k-means: "
+        "best-path counts, cheaper per iteration, coarser optimum)",
     )
     t.set_defaults(fn=cmd_train)
 

@@ -399,15 +399,17 @@ g AS MATERIALIZED (
     )
 
 
-def viterbi_oracle_sql(model: HMM) -> str:
-    """ANSI-SQL (DuckDB) oracle for viterbi_decode_face: log-space max-product
-    forward recursion + backward path reconstruction, two recursive CTEs.
+def viterbi_ctes(model: HMM) -> str:
+    """Shared CTE block (``coded``, ``lens``, ``delta``, ``back``) computing
+    per-(seq, t) Viterbi states — the DP core of both the decode oracle and
+    the hard-EM re-estimation oracle (hmm.viterbi_train). Returned WITHOUT
+    the leading ``WITH`` so callers can append their own CTEs.
 
     The log-model entries are embedded as repr() literals of the exact NumPy
     doubles the Spark operator broadcasts, and every DP cell is the same
     two-operand IEEE sum, so the deltas are BITWISE equal to _viterbi_one's —
     argmax ties (first-max, matching np.argmax) resolve identically and
-    path_str matches exactly, not just approximately."""
+    paths match exactly, not just approximately."""
     N = model.pi.shape[0]
     with np.errstate(divide="ignore"):
         lpi, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
@@ -435,8 +437,7 @@ def viterbi_oracle_sql(model: HMM) -> str:
     dmax = ", ".join(f"d.d{j}" for j in j1)
     # MATERIALIZED is load-bearing: without it DuckDB inlines delta (a full
     # recursion) into EVERY step of back's recursion — see score_oracle_sql
-    return f"""
-WITH coded AS MATERIALIZED ({_CODED_SQL}),
+    return f"""coded AS MATERIALIZED ({_CODED_SQL}),
 lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
 delta AS MATERIALIZED (
   WITH RECURSIVE delta_r AS (
@@ -463,7 +464,13 @@ back AS MATERIALIZED (
            ({back_argmax})::VARCHAR || ',' || b.path AS path
     FROM back_r b JOIN delta d ON d.user_id = b.user_id AND d.t = b.t - 1
   ) SELECT * FROM back_r
-)
+)"""
+
+
+def viterbi_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for viterbi_decode_face — see viterbi_ctes."""
+    return f"""
+WITH {viterbi_ctes(model)}
 SELECT b.user_id AS seq_id, round(b.loglik, 6) AS loglik, b.path AS path_str
 FROM back b WHERE b.t = 0
 """

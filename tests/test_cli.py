@@ -38,6 +38,23 @@ def test_cli_train_decode_score_chain(spark, tmp_path, capsys):
     assert scored.count() == decoded.count()
 
 
+def test_cli_train_viterbi_method(spark, tmp_path, capsys):
+    out = str(tmp_path / "hmm_viterbi_out")
+    rc = main([
+        "train", "-i", SF0001, "-o", out,
+        "--num-hidden", "3", "--num-observed", "5",
+        "--max-iterations", "3", "--seed", "7", "--method", "viterbi",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["iterations"] == 3
+    model = spark.read.parquet(summary["model_dir"])
+    assert model.count() > 0
+    # segmental k-means criterion: joint best-path loglik non-decreasing
+    t = summary["loglik_trace"]
+    assert t[-1] >= t[0]
+
+
 def test_cli_dedup_kmeans_knn(spark, tmp_path, capsys):
     dd = str(tmp_path / "dedup_out")
     assert main(["dedup", "-i", SF0001, "--method", "jaccard", "-o", dd]) == 0

@@ -38,6 +38,8 @@ ALLOWED = {
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
+    # hard EM (segmental k-means): same model-sized count-stripe collect
+    "hmm/viterbi_train.py": {"collect": 1, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
