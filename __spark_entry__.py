@@ -151,6 +151,12 @@ def _q_neardup_jaccard(spark, sf):
     return neardup_jaccard(*_tables(spark, sf, "documents"))
 
 
+def _q_neardup_containment(spark, sf):
+    from baum_welch_spark.operators.dedup import neardup_containment
+
+    return neardup_containment(*_tables(spark, sf, "documents"))
+
+
 def _q_bpe_token_stats(spark, sf):
     from baum_welch_spark.operators.text import bpe_token_stats
 
@@ -857,18 +863,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": _q_canonical_docs,
         "pagerank_docs": _q_pagerank_docs,
         "compression_ratio": _q_compression_ratio,
-        # family representatives (green in a prior round, kept under watch)
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        # ---- driver's 50-entry window ends here (q5_region_revenue is #50);
+        # NEW r6 third wave: asymmetric shingle-containment near-dup, plus
+        # neardup_jaccard rotated back in (its pair-overlap core was
+        # factored out to be shared with containment this round)
+        "neardup_containment": _q_neardup_containment,
+        "neardup_jaccard": _q_neardup_jaccard,
+        # ---- driver's 50-entry window ends here (neardup_jaccard is #50);
         # everything below was driver-verified green in a prior round
         # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
         # nature, and is code-unchanged since its last green check. RULE
         # (VERDICT-r5): any face whose code changes, and any NEW face, must
         # be rotated into the first 50 the same round it lands.
-        # rotated OUT this round for viterbi_reestimate (driver-green r5,
+        # rotated OUT this round for viterbi_reestimate / neardup_containment
+        # / the neardup_jaccard re-check (all three driver-green r5,
         # unchanged):
         "sessionize": _q_sessionize,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -903,7 +914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
-        "neardup_jaccard": _q_neardup_jaccard,
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -982,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "fingerprint_clusters": dedup.FINGERPRINT_CLUSTERS_SQL,
         "neardup_jaccard": dedup.NEARDUP_JACCARD_SQL,
+        "neardup_containment": dedup.NEARDUP_CONTAINMENT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "doc_quality": text.DOC_QUALITY_SQL,
         "lang_id": text.LANG_ID_SQL,

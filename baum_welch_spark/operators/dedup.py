@@ -123,15 +123,29 @@ def neardup_jaccard(
     — raise the cap (or pre-filter boilerplate) if that recall matters;
     the MinHash path handles corpora where hot shingles are structural.
     """
+    return (
+        _pair_intersections(documents, max_doc_freq)
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pair_intersections(documents: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Shared exact pair-overlap core of neardup_jaccard / neardup_containment:
+    (doc_a, doc_b, c, na, nb) with c the distinct-shingle intersection and
+    na/nb the per-doc shingle-set sizes (doc_a < doc_b).
+
+    Pair-generation via groupBy(shingle) + sorted doc list + pair explode:
+    one shuffle of the shingle instances instead of the self-join's two,
+    and the pair blowup happens inside codegen, not in an SMJ. Identical
+    output to the a.s == b.s AND a.doc < b.doc self-join (verified), ~1.7x
+    faster at sf0.1.
+    (the collect_list row itself is O(k) = 8 bytes/doc pre-filter — linear,
+    not quadratic; only the post-filter pair transform is k^2)
+    """
     sh = _shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # pair-generation via groupBy(shingle) + sorted doc list + pair explode:
-    # one shuffle of the shingle instances instead of the self-join's two,
-    # and the pair blowup happens inside codegen, not in an SMJ. Identical
-    # output to the a.s == b.s AND a.doc < b.doc self-join (verified), ~1.7x
-    # faster at sf0.1.
-    # (the collect_list row itself is O(k) = 8 bytes/doc pre-filter — linear,
-    # not quadratic; only the post-filter pair transform is k^2)
     lists = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -157,12 +171,58 @@ def neardup_jaccard(
     # forced broadcast is a driver/executor OOM at real corpus sizes —
     # AQE broadcasts it while small and degrades to a shuffle join when not
     # (the same policy as the MinHash verify joins)
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def neardup_containment(
+    documents: DataFrame, threshold: float = 0.5, max_doc_freq: int = 1000
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: C(A in B) = |A ∩ B| / |A|.
+
+    Jaccard under-scores SUBSET duplication — a paragraph quoted inside a
+    much longer document scores |A|/|B| ≈ 0 Jaccard however completely A is
+    contained — so containment is the standard companion signal in
+    training-data dedup (Broder 1997's "containment"; the quote/boilerplate
+    case). Emits each undirected pair once (doc_a < doc_b) with BOTH directed
+    scores; pairs qualify when either direction clears ``threshold``.
+
+    Same exact pair-overlap core (and hot-shingle df-cap trade) as
+    neardup_jaccard; count/count division is one exact IEEE op per cell on
+    both engines, the 6-dp round is the face convention."""
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        _pair_intersections(documents, max_doc_freq)
+        .withColumn("cont_a_in_b", F.round(F.col("c") / F.col("na"), 6))
+        .withColumn("cont_b_in_a", F.round(F.col("c") / F.col("nb"), 6))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
     )
+
+
+NEARDUP_CONTAINMENT_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / sa.n, 6) AS cont_a_in_b,
+       round(c * 1.0 / sb.n, 6) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(round(c * 1.0 / sa.n, 6), round(c * 1.0 / sb.n, 6)) >= 0.5
+"""
 
 
 NEARDUP_JACCARD_SQL = """

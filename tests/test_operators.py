@@ -42,6 +42,35 @@ def test_jaccard_identical_docs_score_one(spark):
     assert rows[0].jaccard == 1.0
 
 
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted verbatim inside a
+    much longer one has Jaccard ≈ |A|/|B| (tiny) but containment C(A in B)
+    = 1.0 — containment must flag the pair at a threshold where Jaccard
+    does not."""
+    quote = "to be or not to be that is the question we ask"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}"), (3, "unrelated text entirely here now")],
+        schema="doc_id bigint, text string",
+    )
+    assert dedup.neardup_jaccard(df, threshold=0.5).count() == 0
+    rows = dedup.neardup_containment(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_in_b == 1.0  # every shingle of the quote is in doc 2
+    assert r.cont_b_in_a < 0.1
+
+
+def test_containment_symmetric_identical_docs(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], schema="doc_id bigint, text string"
+    )
+    r = dedup.neardup_containment(df, threshold=0.9).collect()[0]
+    assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """A boilerplate shingle shared by k docs must NOT generate its k^2/2
     pairs when k exceeds max_doc_freq (VERDICT r1 "What's wrong" #4): the
