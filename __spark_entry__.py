@@ -157,6 +157,12 @@ def _q_neardup_containment(spark, sf):
     return neardup_containment(*_tables(spark, sf, "documents"))
 
 
+def _q_neardup_edit(spark, sf):
+    from baum_welch_spark.operators.dedup import neardup_edit
+
+    return neardup_edit(*_tables(spark, sf, "documents"))
+
+
 def _q_bpe_token_stats(spark, sf):
     from baum_welch_spark.operators.text import bpe_token_stats
 
@@ -846,7 +852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
-        "user_spend_deciles": _q_user_spend_deciles,
         # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
         # normalization on the cosine round), so they stay in the window
         "knn_brute": _q_knn_brute,
@@ -868,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # factored out to be shared with containment this round)
         "neardup_containment": _q_neardup_containment,
         "neardup_jaccard": _q_neardup_jaccard,
+        # NEW r6 third wave: blocked Levenshtein near-dup
+        "neardup_edit": _q_neardup_edit,
         # ---- driver's 50-entry window ends here (neardup_jaccard is #50);
         # everything below was driver-verified green in a prior round
         # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
@@ -880,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
+        "user_spend_deciles": _q_user_spend_deciles,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -993,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_clusters": dedup.FINGERPRINT_CLUSTERS_SQL,
         "neardup_jaccard": dedup.NEARDUP_JACCARD_SQL,
         "neardup_containment": dedup.NEARDUP_CONTAINMENT_SQL,
+        "neardup_edit": dedup.NEARDUP_EDIT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "doc_quality": text.DOC_QUALITY_SQL,
         "lang_id": text.LANG_ID_SQL,

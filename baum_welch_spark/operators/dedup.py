@@ -308,6 +308,83 @@ FROM comp GROUP BY component
 )
 
 
+def neardup_edit(
+    documents: DataFrame, max_dist: int = 20, bucket_width: int | None = None
+) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs: (doc_a, doc_b, dist) with
+    dist <= ``max_dist`` edit operations between the full texts.
+
+    Edit distance is the right signal for near-verbatim corruption —
+    OCR noise, whitespace drift, small in-place edits — where shingle
+    overlap is already ~1 and the question is HOW different two versions
+    are. It is O(len_a * len_b) per pair, so all-pairs is never an option;
+    blocking is the operator:
+
+    - LENGTH blocking is lossless: |len_a - len_b| <= max_dist for any
+      pair within max_dist, so bucketing by floor(n_chars / max_dist) and
+      probing (b, b) and (b, b+1) covers every qualifying pair exactly.
+    - FIRST-WORD blocking is the declared recall trade: only docs sharing
+      their first whitespace token are compared (the sorted-neighborhood
+      standard), which keeps bucket sizes near-constant on real corpora;
+      versions that diverge in the first word are missed — route those
+      through the MinHash path, which is edit-position-blind.
+
+    Spark evaluates ``levenshtein(a, b, threshold)`` (early-exit banded DP,
+    JVM codegen) and DuckDB plain ``levenshtein`` — identical values on
+    every kept row, so the face is DuckDB-exact. Scale: the only shuffle is
+    the block-key self-join; per-block pair counts are bounded by block
+    population, and the threshold arg caps per-pair DP cost at
+    O(max_dist * min_len).
+    """
+    w = bucket_width or max_dist
+    if w < max_dist:
+        raise ValueError("bucket_width < max_dist drops qualifying pairs")
+    blocked = documents.select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), " ").getItem(0).alias("w0"),
+        (F.length("text") / w).cast("long").alias("bkt"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+        "w0", F.col("bkt").alias("ba"),
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+        "w0", F.col("bkt").alias("bb"),
+    )
+    cand = a.join(b, ["w0"]).filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & ((F.col("bb") - F.col("ba")).between(-1, 1))
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ta", "tb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def _neardup_edit_sql(max_dist: int = 20, bucket_width: int | None = None) -> str:
+    """Oracle generated from the SAME parameters as neardup_edit (the
+    _ppl_filter_sql pattern) so face and oracle cannot drift."""
+    w = bucket_width or max_dist
+    return f"""
+WITH blocked AS (
+  SELECT doc_id, text, split_part(text, ' ', 1) AS w0,
+         CAST(floor(length(text) / {w}.0) AS BIGINT) AS bkt
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS dist
+FROM blocked a JOIN blocked b
+  ON a.w0 = b.w0 AND a.doc_id < b.doc_id AND abs(a.bkt - b.bkt) <= 1
+WHERE levenshtein(a.text, b.text) <= {max_dist}
+"""
+
+
+NEARDUP_EDIT_SQL = _neardup_edit_sql()
+
+
 def band_key_structs(num_hashes: int, bands: int) -> Column:
     """LSH band keys from signature columns ``mh0..mh{num_hashes-1}``: an
     array of (band, bkey) structs, where bkey is the band's signature slice

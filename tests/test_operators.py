@@ -71,6 +71,33 @@ def test_containment_symmetric_identical_docs(spark):
     assert r.cont_a_in_b == 1.0 and r.cont_b_in_a == 1.0
 
 
+def test_neardup_edit_planted_pairs_and_blocking(spark):
+    base = "alpha " + " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " xx"),          # 3 edits, same first word, same bucket side
+            (3, "beta " + base[6:]),    # small edit but FIRST WORD differs -> declared miss
+            (4, base + " " + " ".join(f"pad{i}" for i in range(40))),  # > max_dist away
+        ],
+        schema="doc_id bigint, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r.dist for r in dedup.neardup_edit(df, max_dist=10).collect()}
+    assert rows == {(1, 2): 3}
+
+
+def test_neardup_edit_length_blocking_is_lossless_across_buckets(spark):
+    """A qualifying pair whose lengths straddle a bucket boundary must
+    survive the (b, b±1) probe: len 19 and len 21 land in buckets 0 and 1
+    at width 20 and differ by 2 edits."""
+    df = spark.createDataFrame(
+        [(1, "w " + "a" * 17), (2, "w " + "a" * 19)],
+        schema="doc_id bigint, text string",
+    )
+    rows = dedup.neardup_edit(df, max_dist=20).collect()
+    assert len(rows) == 1 and rows[0].dist == 2
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """A boilerplate shingle shared by k docs must NOT generate its k^2/2
     pairs when k exceeds max_doc_freq (VERDICT r1 "What's wrong" #4): the
