@@ -717,6 +717,12 @@ def _q_emb_covariance(spark, sf):
     return emb_covariance(*_tables(spark, sf, "embeddings"))
 
 
+def _q_emb_standardize(spark, sf):
+    from baum_welch_spark.operators.linalg import emb_standardize
+
+    return emb_standardize(*_tables(spark, sf, "embeddings"))
+
+
 def _q_emb_pca(spark, sf):
     from baum_welch_spark.operators.linalg import emb_pca
 
@@ -848,10 +854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
         "state_occupancy": _q_state_occupancy,
-        "salted_join_segment_stats": _q_salted_join_segment_stats,
         # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
+        # NEW r6 third wave: per-dimension z-score standardization summary
+        "emb_standardize": _q_emb_standardize,
         # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
         # normalization on the cosine round), so they stay in the window
         "knn_brute": _q_knn_brute,
@@ -888,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
         "user_spend_deciles": _q_user_spend_deciles,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -1024,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
+        "emb_standardize": linalg.EMB_STANDARDIZE_SQL,
         "linreg_price": linalg.LINREG_PRICE_SQL,
         "linreg_multi": linalg.LINREG_MULTI_SQL,
         "funnel_conversion": relational.FUNNEL_CONVERSION_SQL,

@@ -196,6 +196,87 @@ def emb_pca(embeddings: DataFrame, k: int = 2) -> DataFrame:
     return embeddings.select("vec_id", *cols).orderBy("vec_id")
 
 
+def emb_standardize(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension z-score standardization summary: z_j = (x_j - mu_j) / sd_j
+    with population moments, plus the whitened squared norm sum_j z_j^2 —
+    the diagonal-Mahalanobis outlier score an embedding pipeline gates on
+    before clustering/ANN (a vector far from the per-dim envelope is a
+    decode artifact or domain outlier).
+
+    Scale: pass 1 is a posexplode + groupBy(i) avg/var_pop — Catalyst's
+    map-side partial aggregation means the shuffle carries O(partitions * d)
+    rows, and the collect is d rows (model-sized, the emb_means shape).
+    Pass 2 embeds mu/sd as literal arrays and folds per-row aggregates in
+    pure Catalyst — shuffle-free over the corpus, no vector reaches the
+    driver. Constant dimensions (sd = 0) standardize with sd := 1 (the
+    scikit-learn StandardScaler convention) instead of dividing by zero.
+
+    Output: (vec_id, z_mean, z_min, z_max, z_norm2), 6-dp rounded with
+    signed zero normalized (z_mean/z_min/z_max straddle 0 by construction).
+    Oracle: same moments and fold order in DuckDB; both sides' d-term
+    per-vector folds agree to ~1e-12 and round stably.
+    """
+    from baum_welch_spark.functions.columns import as_double_array, round0
+
+    stats = (
+        embeddings.select(
+            F.posexplode(as_double_array(F.col("embedding"))).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"), F.var_pop("v").alias("s2"))
+        .orderBy("i")
+        .collect()
+    )
+    if not stats:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, z_mean double, z_min double, z_max double, z_norm2 double"
+        )
+    d = len(stats)
+    mu_lit = F.array(*[F.lit(float(r.m)) for r in stats])
+    sd_lit = F.array(
+        *[F.lit(float(np.sqrt(r.s2)) if r.s2 > 0 else 1.0) for r in stats]
+    )
+    z = F.transform(
+        as_double_array(F.col("embedding")),
+        lambda x, i: (x - F.element_at(mu_lit, i + 1)) / F.element_at(sd_lit, i + 1),
+    )
+    zs = embeddings.select("vec_id", z.alias("z"))
+    acc = F.lit(0.0)
+    return zs.select(
+        "vec_id",
+        round0(F.aggregate("z", acc, lambda a, x: a + x) / F.lit(float(d)), 6).alias("z_mean"),
+        round0(F.array_min("z"), 6).alias("z_min"),
+        round0(F.array_max("z"), 6).alias("z_max"),
+        round0(F.aggregate("z", acc, lambda a, x: a + x * x), 6).alias("z_norm2"),
+    ).orderBy("vec_id")
+
+
+EMB_STANDARDIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+m AS (
+  SELECT i, avg(v) AS mu,
+         CASE WHEN var_pop(v) > 0 THEN sqrt(var_pop(v)) ELSE 1.0 END AS sd
+  FROM x GROUP BY i
+),
+z AS (
+  SELECT x.vec_id, x.i, (x.v - m.mu) / m.sd AS z
+  FROM x JOIN m ON x.i = m.i
+)
+SELECT vec_id,
+       round(sum(z ORDER BY i) / count(*), 6) + 0.0 AS z_mean,
+       round(min(z), 6) + 0.0 AS z_min,
+       round(max(z), 6) + 0.0 AS z_max,
+       round(sum(z * z ORDER BY i), 6) + 0.0 AS z_norm2
+FROM z
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 def linreg_price(lineitem: DataFrame) -> DataFrame:
     """Distributed bivariate OLS per (l_returnflag): slope/intercept of
     ``l_extendedprice ~ l_quantity`` from two-pass CENTERED sufficient

@@ -80,6 +80,36 @@ def test_pca_k_larger_than_dim_clamps(spark):
     assert out.count() == 20
 
 
+def test_emb_standardize_matches_numpy(spark, embeddings):
+    from baum_welch_spark.operators.linalg import emb_standardize
+
+    X = _X(embeddings)
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd = np.where(sd > 0, sd, 1.0)
+    Z = (X - mu) / sd
+    got = emb_standardize(embeddings).orderBy("vec_id").collect()
+    assert len(got) == X.shape[0]
+    for r, z in zip(got, Z):
+        assert abs(r.z_mean - z.mean()) < 2e-6
+        assert abs(r.z_min - z.min()) < 2e-6
+        assert abs(r.z_max - z.max()) < 2e-6
+        assert abs(r.z_norm2 - (z * z).sum()) < 2e-5
+
+
+def test_emb_standardize_constant_dim_uses_unit_sd(spark):
+    from baum_welch_spark.operators.linalg import emb_standardize
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in emb_standardize(df).collect()}
+    # dim 0 constant: z = (5-5)/1 = 0; dim 1: z = ±1 (population sd = 1)
+    assert rows[1].z_min == -1.0 and rows[1].z_max == 0.0
+    assert rows[2].z_min == 0.0 and rows[2].z_max == 1.0
+    assert rows[1].z_norm2 == 1.0 and rows[2].z_norm2 == 1.0
+
+
 def test_linreg_multi_matches_numpy_lstsq(spark):
     # Cramer-solved normal equations == np.linalg.lstsq on the same data,
     # per group — pins the multivariate math independently of the DuckDB

@@ -21,7 +21,8 @@ ALLOWED = {
     "operators/clustering.py": {"collect": 3, "toPandas": 0},
     # PCA: d(d+1)/2 covariance rows + d column means — model-sized, like the
     # HMM stripe collect; no embedding row ever reaches the driver
-    "operators/linalg.py": {"collect": 2, "toPandas": 0},
+    # (third site: emb_standardize's d-row moment collect)
+    "operators/linalg.py": {"collect": 3, "toPandas": 0},
     # logreg: 1-row feature moments + (d+2)-row gradient partials per GD
     # iteration — model-sized driver loop, same shape as hmm/fit.py
     "operators/classifier.py": {"collect": 2, "toPandas": 0},
