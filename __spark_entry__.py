@@ -747,6 +747,15 @@ def _q_vocab_topk_cms(spark, sf):
     return vocab_topk_cms(*_tables(spark, sf, "documents"))
 
 
+def _q_grouped_decode(spark, sf):
+    # rows-only by nature (the per-group models come from the Python EM
+    # loop); pytest pins per-group parity with the broadcast decoder
+    from baum_welch_spark.hmm.grouped import decode_per_event_class
+
+    (events,) = _tables(spark, sf, "events")
+    return decode_per_event_class(events, max_iter=2)
+
+
 def _q_hmm_fit_grouped(spark, sf):
     from baum_welch_spark.hmm.grouped import fit_per_event_class
 
@@ -823,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
         "hmm_fit_grouped": _q_hmm_fit_grouped,
+        # NEW r6 third wave: per-group serving decode (cogrouped models)
+        "grouped_decode": _q_grouped_decode,
         # NEW r6: winnowing copy-span detection (MOSS fingerprints)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
@@ -850,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": _q_q22,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
-        "ppl_filter": _q_ppl_filter,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
         "state_occupancy": _q_state_occupancy,
@@ -896,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q_q5,
         "user_spend_deciles": _q_user_spend_deciles,
         "salted_join_segment_stats": _q_salted_join_segment_stats,
+        "ppl_filter": _q_ppl_filter,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,

@@ -81,6 +81,88 @@ def fit_grouped(
     )
 
 
+def decode_grouped(
+    sequences_with_group: DataFrame, grouped_models: DataFrame
+) -> DataFrame:
+    """Viterbi-decode every sequence under ITS OWN group's model — the
+    serving-side complement of fit_grouped (train per domain, then decode
+    each domain's traffic under its domain model).
+
+    Spark shape: ``cogroup(...).applyInPandas`` — the tidy model rows and
+    the group's sequences are co-shuffled on the group key into one task,
+    so each model meets exactly its own data; no model table broadcast, no
+    driver round-trip, and model count can scale with group count. (The
+    single-model ``decode.viterbi_decode`` broadcast path remains the tool
+    when one model serves the whole corpus.)
+
+    Groups present on only one side yield no rows (inner-cogroup
+    semantics): a group with sequences but no trained model is not
+    decodable, and a model with no traffic has nothing to emit.
+
+    Output: (group, seq_id, loglik, path_str) — Viterbi joint log-prob and
+    the comma-joined best path.
+    """
+    from baum_welch_spark.hmm.decode import _viterbi_one
+
+    def decode(models_pdf: pd.DataFrame, seqs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(models_pdf) or not len(seqs_pdf):
+            return pd.DataFrame(
+                {"group": [], "seq_id": [], "loglik": [], "path_str": []}
+            )
+        group = str(models_pdf["group"].iloc[0])
+        n = int(models_pdf.loc[models_pdf["kind"] == "pi", "i"].max()) + 1
+        m = int(models_pdf.loc[models_pdf["kind"] == "B", "j"].max()) + 1
+        pi = np.zeros(n)
+        A = np.zeros((n, n))
+        B = np.zeros((n, m))
+        for r in models_pdf.itertuples():
+            if r.kind == "pi":
+                pi[r.i] = r.weight
+            elif r.kind == "A":
+                A[r.i, r.j] = r.weight
+            elif r.kind == "B":
+                B[r.i, r.j] = r.weight
+        with np.errstate(divide="ignore"):
+            log_pi, log_A, log_B = np.log(pi), np.log(A), np.log(B)
+        ids, lls, paths = [], [], []
+        for r in seqs_pdf.sort_values("seq_id").itertuples():
+            if r.obs is None or len(r.obs) == 0:
+                continue
+            path, ll = _viterbi_one(log_pi, log_A, log_B, np.asarray(r.obs, dtype=np.int64))
+            ids.append(r.seq_id)
+            lls.append(ll)
+            paths.append(",".join(str(int(s)) for s in path))
+        return pd.DataFrame(
+            {"group": group, "seq_id": ids, "loglik": lls, "path_str": paths}
+        )
+
+    return (
+        grouped_models.groupBy("group")
+        .cogroup(sequences_with_group.select("group", "seq_id", "obs").groupBy("group"))
+        .applyInPandas(
+            decode, schema="group string, seq_id bigint, loglik double, path_str string"
+        )
+    )
+
+
+def decode_per_event_class(events: DataFrame, n_hidden: int = 3, max_iter: int = 5) -> DataFrame:
+    """Driver-style face: train per-segment models (fit_per_event_class's
+    segmentation) and Viterbi-decode every user's sequence under its own
+    segment's model. Rows-only in the driver contract (the models come from
+    the Python EM loop); pytest pins per-group parity with the single-model
+    broadcast decoder."""
+    from baum_welch_spark.operators.sequences import build_sequences, symbol_dictionary
+
+    n_observed = symbol_dictionary(events, "event_type").count()
+    seqs = build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 3).cast("string"))
+    )
+    models = fit_grouped(seqs, n_hidden, n_observed, max_iter=max_iter)
+    return decode_grouped(seqs, models).select(
+        "group", "seq_id", F.round("loglik", 6).alias("loglik"), "path_str"
+    )
+
+
 def fit_per_event_class(events: DataFrame, n_hidden: int = 3, max_iter: int = 5) -> DataFrame:
     """Driver-style face: segment users by ``user_id % 3`` (a deterministic
     stand-in for a domain column) and train one HMM per segment over each

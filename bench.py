@@ -32,6 +32,7 @@ SINGLE_RUN = SELF_EXECUTING | {
     "bpe_merges",
     "quality_classifier",
     "hmm_fit_grouped",
+    "grouped_decode",
     "knn_pq",
     "knn_ivfpq",
     "knn_ivf_kmeans",

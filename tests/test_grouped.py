@@ -61,3 +61,56 @@ def test_grouped_fit_partitioning_invariant(spark, events):
     for g in groups:
         pi_sum = sum(r["weight"] for r in out1 if r["group"] == g and r["kind"] == "pi")
         assert abs(pi_sum - 1.0) < 1e-9
+
+
+def test_decode_grouped_matches_single_model_decoder(spark, events):
+    """Each group's cogrouped decode must equal the broadcast single-model
+    decoder run with that group's model on that group's sequences."""
+    from baum_welch_spark.hmm.decode import viterbi_decode
+    from baum_welch_spark.hmm.grouped import decode_grouped
+    from baum_welch_spark.hmm.model import KIND_EMISSION  # noqa: F401 (docs)
+
+    n_obs = symbol_dictionary(events, "event_type").count()
+    seqs = build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 3).cast("string"))
+    ).cache()
+    models = fit_grouped(seqs, n_hidden=3, n_observed=n_obs, max_iter=2).cache()
+    got = {
+        (r.group, r.seq_id): (r.loglik, r.path_str)
+        for r in decode_grouped(seqs, models).collect()
+    }
+    assert got
+    mrows = models.collect()
+    for g in ("seg0", "seg1", "seg2"):
+        pi = np.zeros(3); A = np.zeros((3, 3)); B = np.zeros((3, n_obs))
+        for r in mrows:
+            if r.group != g:
+                continue
+            if r.kind == "pi":
+                pi[r.i] = r.weight
+            elif r.kind == "A":
+                A[r.i, r.j] = r.weight
+            elif r.kind == "B":
+                B[r.i, r.j] = r.weight
+        ref = viterbi_decode(
+            spark, seqs.filter(F.col("group") == g).select("seq_id", "obs"),
+            HMM(pi=pi, A=A, B=B),
+        ).collect()
+        assert ref
+        for r in ref:
+            ll, path = got[(g, r.seq_id)]
+            assert abs(ll - r.loglik) < 1e-9
+            assert path == ",".join(str(s) for s in r.path)
+
+
+def test_decode_grouped_inner_semantics(spark):
+    """Groups with sequences but no model (and vice versa) emit nothing."""
+    from baum_welch_spark.hmm.grouped import decode_grouped, fit_grouped
+
+    seqs = spark.createDataFrame(
+        [("a", 1, [0, 1, 0]), ("orphan", 2, [1, 1, 0])],
+        schema="group string, seq_id bigint, obs array<int>",
+    )
+    models = fit_grouped(seqs.filter(F.col("group") == "a"), 2, 2, max_iter=1)
+    out = decode_grouped(seqs, models).collect()
+    assert {r.group for r in out} == {"a"}

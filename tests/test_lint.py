@@ -110,4 +110,7 @@ def test_driver_window_stays_oracle_dense():
         "knn_ivfpq",
         "pagerank_docs",
         "compression_ratio",
+        # r6 third wave: per-group serving decode (models from the Python
+        # EM loop are not SQL-expressible; pytest pins decoder parity)
+        "grouped_decode",
     }, rows_only_in_window
