@@ -49,6 +49,27 @@ def round0(col: Column, scale: int) -> Column:
     return F.round(col, scale) + F.lit(0.0)
 
 
+def pair_structs(ds: Column | str, a_name: str = "doc_a", b_name: str = "doc_b") -> Column:
+    """All unordered pairs (a before b in array order) from a SORTED id
+    array, as an array of (a_name, b_name) structs — the codegen pair
+    explode the bucket-join dedup operators share (one shuffle of the
+    grouped lists instead of a self-join's two, blowup inside codegen,
+    identical output to the ``x.key == y.key AND x.id < y.id`` self-join).
+    The caller bounds the array size (df/bucket caps): one row holds
+    len^2/2 structs.
+    """
+    c = F.col(ds) if isinstance(ds, str) else ds
+    return F.flatten(
+        F.transform(
+            c,
+            lambda x, i: F.transform(
+                F.slice(c, i + F.lit(2), F.size(c)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

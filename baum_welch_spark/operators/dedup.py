@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from baum_welch_spark.functions.columns import pair_structs
+
 # 2^31-1: keeps a_k * h + b_k far below the long range (ANSI overflow checks)
 MERSENNE_P = (1 << 31) - 1
 
@@ -151,19 +153,9 @@ def _pair_intersections(documents: DataFrame, max_doc_freq: int) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= max_doc_freq))
     )
-    pairs = lists.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice("ds", i + F.lit(2), F.size("ds")),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    pairs = lists.select(F.explode(pair_structs("ds")).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))

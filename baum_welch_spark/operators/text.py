@@ -227,12 +227,14 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFra
             lambda j: F.array_min(F.slice(g, j, w)),
         )
     )
+    # no .distinct()/.orderBy() tail: fps is already array_distinct per doc
+    # (so the exploded rows are unique) and the driver's value hash is
+    # order-insensitive — the old distinct+sort tail was two full shuffles
+    # of the fingerprint stream for nothing
     return (
         documents.filter(n >= k + w - 1)
         .withColumn("_grams", grams)
         .select("doc_id", F.explode(fps).alias("fp"))
-        .distinct()
-        .orderBy("doc_id", "fp")
     )
 
 
@@ -273,24 +275,25 @@ def copy_pairs(
     otherwise pair everything with everything — the hot-bucket guard, same
     role as the LSH bucket cap).
 
-    Scale posture: the join is BY FINGERPRINT (an equi-join on a selective
-    key), never all-pairs; the df filter runs as a partial-agg before the
-    join, so hot fingerprints are dropped before they can fan out. Output
-    is (doc_a, doc_b, shared) ordered.
+    Scale posture: pairs come BY FINGERPRINT (grouped doc lists + codegen
+    pair explode — the dedup-suite bucket-join shape), never all-pairs, and
+    the df cap and pair generation are ONE aggregation over one shuffle
+    (the agg-then-self-join form needed two, and relied on Spark's
+    ReusedExchange to avoid re-evaluating the winnowing pipeline). A
+    fingerprint's pair array is bounded by max_df^2/2 structs. Output is
+    (doc_a, doc_b, shared) ordered.
     """
+    from baum_welch_spark.functions.columns import pair_structs
+
     fps = winnow_fingerprints(documents, k=k, w=w)
-    df_ok = (
+    lists = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
     )
-    pruned = fps.join(df_ok, "fp")
-    a = pruned.select("fp", F.col("doc_id").alias("doc_a"))
-    b = pruned.select("fp", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        lists.select(F.explode(pair_structs("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
