@@ -801,3 +801,22 @@ def test_lineitem_stats_one_pass_and_values(spark):
     assert r.n_rows == n and r.n_nulls == 0
     assert r.min_val == pdf.min() and r.max_val == pdf.max()
     assert r.ndv == pdf.nunique()
+
+
+def test_neardup_edit_plan_no_cartesian(spark, documents):
+    """The blocked self-join must be an equi-join on the block key (never a
+    cartesian/nested-loop), with the levenshtein filter applied after."""
+    rep = plan_report(dedup.neardup_edit(documents))
+    assert rep["nested_loop_joins"] == 0, rep
+    assert rep["python_stages"] == 0, rep
+
+
+def test_copy_pairs_single_shuffle_before_agg(spark, documents):
+    """Pair generation is the grouped-list explode: one fingerprint shuffle
+    plus the pair-count agg — no self-join's second exchange."""
+    from baum_welch_spark.operators import text
+
+    rep = plan_report(text.copy_pairs(documents))
+    # fp groupBy + (doc_a, doc_b) agg + final sort = 3 exchanges max
+    assert int(rep["shuffles"]) <= 3, rep
+    assert rep["python_stages"] == 0, rep

@@ -85,3 +85,20 @@ def test_reestimate_rows_are_distributions(spark, sequences_df):
         assert abs(r.s - 1.0) < 1e-9, (r.kind, r.i, r.s)
     # hard counts are sparse: no zero-probability rows are emitted
     assert out.filter(F.col("prob") <= 0).count() == 0
+
+
+def test_viterbi_reestimate_plan_pins(spark, sequences_df):
+    """Hard-EM pass shape: exactly one Python (mapInPandas) stage emitting
+    model-sized stripes, and no data-sized shuffle beyond the stripe agg +
+    normalize window (corpus never shuffles: the decode is a narrow map)."""
+    from baum_welch_spark.plans.audit import plan_report
+
+    out = viterbi_reestimate(
+        spark, sequences_df, HMM.random(N_HIDDEN, N_OBSERVED, seed=42)
+    )
+    rep = plan_report(out)
+    assert rep["python_stages"] == 1, rep
+    # stripe groupBy + window normalize = 2 shuffles of O(N*(N+M)) rows
+    # beyond whatever the sequence-builder input plan already carries
+    upstream = plan_report(sequences_df)
+    assert int(rep["shuffles"]) - int(upstream["shuffles"]) <= 2, (rep, upstream)
