@@ -747,6 +747,15 @@ def _q_vocab_topk_cms(spark, sf):
     return vocab_topk_cms(*_tables(spark, sf, "documents"))
 
 
+def _q_hmm_select(spark, sf):
+    # rows-only by nature (each candidate runs the distributed EM loop);
+    # pytest pins the BIC/AIC arithmetic and the argmin marking
+    from baum_welch_spark.hmm.select import select_face
+
+    (events,) = _tables(spark, sf, "events")
+    return select_face(spark, events, candidates=(2, 3, 4), max_iter=3)
+
+
 def _q_grouped_decode(spark, sf):
     # rows-only by nature (the per-group models come from the Python EM
     # loop); pytest pins per-group parity with the broadcast decoder
@@ -834,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_fit_grouped": _q_hmm_fit_grouped,
         # NEW r6 third wave: per-group serving decode (cogrouped models)
         "grouped_decode": _q_grouped_decode,
+        # NEW r6 third wave: BIC/AIC order-selection sweep (rows-only)
+        "hmm_select": _q_hmm_select,
         # NEW r6: winnowing copy-span detection (MOSS fingerprints)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
@@ -846,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate_bloom, zorder_events, semantic_dedup, vocab_topk_cms,
         # corpus_report, ohlc_bars, trigram_lm_score, cohort_retention,
         # rolling_user_spend — all rotated out, unchanged since r4)
-        "q10_returned_revenue": _q_q10,
         "q14_promo_share": _q_q14,
         "q15_top_supplier": _q_q15,
         "q19_bracket_revenue": _q_q19,
@@ -907,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_spend_deciles": _q_user_spend_deciles,
         "salted_join_segment_stats": _q_salted_join_segment_stats,
         "ppl_filter": _q_ppl_filter,
+        "q10_returned_revenue": _q_q10,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,

@@ -33,6 +33,7 @@ SINGLE_RUN = SELF_EXECUTING | {
     "quality_classifier",
     "hmm_fit_grouped",
     "grouped_decode",
+    "hmm_select",
     "knn_pq",
     "knn_ivfpq",
     "knn_ivf_kmeans",

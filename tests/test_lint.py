@@ -41,6 +41,8 @@ ALLOWED = {
     "hmm/online.py": {"collect": 1, "toPandas": 0},
     # hard EM (segmental k-means): same model-sized count-stripe collect
     "hmm/viterbi_train.py": {"collect": 1, "toPandas": 0},
+    # order selection: one 1-row T_total aggregate (fits use fit.py's site)
+    "hmm/select.py": {"collect": 1, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
@@ -111,6 +113,8 @@ def test_driver_window_stays_oracle_dense():
         "pagerank_docs",
         "compression_ratio",
         # r6 third wave: per-group serving decode (models from the Python
-        # EM loop are not SQL-expressible; pytest pins decoder parity)
+        # EM loop are not SQL-expressible; pytest pins decoder parity) and
+        # the BIC/AIC order-selection sweep (per-candidate EM loops)
         "grouped_decode",
+        "hmm_select",
     }, rows_only_in_window
