@@ -170,6 +170,37 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """BIC/AIC order-selection sweep over candidate hidden-state counts."""
+    from baum_welch_spark.hmm.select import select_n_hidden
+    from baum_welch_spark.operators.sequences import symbol_dictionary
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-select")
+    events = load_table(spark, args.input, "events")
+    n_observed = symbol_dictionary(events, "event_type").count()
+    seqs = _build_sequences(spark, args.input)
+    candidates = tuple(int(c) for c in args.candidates.split(","))
+    scores, _fits = select_n_hidden(
+        spark, seqs, n_observed, candidates=candidates,
+        max_iter=args.max_iterations, tol=args.convergence_delta,
+        seed=args.seed,
+    )
+    rows = scores.orderBy("n_hidden").collect()
+    print(json.dumps({
+        "candidates": [
+            {"n_hidden": r.n_hidden, "n_params": r.n_params,
+             "loglik": r.loglik, "bic": r.bic, "aic": r.aic,
+             "is_best": r.is_best}
+            for r in rows
+        ],
+        "best_n_hidden": next(r.n_hidden for r in rows if r.is_best),
+    }))
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_kmeans(args) -> int:
     from baum_welch_spark.operators.clustering import assign_clusters, kmeans_fit
     from baum_welch_spark.sources.io import load_table
@@ -382,6 +413,14 @@ def main(argv: list[str] | None = None) -> int:
         "best-path counts, cheaper per iteration, coarser optimum)",
     )
     t.set_defaults(fn=cmd_train)
+
+    sel = sub.add_parser("select", help="BIC/AIC sweep over candidate hidden-state counts")
+    sel.add_argument("-i", "--input", required=True, help="sf dir with events.parquet")
+    sel.add_argument("--candidates", default="2,3,4", help="comma-separated N values")
+    sel.add_argument("--max-iterations", type=int, default=5)
+    sel.add_argument("--convergence-delta", type=float, default=0.0)
+    sel.add_argument("--seed", type=int, default=42)
+    sel.set_defaults(fn=cmd_select)
 
     d = sub.add_parser("decode", help="Viterbi (or posterior) decode sequences under a model")
     d.add_argument("-i", "--input", required=True)

@@ -52,3 +52,15 @@ def test_select_face_shape(spark):
     out = select_face(spark, events, candidates=(2, 3), max_iter=1).collect()
     assert [r.n_hidden for r in out] == [2, 3]
     assert sum(r.is_best for r in out) == 1
+
+
+def test_cli_select(spark, capsys):
+    import json as _json
+
+    from baum_welch_spark.cli import main
+
+    rc = main(["select", "-i", SF0001, "--candidates", "2,3", "--max-iterations", "1"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [c["n_hidden"] for c in out["candidates"]] == [2, 3]
+    assert out["best_n_hidden"] in (2, 3)
