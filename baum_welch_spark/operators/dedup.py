@@ -337,18 +337,24 @@ def neardup_edit(
         F.split(F.col("text"), " ").getItem(0).alias("w0"),
         (F.length("text") / w).cast("long").alias("bkt"),
     )
+    # the bucket must be part of the EQUI-JOIN key, not a post-join filter:
+    # joining on w0 alone materializes every same-first-word pair (quadratic
+    # in the word's population — measured unbounded on a 10x replicated
+    # corpus) before the length filter can prune. The left side probes
+    # {bkt-1, bkt, bkt+1} via explode, so only same/adjacent-bucket pairs
+    # ever leave the join; probes are distinct, so no pair is emitted twice,
+    # and the doc_a < doc_b filter needs the full 3-probe span (a kept pair's
+    # left row may sit one bucket above OR below its right row).
     a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
-        "w0", F.col("bkt").alias("ba"),
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "w0",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
     )
     b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
-        "w0", F.col("bkt").alias("bb"),
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "w0", "bkt"
     )
-    cand = a.join(b, ["w0"]).filter(
-        (F.col("doc_a") < F.col("doc_b"))
-        & ((F.col("bb") - F.col("ba")).between(-1, 1))
-    )
+    cand = a.join(b, ["w0", "bkt"]).filter(F.col("doc_a") < F.col("doc_b"))
     return (
         cand.withColumn("dist", F.levenshtein("ta", "tb", max_dist))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))

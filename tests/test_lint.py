@@ -43,6 +43,8 @@ ALLOWED = {
     "hmm/viterbi_train.py": {"collect": 1, "toPandas": 0},
     # order selection: one 1-row T_total aggregate (fits use fit.py's site)
     "hmm/select.py": {"collect": 1, "toPandas": 0},
+    # CLI select: prints the len(candidates)-row score frame as JSON
+    "cli.py": {"collect": 1, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
