@@ -55,11 +55,15 @@ COUNTS_SCHEMA = "kind string, i int, j int, weight double"
 KIND_LOGLIK = "loglik"  # side-channel row: per-batch partial log-likelihood
 
 
-def e_step_udf(bc_model):
+def e_step_udf(bc_model, weighted: bool = False):
     """Build the mapInPandas function for one E-step pass.
 
     One output block per Arrow batch: flattened expected-count rows
     (kind, i, j, weight) plus a single (loglik, 0, 0, sum) row.
+
+    ``weighted``: the input carries a ``weight`` column and every
+    sequence's counts/loglik scale by it (deduplicated-corpus multiplicity
+    semantics — see kernel.e_step_counts_batch).
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,17 +75,22 @@ def e_step_udf(bc_model):
         ll = 0.0
         saw_data = False
         for pdf in batches:
-            obs_list = [
-                np.asarray(o, dtype=np.int64)
-                for o in pdf["obs"]
+            wts_in = pdf["weight"] if weighted else [1.0] * len(pdf)
+            kept = [
+                (np.asarray(o, dtype=np.int64), float(wt))
+                for o, wt in zip(pdf["obs"], wts_in)
                 if o is not None and len(o) > 0
             ]
-            if not obs_list:
+            if not kept:
                 continue
+            obs_list = [o for o, _ in kept]
             saw_data = True
             # batched padded DP: Python loop is O(max_T) per Arrow batch,
             # not O(sum T) — see kernel.e_step_counts_batch
-            ll += e_step_counts_batch(pi, A, B, obs_list, cpi, cA, cB)
+            ll += e_step_counts_batch(
+                pi, A, B, obs_list, cpi, cA, cB,
+                weights=np.array([wt for _, wt in kept]) if weighted else None,
+            )
         if not saw_data:
             return
         kinds = [KIND_INITIAL] * n
@@ -110,10 +119,18 @@ def e_step_udf(bc_model):
     return compute
 
 
-def expected_counts(sequences: DataFrame, bc_model) -> DataFrame:
+def expected_counts(
+    sequences: DataFrame, bc_model, weight_col: str | None = None
+) -> DataFrame:
     """One E-step over the corpus -> aggregated count DataFrame
     (kind, i, j, weight), including the loglik side-channel row."""
-    raw = sequences.select("obs").mapInPandas(e_step_udf(bc_model), schema=COUNTS_SCHEMA)
+    if weight_col is None:
+        inp = sequences.select("obs")
+    else:
+        inp = sequences.select("obs", F.col(weight_col).cast("double").alias("weight"))
+    raw = inp.mapInPandas(
+        e_step_udf(bc_model, weighted=weight_col is not None), schema=COUNTS_SCHEMA
+    )
     return raw.groupBy("kind", "i", "j").agg(F.sum("weight").alias("weight"))
 
 
@@ -143,6 +160,7 @@ def fit(
     max_iter: int = 10,
     tol: float = 0.0,
     model_out: str | None = None,
+    weight_col: str | None = None,
 ) -> FitResult:
     """Distributed EM loop (reference driver D2, BaumWelchDriver.java:114-134).
 
@@ -150,6 +168,12 @@ def fit(
     collect tiny counts -> NumPy M-step -> convergence test. Optionally writes
     ``{model_out}/model-{it}`` parquet per iteration (reference S3/S4 sinks,
     BaumWelchUtils.java:147-226, BaumWelchDriver.java:128,178).
+
+    ``weight_col``: per-sequence multiplicity/importance weights — train on
+    a DEDUPLICATED corpus where each kept sequence carries its duplicate
+    count (an integer weight w is numerically equivalent to replicating the
+    sequence w times; asserted in tests). The loglik trace is the weighted
+    total.
     """
     model = init.validate()
     sc = spark.sparkContext
@@ -165,7 +189,7 @@ def fit(
         for it in range(max_iter):
             bc = sc.broadcast((model.pi, model.A, model.B))
             try:
-                rows = expected_counts(sequences, bc).collect()
+                rows = expected_counts(sequences, bc, weight_col=weight_col).collect()
             finally:
                 bc.unpersist()
             n, m = model.n_hidden, model.n_observed

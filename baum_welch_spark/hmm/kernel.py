@@ -155,6 +155,7 @@ def e_step_counts_batch(
     out_pi: np.ndarray,
     out_A: np.ndarray,
     out_B: np.ndarray,
+    weights: np.ndarray | None = None,
 ) -> float:
     """Batched E-step: the same expected counts as looping e_step_counts over
     obs_list, but vectorized ACROSS sequences (padded to the batch max
@@ -167,7 +168,15 @@ def e_step_counts_batch(
     gamma/xi contributions are masked by validity, so the result matches the
     per-sequence kernel to machine precision (asserted in tests).
 
-    Returns the summed log-likelihood of the batch.
+    ``weights`` (optional, per sequence): every count contribution and the
+    log-likelihood of sequence s scale by weights[s] — the multiplicity
+    semantics for training on a DEDUPLICATED corpus where each kept
+    sequence represents `n_copies` originals (an integer weight w is
+    numerically equivalent to physically replicating the sequence w times,
+    asserted in tests; fractional weights give importance weighting). The
+    weights=None path is byte-identical to the unweighted kernel.
+
+    Returns the (weighted) summed log-likelihood of the batch.
     """
     S = len(obs_list)
     if S == 0:
@@ -205,10 +214,17 @@ def e_step_counts_batch(
         w[t] = (B[:, obs_pad[t]].T * beta[t]) / scale[t][:, None]
 
     gamma = alpha * beta  # (T, S, N); rows at valid t sum to 1
-    out_pi += gamma[0].sum(axis=0)
+    if weights is None:
+        out_pi += gamma[0].sum(axis=0)
+    else:
+        wgt = np.asarray(weights, dtype=np.float64)
+        grid = np.broadcast_to(wgt[None, :], (Tmax, S))
+        out_pi += wgt @ gamma[0]  # (S,) @ (S, N)
 
     flat_obs = obs_pad[valid]          # (K,)
     flat_gamma = gamma[valid]          # (K, N)
+    if weights is not None:
+        flat_gamma = flat_gamma * grid[valid][:, None]
     BT = np.zeros((M, N))
     np.add.at(BT, flat_obs, flat_gamma)
     out_B += BT.T
@@ -217,6 +233,10 @@ def e_step_counts_batch(
         trans_valid = valid[1:]        # transition t -> t+1 exists iff valid[t+1]
         wa = alpha[:-1][trans_valid]   # (K2, N)
         wb = w[1:][trans_valid]        # (K2, N)
+        if weights is not None:
+            wb = wb * grid[1:][trans_valid][:, None]
         out_A += A * (wa.T @ wb)
 
-    return float(np.log(scale).sum())
+    if weights is None:
+        return float(np.log(scale).sum())
+    return float(np.log(scale).sum(axis=0) @ wgt)

@@ -141,3 +141,41 @@ def test_fit_restarts_persists_corpus_exactly_once(spark, monkeypatch):
     best, finals = fit_restarts(spark, seqs, n_hidden=3, n_observed=5, n_restarts=2, max_iter=2)
     assert len(finals) == 2
     assert len(calls) == 1, f"expected exactly 1 persist call, saw {len(calls)}"
+
+
+def test_weighted_fit_equals_replicated_corpus(spark, sequences_df):
+    """Multiplicity semantics: training with integer weight_col must equal
+    training on the physically replicated corpus (the deduplicated-corpus
+    contract of kernel.e_step_counts_batch's weights)."""
+    import pyspark.sql.functions as SF
+
+    base = sequences_df.limit(40).cache()
+    # weights 1..3 keyed off seq_id; replicate by exploding a range
+    weighted = base.withColumn("w", (SF.col("seq_id") % 3 + 1).cast("double"))
+    replicated = weighted.select(
+        "seq_id", "obs", SF.explode(SF.sequence(SF.lit(1), SF.col("w").cast("int"))).alias("_r")
+    ).select("seq_id", "obs")
+
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=13)
+    got = fit(spark, weighted, init, max_iter=3, weight_col="w")
+    ref = fit(spark, replicated, init, max_iter=3)
+    np.testing.assert_allclose(got.model.pi, ref.model.pi, atol=1e-9)
+    np.testing.assert_allclose(got.model.A, ref.model.A, atol=1e-9)
+    np.testing.assert_allclose(got.model.B, ref.model.B, atol=1e-9)
+    np.testing.assert_allclose(got.loglik_trace, ref.loglik_trace, rtol=1e-9)
+    base.unpersist()
+
+
+def test_unit_weights_equal_unweighted(spark, sequences_df):
+    """weight_col of all-1.0 must reproduce the unweighted fit exactly."""
+    import pyspark.sql.functions as SF
+
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=5)
+    plain = fit(spark, sequences_df, init, max_iter=2)
+    ones = fit(
+        spark, sequences_df.withColumn("w", SF.lit(1.0)), init,
+        max_iter=2, weight_col="w",
+    )
+    np.testing.assert_allclose(ones.model.A, plain.model.A, atol=1e-12)
+    np.testing.assert_allclose(ones.model.B, plain.model.B, atol=1e-12)
+    np.testing.assert_allclose(ones.loglik_trace, plain.loglik_trace, rtol=1e-12)
