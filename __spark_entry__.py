@@ -857,7 +857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate_bloom, zorder_events, semantic_dedup, vocab_topk_cms,
         # corpus_report, ohlc_bars, trigram_lm_score, cohort_retention,
         # rolling_user_spend — all rotated out, unchanged since r4)
-        "q14_promo_share": _q_q14,
         "q15_top_supplier": _q_q15,
         "q19_bracket_revenue": _q_q19,
         # NEW r6: the remaining TPC-H shapes expressible over the reduced
@@ -900,9 +899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # factored out to be shared with containment this round)
         "neardup_containment": _q_neardup_containment,
         "neardup_jaccard": _q_neardup_jaccard,
+        # dedup_clusters composes the refactored jaccard pair core -> re-check
+        "dedup_clusters": _q_dedup_clusters,
         # NEW r6 third wave: blocked Levenshtein near-dup
         "neardup_edit": _q_neardup_edit,
-        # ---- driver's 50-entry window ends here (neardup_jaccard is #50);
+        # ---- driver's 50-entry window ends here (neardup_edit is #50);
         # everything below was driver-verified green in a prior round
         # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
         # nature, and is code-unchanged since its last green check. RULE
@@ -918,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_segment_stats": _q_salted_join_segment_stats,
         "ppl_filter": _q_ppl_filter,
         "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
