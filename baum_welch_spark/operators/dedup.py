@@ -354,7 +354,20 @@ def neardup_edit(
     b = blocked.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "w0", "bkt"
     )
-    cand = a.join(b, ["w0", "bkt"]).filter(F.col("doc_a") < F.col("doc_b"))
+    # EXPLICIT-numPartitions repartition on the join keys: the join's input
+    # BYTES are tiny relative to its CPU (levenshtein is O(len * max_dist)
+    # per emitted pair), so AQE's size-based coalescing otherwise folds the
+    # post-shuffle stage into ONE partition and serializes every DP call on
+    # one core (measured: 5.1M candidate pairs -> 198 s single-task at the
+    # 10x scale point). An explicit partition count is exempt from AQE
+    # coalescing; hot (w0, bkt) blocks remain the skew caveat, as with any
+    # blocking scheme.
+    parts = documents.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        a.repartition(parts, "w0", "bkt")
+        .join(b.repartition(parts, "w0", "bkt"), ["w0", "bkt"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
     return (
         cand.withColumn("dist", F.levenshtein("ta", "tb", max_dist))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
