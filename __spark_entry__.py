@@ -956,7 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": _q_fingerprint_clusters,
         "minhash_lsh": _q_minhash,
         "simhash": _q_simhash,
-        "dedup_clusters": _q_dedup_clusters,
+        # (dedup_clusters lives ONLY in the in-window block above — a
+        # duplicate key here was deleted in r7; tests/test_lint.py now
+        # asserts the literal has no duplicate keys)
         "pack_sequences": _q_pack_sequences,
         "events_rollup": _q_events_rollup,
         "viewers_no_purchase": _q_viewers_no_purchase,

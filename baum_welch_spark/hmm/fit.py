@@ -75,7 +75,18 @@ def e_step_udf(bc_model, weighted: bool = False):
         ll = 0.0
         saw_data = False
         for pdf in batches:
-            wts_in = pdf["weight"] if weighted else [1.0] * len(pdf)
+            if weighted:
+                wts_in = pdf["weight"]
+                # Fail fast: a null weight survives cast("double") as NaN/None
+                # and would silently poison every accumulated count in the
+                # batch (NaN propagates through the += folds).
+                if wts_in.isna().any():
+                    raise ValueError(
+                        "fit(weight_col=...): null/NaN weight encountered — "
+                        "weights must be non-null finite doubles"
+                    )
+            else:
+                wts_in = [1.0] * len(pdf)
             kept = [
                 (np.asarray(o, dtype=np.int64), float(wt))
                 for o, wt in zip(pdf["obs"], wts_in)

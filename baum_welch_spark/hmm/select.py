@@ -63,6 +63,11 @@ def select_n_hidden(
         sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         t_total = sequences.select(F.sum(F.size("obs")).alias("t")).collect()[0].t or 0
+        if t_total == 0:
+            raise ValueError(
+                "select_n_hidden: corpus has zero observations (empty frame "
+                "or all-empty obs arrays) — BIC's ln(T) term is undefined"
+            )
         fits: dict[int, FitResult] = {}
         rows = []
         for n in candidates:
@@ -99,6 +104,7 @@ def select_face(spark: SparkSession, events: DataFrame,
     corpus. Rows-only by nature (each candidate runs the distributed EM
     loop); pytest pins the BIC/AIC arithmetic against the returned fits and
     the is_best argmin."""
+    from baum_welch_spark.functions.columns import round0
     from baum_welch_spark.operators.sequences import build_sequences, symbol_dictionary
 
     n_observed = symbol_dictionary(events, "event_type").count()
@@ -106,10 +112,12 @@ def select_face(spark: SparkSession, events: DataFrame,
     scores, _ = select_n_hidden(
         spark, seqs, n_observed, candidates=candidates, max_iter=max_iter
     )
+    # loglik/bic/aic are SIGNED — round0 per the columns.round0 convention so
+    # a future DuckDB oracle can never hit the -0.0 hash flip.
     return scores.select(
         "n_hidden", "n_params",
-        F.round("loglik", 6).alias("loglik"),
-        F.round("bic", 6).alias("bic"),
-        F.round("aic", 6).alias("aic"),
+        round0(F.col("loglik"), 6).alias("loglik"),
+        round0(F.col("bic"), 6).alias("bic"),
+        round0(F.col("aic"), 6).alias("aic"),
         "is_best",
     ).orderBy("n_hidden")

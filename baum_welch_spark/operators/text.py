@@ -206,7 +206,10 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFra
     no shuffle before the final per-doc explode. Hashes use
     ``portable_hash60`` so the DuckDB oracle reproduces them bit-for-bit.
 
-    Output: (doc_id, fp) distinct, ordered — a doc's fingerprint set.
+    Output: (doc_id, fp) unique per doc, UNORDERED — a doc's fingerprint
+    set. Rows are unique because fps is array_distinct'd per doc; no global
+    distinct/sort tail because the driver's value hash is order-insensitive
+    and the old tail cost two full shuffles of the fingerprint stream.
     """
     from baum_welch_spark.functions.columns import portable_hash60
 
