@@ -156,6 +156,23 @@ def normalize_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def _masked(model: HMM, mask: np.ndarray) -> HMM:
+    """Zero masked transition entries and renormalize each row over its
+    allowed entries (zero-mass rows become uniform over allowed entries)."""
+    if mask.shape != model.A.shape:
+        raise ValueError(f"topology_mask shape {mask.shape} != A {model.A.shape}")
+    if not mask.any(axis=1).all():
+        raise ValueError("every state needs at least one allowed transition")
+    A = np.where(mask, model.A, 0.0)
+    s = A.sum(axis=1, keepdims=True)
+    fallback = mask / mask.sum(axis=1, keepdims=True)
+    A = np.where(s > 0, A / np.where(s > 0, s, 1.0), fallback)
+    return HMM(
+        pi=model.pi, A=A, B=model.B,
+        hidden_names=model.hidden_names, observed_names=model.observed_names,
+    ).validate()
+
+
 @dataclass
 class FitResult:
     model: HMM
@@ -172,6 +189,7 @@ def fit(
     tol: float = 0.0,
     model_out: str | None = None,
     weight_col: str | None = None,
+    topology_mask: np.ndarray | None = None,
 ) -> FitResult:
     """Distributed EM loop (reference driver D2, BaumWelchDriver.java:114-134).
 
@@ -185,8 +203,21 @@ def fit(
     count (an integer weight w is numerically equivalent to replicating the
     sequence w times; asserted in tests). The loglik trace is the weighted
     total.
+
+    ``topology_mask``: (N, N) bool — structural transition topology (e.g.
+    ``HMM.bakis_mask`` for left-to-right models, Rabiner 1989 §IV.b;
+    extends the reference's D5 validation invariants, BaumWelchModel.java:
+    57-82, to structured models). Applied to the init (masked entries
+    zeroed, rows renormalized) and RE-applied after every M-step: EM itself
+    provably preserves structural zeros (the xi numerator carries a factor
+    of A[i,j], so a zero parameter accumulates zero count), but ``m_step``
+    resets zero-mass rows of an unreachable state to uniform — the
+    re-application makes those uniform over ALLOWED transitions instead.
     """
     model = init.validate()
+    if topology_mask is not None:
+        topology_mask = np.asarray(topology_mask, dtype=bool)
+        model = _masked(model, topology_mask)
     sc = spark.sparkContext
     # respect a caller-managed cache: persisting is fit's job only when the
     # caller didn't already, and then so is the unpersist (ADVICE r1)
@@ -219,6 +250,8 @@ def fit(
                     cB[r.i, r.j] += r.weight
             trace.append(ll)
             new_model = m_step(cpi, cA, cB)
+            if topology_mask is not None:
+                new_model = _masked(new_model, topology_mask)
             if model_out is not None:
                 new_model.write(spark, f"{model_out}/model-{it}")
             delta = model.distance(new_model)

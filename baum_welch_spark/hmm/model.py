@@ -90,6 +90,45 @@ class HMM:
         ).validate()
 
     @staticmethod
+    def bakis_mask(n_hidden: int, bandwidth: int = 2) -> np.ndarray:
+        """Left-to-right (Bakis) transition topology mask (Rabiner 1989 §IV.b):
+        state i may reach only itself and the next ``bandwidth`` states —
+        ``mask[i, j] = (i <= j <= i + bandwidth)``. The final state is
+        absorbing (only the diagonal is allowed on the last row)."""
+        if bandwidth < 1:
+            raise ValueError("bandwidth must be >= 1")
+        idx = np.arange(n_hidden)
+        return (idx[None, :] >= idx[:, None]) & (idx[None, :] <= idx[:, None] + bandwidth)
+
+    @staticmethod
+    def random_masked(
+        n_hidden: int,
+        n_observed: int,
+        mask: np.ndarray,
+        seed: int | None = None,
+        left_to_right_pi: bool = True,
+    ) -> "HMM":
+        """Seeded random init respecting a transition topology mask: masked
+        A entries are exactly 0 and each row renormalizes over its allowed
+        entries. With ``left_to_right_pi`` the chain starts in state 0
+        (pi = e_0, the Bakis convention); EM preserves both kinds of
+        structural zero because every masked entry's expected count carries
+        a factor of the zero parameter itself (SURVEY §2.7 extension)."""
+        mask = np.asarray(mask, dtype=bool)
+        if mask.shape != (n_hidden, n_hidden):
+            raise ValueError(f"mask shape {mask.shape} != ({n_hidden}, {n_hidden})")
+        if not mask.any(axis=1).all():
+            raise ValueError("every state needs at least one allowed transition")
+        base = HMM.random(n_hidden, n_observed, seed=seed)
+        A = np.where(mask, base.A, 0.0)
+        A = A / A.sum(axis=1, keepdims=True)
+        pi = base.pi
+        if left_to_right_pi:
+            pi = np.zeros(n_hidden)
+            pi[0] = 1.0
+        return HMM(pi=pi, A=A, B=base.B).validate()
+
+    @staticmethod
     def uniform(n_hidden: int, n_observed: int) -> "HMM":
         return HMM(
             pi=np.full(n_hidden, 1.0 / n_hidden),

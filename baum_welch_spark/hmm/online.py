@@ -123,3 +123,40 @@ def fit_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start(), state
+
+
+def online_fit_face(
+    spark: SparkSession,
+    events: DataFrame,
+    n_hidden: int = 3,
+    n_batches: int = 5,
+    epochs: int = 2,
+    alpha: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Driver-contract face: replay the event-derived sequence corpus
+    through :class:`OnlineEM` as ``n_batches`` deterministic micro-batches
+    (``portable_hash60(seq_id) % n_batches`` — the same split a partitioned
+    stream source would deliver) for ``epochs`` passes, and return the
+    final model as the tidy (kind, i, j, prob) frame. Rows-only by nature
+    (an iterative trainer); pytest pins the loglik-gain bar vs batch EM
+    (tests/test_online.py)."""
+    from baum_welch_spark.functions.columns import portable_hash60
+    from baum_welch_spark.operators.sequences import build_sequences, symbol_dictionary
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    n_observed = symbol_dictionary(events, "event_type").count()
+    seqs = (
+        build_sequences(events)
+        .withColumn("_b", (portable_hash60(F.col("seq_id")) % n_batches).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        state = OnlineEM(model=HMM.random(n_hidden, n_observed, seed=seed), alpha=alpha)
+        for _ in range(epochs):
+            for b in range(n_batches):
+                state.update(spark, seqs.filter(F.col("_b") == b).select("seq_id", "obs"))
+        return state.model.to_df(spark)
+    finally:
+        seqs.unpersist()

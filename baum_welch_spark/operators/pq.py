@@ -633,3 +633,24 @@ def knn_ivfpq_query(
 
     scored = pruned.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
     return _exact_rerank(corpus_embeddings, scored, q_ids, q_rows, rerank, k)
+
+
+def ivfpq_serve_face(
+    spark, embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_probe: int = 3
+) -> DataFrame:
+    """Driver-contract face for the build-once/search-many serving split:
+    persist a fresh IVF-PQ index to disk (``ivfpq_write_index`` — codes
+    PARTITIONED BY CELL), then answer the standard 5-query board through
+    :func:`knn_ivfpq_query`, whose ``cell IN (probed)`` filter partition-
+    prunes the code scan (asserted in tests/test_pq.py). Rows-only by
+    nature (k-means + residual-PQ training); pytest pins recall >= 0.5 vs
+    knn_brute and the pruned-scan plan shape. The index lands in a fresh
+    temp directory each run (left for the driver's lazy collect)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bw_ivfpq_index_")
+    ivfpq_write_index(embeddings, path)
+    queries = embeddings.orderBy("vec_id").limit(n_queries)
+    return knn_ivfpq_query(
+        spark, path, queries, embeddings, k=k, n_probe=n_probe
+    )

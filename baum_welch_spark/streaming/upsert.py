@@ -1,22 +1,33 @@
-"""Streaming CDC apply: maintain a keyed parquet snapshot from a stream of
-change events — the streaming face of ``operators.merge`` (the reference
-engine has no mutation surface; north-star §2.7 warehouse pattern).
+"""Streaming CDC apply: maintain a keyed, BUCKETED parquet snapshot from a
+stream of change events — the streaming face of ``operators.merge`` (the
+reference engine has no mutation surface; north-star §2.7 warehouse
+pattern).
 
 Change rows are ``(key..., value..., op, ts)`` with ``op`` in
 {'upsert', 'delete'}. Each micro-batch is collapsed to LAST-WRITER-WINS per
 key (max ts; deterministic tie-break on op so replays converge) and merged
-into the snapshot with the same single full-outer equi-join
-``merge_upsert`` uses: matched+upsert -> replace values, matched+delete ->
-drop, unmatched+upsert -> insert.
+into the snapshot with the same single keyed equi-join ``merge_upsert``
+uses: matched+upsert -> replace values, matched+delete -> drop,
+unmatched+upsert -> insert.
 
-Scale posture: the per-batch merge is ONE shuffle (both sides hash on the
-key; at scale the collapsed batch is small -> AQE broadcasts it); the
-snapshot rewrite is the classic copy-on-write table pattern — at 100 TB
-the snapshot would be a Delta/Iceberg table so only matched files rewrite,
-here it is plain parquet written to a fresh generation directory and
-atomically swapped (write-audit-publish), never overwritten in place (a
-failed job mid-overwrite must not destroy the current snapshot; and Spark
-cannot overwrite a path it is reading in the same job).
+Scale posture (the r6 weak item, closed): the snapshot is hash-bucketed on
+``portable_hash60(key) % n_buckets`` and maintained through a MANIFEST of
+(bucket -> generation that last wrote it). Per micro-batch only the buckets
+containing batch keys are READ (the merge join scans just those bucket
+directories) and only those buckets are WRITTEN (into a fresh
+``gen-N/bucket=B`` directory); untouched buckets keep their existing files
+byte-for-byte — the manifest simply keeps pointing at the older generation.
+The manifest JSON is swapped atomically (write-audit-publish), so readers
+never see a partial write, and generation directories are GC'd once no
+bucket references them. Write amplification per batch is
+O(touched_buckets / n_buckets * |snapshot|), not O(|snapshot|) — the same
+copy-on-write granularity a Delta/Iceberg table gives via file-level
+rewrite, expressed with plain parquet + a pointer file. At 100 TB you size
+``n_buckets`` so a bucket is a few GB (e.g. 2**14 buckets for 100 TB ->
+~6 GB/bucket) and a batch touching k keys rewrites at most k buckets.
+
+The per-batch merge is ONE shuffle (both sides hash on the key; the
+collapsed batch is small -> AQE broadcasts it).
 
 foreachBatch is exactly-once per epoch under checkpointing: replayed
 batches re-merge idempotently because last-writer-wins collapse plus
@@ -25,50 +36,63 @@ key-join are deterministic functions of (snapshot, batch).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-_GEN = "_generation"
+_MANIFEST = "_manifest.json"
+DEFAULT_BUCKETS = 16
 
 
-def _snapshot_path(snapshot_dir: str) -> str | None:
-    """Current generation's data path, or None before the first publish."""
-    marker = os.path.join(snapshot_dir, _GEN)
-    if not os.path.exists(marker):
+def _load_manifest(snapshot_dir: str) -> dict | None:
+    path = os.path.join(snapshot_dir, _MANIFEST)
+    if not os.path.exists(path):
         return None
-    with open(marker) as f:
-        gen = f.read().strip()
-    return os.path.join(snapshot_dir, f"gen-{gen}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_manifest(snapshot_dir: str, manifest: dict) -> None:
+    os.makedirs(snapshot_dir, exist_ok=True)
+    path = os.path.join(snapshot_dir, _MANIFEST)
+    with open(path + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(path + ".tmp", path)  # atomic pointer flip
+
+
+def _bucket_paths(snapshot_dir: str, manifest: dict, buckets=None) -> list[str]:
+    sel = manifest["buckets"] if buckets is None else {
+        b: g for b, g in manifest["buckets"].items() if int(b) in set(buckets)
+    }
+    return [
+        os.path.join(snapshot_dir, f"gen-{g}", f"bucket={b}") for b, g in sorted(sel.items())
+    ]
+
+
+def _gc_generations(snapshot_dir: str, manifest: dict) -> None:
+    live = {manifest["gen"]} | {int(g) for g in manifest["buckets"].values()}
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("gen-") and int(name[4:]) not in live:
+            shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    path = _snapshot_path(snapshot_dir)
-    return None if path is None else spark.read.parquet(path)
+    """Current snapshot as a DataFrame (union of every bucket's current
+    files), or None before the first publish / when every key was deleted.
+    The bucket id is not a data column — it is re-derivable from the key."""
+    manifest = _load_manifest(snapshot_dir)
+    if manifest is None or not manifest["buckets"]:
+        return None
+    return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
 
 
-def _publish(df: DataFrame, snapshot_dir: str) -> None:
-    """Write-audit-publish: materialize the new state into the NEXT
-    generation directory, then flip the pointer file. Readers following the
-    pointer never see a partial write; the previous generation stays on
-    disk until the next publish removes it."""
-    marker = os.path.join(snapshot_dir, _GEN)
-    cur = 0
-    if os.path.exists(marker):
-        with open(marker) as f:
-            cur = int(f.read().strip())
-    nxt = cur + 1
-    out = os.path.join(snapshot_dir, f"gen-{nxt}")
-    df.write.mode("overwrite").parquet(out)
-    os.makedirs(snapshot_dir, exist_ok=True)
-    with open(marker + ".tmp", "w") as f:
-        f.write(str(nxt))
-    os.replace(marker + ".tmp", marker)  # atomic pointer flip
-    old = os.path.join(snapshot_dir, f"gen-{cur}")
-    if cur and os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)
+def _bucket_col(key: str, n_buckets: int):
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    return (portable_hash60(F.col(key)) % n_buckets).cast("int")
 
 
 def collapse_batch(batch: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
@@ -90,18 +114,32 @@ def merge_batch(
     key: str,
     value_cols: list[str],
     ts_col: str = "ts",
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Apply one collapsed micro-batch to the snapshot (see module doc)."""
+    """Apply one collapsed micro-batch to the bucketed snapshot: read ONLY
+    the buckets the batch touches, merge, write ONLY those buckets into the
+    next generation, flip the manifest (see module doc)."""
     delta = collapse_batch(batch, key, ts_col).select(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
-    base = read_snapshot(spark, snapshot_dir)
-    if base is None:
+    delta = delta.withColumn("_bucket", _bucket_col(key, n_buckets))
+    touched = sorted(
+        r._bucket for r in delta.select("_bucket").distinct().collect()
+    )
+    if not touched:  # empty micro-batch
+        return
+    manifest = _load_manifest(snapshot_dir)
+    base_paths = (
+        [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
+    )
+    if not base_paths:
         merged = delta.filter(F.col("op") == "upsert").select(
-            key, *[F.col(f"_d_{c}").alias(c) for c in value_cols]
+            key,
+            *[F.col(f"_d_{c}").alias(c) for c in value_cols],
         )
     else:
-        j = base.join(delta, key, "full_outer")
+        base = spark.read.parquet(*base_paths)
+        j = base.join(delta.drop("_bucket"), key, "full_outer")
         merged = (
             j.filter((F.col("op").isNull()) | (F.col("op") == "upsert"))
             .select(
@@ -114,7 +152,27 @@ def merge_batch(
                 ],
             )
         )
-    _publish(merged, snapshot_dir)
+    gen = 1 if manifest is None else manifest["gen"] + 1
+    out = os.path.join(snapshot_dir, f"gen-{gen}")
+    merged.withColumn("bucket", _bucket_col(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(out)
+    # a touched bucket whose keys were all deleted produces no bucket dir —
+    # drop it from the manifest instead of pointing at a missing path
+    written = {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(out)
+        if name.startswith("bucket=")
+    }
+    buckets = {} if manifest is None else dict(manifest["buckets"])
+    for b in touched:
+        if b in written:
+            buckets[str(b)] = gen
+        else:
+            buckets.pop(str(b), None)
+    manifest = {"gen": gen, "buckets": buckets}
+    _write_manifest(snapshot_dir, manifest)
+    _gc_generations(snapshot_dir, manifest)
 
 
 def apply_cdc_stream(
@@ -124,6 +182,7 @@ def apply_cdc_stream(
     value_cols: list[str],
     ts_col: str = "ts",
     checkpoint: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
 ):
     """Start the maintenance query: every micro-batch merges into the
     snapshot via :func:`merge_batch`. Returns the StreamingQuery; callers
@@ -133,9 +192,79 @@ def apply_cdc_stream(
     spark = updates.sparkSession
 
     def apply(batch: DataFrame, _epoch: int) -> None:
-        merge_batch(spark, batch, snapshot_dir, key, value_cols, ts_col)
+        merge_batch(spark, batch, snapshot_dir, key, value_cols, ts_col, n_buckets)
 
     writer = updates.writeStream.foreachBatch(apply).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def cdc_apply_batch_face(
+    spark: SparkSession, customer: DataFrame, orders: DataFrame, n_buckets: int = 16
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): the batch twin of the CDC
+    stream. A deterministic change-log derived from ``orders`` — key
+    o_custkey, value o_totalprice, op = delete when o_orderkey % 37 = 0
+    else upsert, ts = year * 1e9 + o_orderkey (unique, so last-writer-wins
+    is a total order) — is applied to a base snapshot seeded from
+    ``customer`` as one :func:`merge_batch` micro-batch PER ORDER-YEAR in
+    ascending year order. Because batch boundaries respect ts order,
+    sequential per-batch apply provably equals one global last-writer-wins
+    merge, which is what the DuckDB oracle computes (window rn=1 by ts
+    desc + full-outer merge). Exercises the real bucketed snapshot
+    machinery end-to-end: 1 + n_years manifest generations, partial-bucket
+    rewrites, manifest-pointed reads."""
+    import tempfile
+
+    from baum_welch_spark.functions.columns import round0
+
+    snap = tempfile.mkdtemp(prefix="bw_cdc_snap_")
+    base = customer.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("upsert").alias("op"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets)
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+        F.year("o_orderdate").alias("_y"),
+    )
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    for y in years:
+        merge_batch(
+            spark, log.filter(F.col("_y") == y).drop("_y"), snap,
+            "cust_id", ["bal"], n_buckets=n_buckets,
+        )
+    out = read_snapshot(spark, snap)
+    return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"))
+
+
+#: DuckDB oracle for cdc_apply_batch_face: sequential per-year apply with
+#: ts-ordered batch boundaries == ONE global last-writer-wins merge.
+CDC_APPLY_BATCH_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts
+    FROM orders
+), lww AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+       round(CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END, 2) + 0.0 AS bal
+FROM customer b
+FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
+WHERE l.op IS NULL OR l.op = 'upsert'
+"""

@@ -179,3 +179,73 @@ def test_unit_weights_equal_unweighted(spark, sequences_df):
     np.testing.assert_allclose(ones.model.A, plain.model.A, atol=1e-12)
     np.testing.assert_allclose(ones.model.B, plain.model.B, atol=1e-12)
     np.testing.assert_allclose(ones.loglik_trace, plain.loglik_trace, rtol=1e-12)
+
+
+# -- structured (Bakis / left-to-right) topologies (Rabiner 1989 SIV.b) ------
+
+
+def test_bakis_mask_shape():
+    m = HMM.bakis_mask(4, bandwidth=2)
+    expect = np.array(
+        [
+            [1, 1, 1, 0],
+            [0, 1, 1, 1],
+            [0, 0, 1, 1],
+            [0, 0, 0, 1],
+        ],
+        dtype=bool,
+    )
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_masked_fit_preserves_structural_zeros(spark, sequences_df):
+    """Masked transition entries stay EXACTLY zero through every EM
+    iteration, unmasked rows stay row-stochastic, and pi keeps the
+    left-to-right e_0 start."""
+    mask = HMM.bakis_mask(N_HIDDEN, bandwidth=1)
+    init = HMM.random_masked(N_HIDDEN, N_OBSERVED, mask, seed=7)
+    res = fit(spark, sequences_df, init, max_iter=3, topology_mask=mask)
+    A = res.model.A
+    assert np.all(A[~mask] == 0.0)  # exact, not approx
+    np.testing.assert_allclose(A.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(res.model.pi, np.eye(N_HIDDEN)[0], atol=1e-12)
+    # monotone EM: masked models are still valid EM fixed-point iterations
+    assert all(b >= a - 1e-9 for a, b in zip(res.loglik_trace, res.loglik_trace[1:]))
+
+
+def test_masked_fit_matches_sequential_oracle(spark, sequences_df, sequences_np):
+    """With a reachable topology the mask re-application is a numerical
+    no-op, so the masked distributed fit must equal the sequential oracle
+    run from the same masked init (EM preserves structural zeros on its
+    own: the xi numerator carries a factor of A[i,j])."""
+    mask = HMM.bakis_mask(N_HIDDEN, bandwidth=2)
+    init = HMM.random_masked(N_HIDDEN, N_OBSERVED, mask, seed=11)
+    expected, expected_trace = sequential_baum_welch(init, sequences_np, max_iter=3)
+    got = fit(spark, sequences_df, init, max_iter=3, topology_mask=mask)
+    assert np.all(expected.A[~mask] == 0.0)  # the oracle itself kept zeros
+    np.testing.assert_allclose(got.model.A, expected.A, atol=1e-8)
+    np.testing.assert_allclose(got.model.B, expected.B, atol=1e-8)
+    np.testing.assert_allclose(got.loglik_trace, expected_trace, rtol=1e-10)
+
+
+def test_masked_unreachable_state_row_uniform_over_allowed():
+    """A state with zero expected mass gets a row uniform over its ALLOWED
+    transitions, never the full-row uniform m_step would produce."""
+    from baum_welch_spark.hmm.fit import _masked
+
+    mask = HMM.bakis_mask(3, bandwidth=1)
+    dead = HMM(
+        pi=np.array([1.0, 0.0, 0.0]),
+        A=np.array([[0.5, 0.5, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 1.0]]),
+        B=np.full((3, 2), 0.5),
+    )
+    # row 1 has zero mass -> must become uniform over {1, 2}, not {0, 1, 2}
+    out = _masked(HMM(pi=dead.pi, A=dead.A, B=dead.B), mask)
+    np.testing.assert_allclose(out.A[1], [0.0, 0.5, 0.5], atol=1e-12)
+
+
+def test_random_masked_rejects_dead_rows():
+    mask = np.zeros((3, 3), dtype=bool)
+    mask[0] = True
+    with pytest.raises(ValueError, match="allowed transition"):
+        HMM.random_masked(3, 2, mask, seed=1)

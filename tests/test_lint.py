@@ -45,6 +45,9 @@ ALLOWED = {
     "hmm/select.py": {"collect": 1, "toPandas": 0},
     # CLI select: prints the len(candidates)-row score frame as JSON
     "cli.py": {"collect": 1, "toPandas": 0},
+    # bucketed CDC: touched-bucket ids (<= n_buckets rows) and the face's
+    # distinct order-years (<= #years rows) — both bounded, never O(data)
+    "streaming/upsert.py": {"collect": 2, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
@@ -119,4 +122,10 @@ def test_driver_window_stays_oracle_dense():
         # the BIC/AIC order-selection sweep (per-candidate EM loops)
         "grouped_decode",
         "hmm_select",
+        # r7: the serving/streaming paths promoted to driver faces
+        # (VERDICT-r6 #4) and the Bakis-topology EM loop — all training
+        # or index-build loops, rows-only by nature
+        "knn_ivfpq_query",
+        "hmm_online",
+        "hmm_fit_bakis",
     }, rows_only_in_window

@@ -83,3 +83,18 @@ def test_fit_stream_writes_models(spark, tmp_path):
     loaded = HMM.read(spark, f"{out_dir}/model-0")
     loaded.validate()
     assert len(state.loglik_trace) == state.t
+
+
+def test_online_fit_face_returns_valid_model(spark):
+    """Face wrapper: the replayed-stream trainer must emit a tidy model
+    frame that reconstructs into a valid (row-stochastic) HMM."""
+    from baum_welch_spark.hmm.model import HMM
+    from baum_welch_spark.hmm.online import online_fit_face
+    from baum_welch_spark.sources.io import load_table
+
+    from conftest import SF0001
+
+    events = load_table(spark, SF0001, "events")
+    df = online_fit_face(spark, events, n_hidden=3, n_batches=3, epochs=1)
+    rows = [(r.kind, r.i, r.j, r.prob) for r in df.collect()]
+    HMM.from_rows(rows)  # validates shapes + stochasticity

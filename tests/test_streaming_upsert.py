@@ -114,3 +114,104 @@ def test_cdc_stream_checkpoint_restart_no_double_apply(spark, tmp_path):
     q.awaitTermination(300)
     got2 = {r.o_orderkey: r.price for r in read_snapshot(spark, snap_dir).collect()}
     assert got2 == {1: 11.0, 3: 30.0}
+
+
+def test_cdc_bucketed_rewrite_touches_only_batch_buckets(spark, tmp_path):
+    """The 100 TB posture claim made mechanical: a micro-batch must rewrite
+    ONLY the buckets containing its keys; every untouched bucket's files
+    stay byte-identical (same paths, same bytes) across the generation flip."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import merge_batch
+
+    snap_dir = str(tmp_path / "snapshot")
+    n_buckets = 8
+    base = spark.createDataFrame(
+        [(k, float(k) * 10.0, "upsert", 1) for k in range(1, 201)],
+        schema="o_orderkey bigint, price double, op string, ts long",
+    )
+    merge_batch(spark, base, snap_dir, "o_orderkey", ["price"], n_buckets=n_buckets)
+    with open(os.path.join(snap_dir, "_manifest.json")) as f:
+        m1 = json.load(f)
+    assert m1["gen"] == 1 and len(m1["buckets"]) == n_buckets
+
+    def bucket_bytes(manifest):
+        out = {}
+        for b, g in manifest["buckets"].items():
+            d = os.path.join(snap_dir, f"gen-{g}", f"bucket={b}")
+            out[b] = {
+                fn: open(os.path.join(d, fn), "rb").read()
+                for fn in sorted(os.listdir(d))
+                if fn.endswith(".parquet")
+            }
+        return out
+
+    files1 = bucket_bytes(m1)
+
+    # batch 2: touch exactly two keys (bump one, delete one)
+    batch2 = spark.createDataFrame(
+        [(7, 999.0, "upsert", 2), (13, 0.0, "delete", 2)],
+        schema="o_orderkey bigint, price double, op string, ts long",
+    )
+    from baum_welch_spark.functions.columns import portable_hash60
+    from pyspark.sql import functions as F
+
+    touched = {
+        str(r.b)
+        for r in batch2.select(
+            (portable_hash60(F.col("o_orderkey")) % n_buckets).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    merge_batch(spark, batch2, snap_dir, "o_orderkey", ["price"], n_buckets=n_buckets)
+    with open(os.path.join(snap_dir, "_manifest.json")) as f:
+        m2 = json.load(f)
+    assert m2["gen"] == 2
+    # gen-2 holds only the touched buckets
+    written = {d.split("=")[1] for d in os.listdir(os.path.join(snap_dir, "gen-2")) if d.startswith("bucket=")}
+    assert written == touched
+    # untouched buckets: same generation pointer AND byte-identical files
+    files2 = bucket_bytes(m2)
+    for b in m2["buckets"]:
+        if b in touched:
+            assert m2["buckets"][b] == 2
+        else:
+            assert m2["buckets"][b] == m1["buckets"][b]
+            assert files2[b] == files1[b]
+    # final state is still the batch LWW expectation
+    got = {r.o_orderkey: r.price for r in read_snapshot(spark, snap_dir).collect()}
+    expect = {k: float(k) * 10.0 for k in range(1, 201) if k != 13}
+    expect[7] = 999.0
+    assert got == expect
+
+
+def test_cdc_apply_batch_face_equals_global_lww(spark):
+    """The face's sequential per-year apply must equal one global
+    last-writer-wins merge computed directly (the DuckDB oracle's shape)."""
+    from baum_welch_spark.streaming.upsert import cdc_apply_batch_face
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    got = {r.cust_id: r.bal for r in cdc_apply_batch_face(spark, customer, orders).collect()}
+
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+    )
+    w = Window.partitionBy("cust_id").orderBy(F.desc("ts"))
+    lww = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    j = customer.join(lww, customer.c_custkey == lww.cust_id, "full_outer")
+    expect = {
+        r.k: round(r.v, 2)
+        for r in j.filter(F.col("op").isNull() | (F.col("op") == "upsert"))
+        .select(
+            F.coalesce("c_custkey", "cust_id").alias("k"),
+            F.when(F.col("op") == "upsert", F.col("bal")).otherwise(F.col("c_acctbal")).alias("v"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and got == expect
