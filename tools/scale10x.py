@@ -8,8 +8,27 @@ copied, not replicated. Then times the named `queries()` entries against
 both the original sf dir and the replica and prints the ratio: an operator
 whose plan is scale-clean should grow at or below the 10x data ratio.
 
+`--mutate` mode (SURVEY §8.3e): plain replication is ADVERSARIAL for the
+near-dup operators — every doc gains (replicas - 1) identical twins, so the
+TRUE-pair count grows ~replicas^2 and wall-clock measures output volume,
+not plan behavior. With --mutate, replica r > 0 of every document gets a
+replica-specific marker token ('zzq{r}') injected before every second word:
+cross-replica pairs then share no word trigram (marker gaps < 3), no
+11+-char winnowing span alignment beyond chance, differ by >> max_dist
+edits, and start with different first words (the edit-blocking key) — so
+true pairs stay ~linear in the data ratio and the measured ratio reflects
+the plan, not the corpus's pair physics. Markers are POSITIONAL
+('zq{r}x{i}', replica x word-index) rather than one token per replica: a
+replica-global marker turns every (common-word, marker, common-word)
+trigram into a replica-wide hot shingle and re-inflates candidate mass
+through the side door (measured: containment 24.8x under 'zzq{r}' vs
+linear under positional markers); positional markers only collide where
+two docs share the same word at the same index — the same alignment a
+genuine near-dup needs.
+
 Usage:
   python tools/scale10x.py q7_volume_shipping q18_large_volume_customers
+  python tools/scale10x.py --mutate --replicas 30 neardup_edit copy_pairs
   python tools/scale10x.py --rebuild          # force dataset rebuild
 """
 
@@ -23,8 +42,8 @@ import time
 import duckdb
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/sf0.1_x10")
 REPLICAS = 10
+MUTATE = False
 
 # key domains to offset, per table (domain name -> columns in that table)
 KEYED = {
@@ -56,8 +75,8 @@ DOMAIN_MAX = {
 }
 
 
-def build(con: duckdb.DuckDBPyConnection) -> None:
-    os.makedirs(DST, exist_ok=True)
+def build(con: duckdb.DuckDBPyConnection, dst: str, replicas: int, mutate: bool) -> None:
+    os.makedirs(dst, exist_ok=True)
     offs = {}
     for dom, (tbl, col) in DOMAIN_MAX.items():
         mx = con.sql(f"SELECT max({col}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
@@ -66,8 +85,36 @@ def build(con: duckdb.DuckDBPyConnection) -> None:
             k *= 10
         offs[dom] = k
     for tbl in COPY_ONLY:
-        con.sql(f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') TO '{DST}/{tbl}.parquet'")
+        con.sql(f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') TO '{dst}/{tbl}.parquet'")
     for tbl, doms in KEYED.items():
+        if tbl == "documents" and mutate:
+            off = offs["dockey"]
+            con.sql(
+                f"""COPY (
+  WITH src AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, r.r
+    FROM '{SRC}/documents.parquet' d, range({replicas}) r(r)
+  ),
+  tok AS (
+    SELECT doc_id, r, lang, source,
+           unnest(string_split(text, ' ')) AS w,
+           unnest(range(len(string_split(text, ' ')))) AS i
+    FROM src
+  ),
+  mut AS (
+    SELECT doc_id, r, lang, source,
+           string_agg(
+             CASE WHEN r > 0 AND i % 2 = 0
+                  THEN 'zq' || r || 'x' || i || ' ' || w ELSE w END,
+             ' ' ORDER BY i) AS text
+    FROM tok GROUP BY doc_id, r, lang, source
+  )
+  SELECT doc_id + r * {off} AS doc_id, text, lang, source,
+         length(text) AS n_chars
+  FROM mut
+) TO '{dst}/documents.parquet'"""
+            )
+            continue
         cols = con.sql(f"SELECT * FROM '{SRC}/{tbl}.parquet' LIMIT 0").columns
         shifted = dict()
         for dom, cs in doms.items():
@@ -76,17 +123,28 @@ def build(con: duckdb.DuckDBPyConnection) -> None:
         sel = ", ".join(shifted.get(c, c) for c in cols)
         con.sql(
             f"COPY (SELECT {sel} FROM '{SRC}/{tbl}.parquet', "
-            f"range({REPLICAS}) r(r)) TO '{DST}/{tbl}.parquet'"
+            f"range({replicas}) r(r)) TO '{dst}/{tbl}.parquet'"
         )
-    print(f"built {DST} ({REPLICAS}x {SRC})", file=sys.stderr)
+    print(f"built {dst} ({replicas}x {SRC}{', mutated docs' if mutate else ''})", file=sys.stderr)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--rebuild"]
-    rebuild = "--rebuild" in sys.argv
+    argv = sys.argv[1:]
+    replicas = REPLICAS
+    if "--replicas" in argv:
+        i = argv.index("--replicas")
+        replicas = int(argv[i + 1])
+        del argv[i : i + 2]
+    mutate = "--mutate" in argv
+    rebuild = "--rebuild" in argv
+    args = [a for a in argv if a not in ("--rebuild", "--mutate")]
+    dst = os.environ.get(
+        "SPARK_GRAFT_10X_DIR",
+        f"/tmp/sf0.1_x{replicas}{'_mut' if mutate else ''}",
+    )
     con = duckdb.connect()
-    if rebuild or not os.path.exists(f"{DST}/lineitem.parquet"):
-        build(con)
+    if rebuild or not os.path.exists(f"{dst}/lineitem.parquet"):
+        build(con, dst, replicas, mutate)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     spec = importlib.util.spec_from_file_location(
@@ -108,15 +166,16 @@ def main() -> int:
             print(f"{name}: unknown query", file=sys.stderr)
             continue
         times = {}
-        for label, sf in (("sf0.1", SRC), ("10x", DST)):
+        big = f"{replicas}x{'_mut' if mutate else ''}"
+        for label, sf in (("sf0.1", SRC), (big, dst)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
                 qs[name](spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             times[label] = best
-        ratio = times["10x"] / times["sf0.1"]
-        print(f"{name}: sf0.1 {times['sf0.1']:.1f}s  10x {times['10x']:.1f}s  ratio {ratio:.1f}x")
+        ratio = times[big] / times["sf0.1"]
+        print(f"{name}: sf0.1 {times['sf0.1']:.1f}s  {big} {times[big]:.1f}s  ratio {ratio:.1f}x")
     spark.stop()
     return 0
 
