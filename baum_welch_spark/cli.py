@@ -44,20 +44,39 @@ def cmd_train(args) -> int:
     spark, _own = _session("baum-welch-train")
     seqs = _build_sequences(spark, args.input)
     finals = None
+    mask = None
+    if getattr(args, "topology", "full") == "bakis":
+        mask = HMM.bakis_mask(args.num_hidden, bandwidth=args.bandwidth)
+
+    def _init():
+        if args.model_in:
+            return HMM.read(spark, args.model_in)
+        if mask is not None:
+            return HMM.random_masked(
+                args.num_hidden, args.num_observed, mask, seed=args.seed
+            )
+        return HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
+
     if args.method == "viterbi":
         from baum_welch_spark.hmm.viterbi_train import fit_viterbi
 
         if args.restarts > 1:
             print("--restarts is ignored with --method viterbi", file=sys.stderr)
-        init = (
-            HMM.read(spark, args.model_in)
-            if args.model_in
-            else HMM.random(args.num_hidden, args.num_observed, seed=args.seed)
-        )
         result = fit_viterbi(
-            spark, seqs, init,
+            spark, seqs, _init(),
             max_iter=args.max_iterations,
             tol=args.convergence_delta,
+            topology_mask=mask,
+        )
+    elif mask is not None:
+        if args.restarts > 1:
+            print("--restarts is ignored with --topology bakis", file=sys.stderr)
+        result = fit(
+            spark, seqs, _init(),
+            max_iter=args.max_iterations,
+            tol=args.convergence_delta,
+            model_out=args.output,
+            topology_mask=mask,
         )
     elif args.restarts > 1 and not args.model_in:
         result, finals = fit_restarts(
@@ -106,6 +125,24 @@ def cmd_decode(args) -> int:
         out = posterior_decode(spark, seqs, model)
     else:
         out = viterbi_decode(spark, seqs, model)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(20, truncate=80)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from baum_welch_spark.hmm.sample import posterior_sample
+
+    spark, _own = _session("baum-welch-sample")
+    model = HMM.read(spark, args.model)
+    seqs = _build_sequences(spark, args.input)
+    out = posterior_sample(
+        spark, seqs, model, n_samples=args.n_samples, seed=args.seed
+    )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
@@ -412,6 +449,16 @@ def main(argv: list[str] | None = None) -> int:
         help="em = soft Baum-Welch; viterbi = hard EM (segmental k-means: "
         "best-path counts, cheaper per iteration, coarser optimum)",
     )
+    t.add_argument(
+        "--topology", choices=["full", "bakis"], default="full",
+        help="bakis = left-to-right transition structure (Rabiner SIV.b): "
+        "state i reaches only i..i+bandwidth, pi = e_0; masked entries stay "
+        "exactly zero through training",
+    )
+    t.add_argument(
+        "--bandwidth", type=int, default=2,
+        help="forward reach of each state under --topology bakis",
+    )
     t.set_defaults(fn=cmd_train)
 
     sel = sub.add_parser("select", help="BIC/AIC sweep over candidate hidden-state counts")
@@ -429,6 +476,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-step argmax-gamma decode instead of Viterbi")
     d.add_argument("-o", "--output")
     d.set_defaults(fn=cmd_decode)
+
+    sp = sub.add_parser(
+        "sample", help="FFBS: exact posterior path draws P(path | obs, model)"
+    )
+    sp.add_argument("-i", "--input", required=True)
+    sp.add_argument("--model", required=True)
+    sp.add_argument("-n", "--n-samples", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("-o", "--output")
+    sp.set_defaults(fn=cmd_sample)
 
     g = sub.add_parser("generate", help="sample sequences from a trained model")
     g.add_argument("--model", help="model parquet dir (default: random model)")

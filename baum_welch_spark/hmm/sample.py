@@ -1,0 +1,95 @@
+"""FFBS — forward-filter backward-sample: exact draws from the posterior
+path distribution P(s_1..T | O, λ).
+
+Completes the distributed inference menu over the reference's model
+(SURVEY §3.3: the reference's downstream decode story lives in Mahout's
+sequential HmmEvaluator): ``viterbi_decode`` gives the single MAP path,
+``posterior_decode`` the per-step marginal argmax, and FFBS draws full
+paths with exactly their posterior probability — the primitive behind
+Bayesian HMM inference (Gibbs sampling over state paths, Scott 2002,
+"Bayesian methods for hidden Markov models") and posterior-uncertainty
+estimates no point decode can give.
+
+Algorithm (standard, e.g. Carter & Kohn 1994 for the linear-Gaussian
+analogue): run the scaled forward pass (``kernel.forward_backward``'s
+alpha_hat rows are the filtered marginals P(s_t | o_1..t)), sample
+s_T ~ alpha_hat[T-1], then backward for t = T-2..0 sample
+s_t ~ alpha_hat[t] * A[:, s_{t+1}] (normalized). All ``n_samples`` draws
+for a sequence vectorize across the sample axis (one categorical draw per
+(t, sample) via inverse-CDF on a shared uniform block).
+
+Determinism: the per-sequence RNG is seeded with (seed, seq_id), so output
+is reproducible, independent of partitioning, and independent of which
+Arrow batch a sequence lands in — the sampling analogue of the engine's
+no-rand() discipline.
+
+Scale: identical to viterbi_decode — model broadcast, narrow mapInPandas,
+no shuffle; output is n_samples rows per sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from baum_welch_spark.hmm.model import HMM
+
+SAMPLE_SCHEMA = "seq_id bigint, sample_id int, path_str string"
+
+
+def _ffbs_one(
+    pi: np.ndarray, A: np.ndarray, B: np.ndarray, obs: np.ndarray,
+    n_samples: int, rng: np.random.Generator,
+) -> np.ndarray:
+    """(n_samples, T) posterior path draws for one sequence."""
+    from baum_welch_spark.hmm.kernel import forward_backward
+
+    alpha, _, _, _ = forward_backward(pi, A, B, obs)
+    T = obs.shape[0]
+    out = np.empty((n_samples, T), dtype=np.int32)
+    u = rng.random((n_samples, T))
+    # s_T ~ filtered marginal at T-1 (alpha_hat rows are normalized)
+    cdf = np.cumsum(alpha[T - 1])
+    out[:, T - 1] = np.searchsorted(cdf, u[:, T - 1] * cdf[-1], side="right")
+    for t in range(T - 2, -1, -1):
+        # w[k] proportional to alpha[t] * A[:, s_{t+1}[k]], per sample k
+        w = alpha[t][None, :] * A[:, out[:, t + 1]].T  # (n_samples, N)
+        cdfs = np.cumsum(w, axis=1)
+        out[:, t] = (cdfs < (u[:, t] * cdfs[:, -1])[:, None]).sum(axis=1)
+    return out
+
+
+def posterior_sample(
+    spark: SparkSession,
+    sequences: DataFrame,
+    model: HMM,
+    n_samples: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """sequences(seq_id, obs) -> (seq_id, sample_id, path_str): exact FFBS
+    draws from P(path | obs, model), ``n_samples`` per sequence."""
+    model = model.validate()
+    bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pi, A, B = bc.value
+        for pdf in batches:
+            ids, sids, paths = [], [], []
+            for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
+                if obs is None or len(obs) == 0:
+                    continue
+                rng = np.random.default_rng([seed, int(seq_id)])
+                draws = _ffbs_one(
+                    pi, A, B, np.asarray(obs, dtype=np.int64), n_samples, rng
+                )
+                for k in range(n_samples):
+                    ids.append(int(seq_id))
+                    sids.append(k)
+                    paths.append(",".join(str(int(s)) for s in draws[k]))
+            yield pd.DataFrame({"seq_id": ids, "sample_id": sids, "path_str": paths})
+
+    return sequences.mapInPandas(sample, schema=SAMPLE_SCHEMA)

@@ -174,6 +174,7 @@ def fit_viterbi(
     init: HMM,
     max_iter: int = 10,
     tol: float = 0.0,
+    topology_mask: np.ndarray | None = None,
 ) -> FitResult:
     """Distributed segmental k-means loop: per iteration broadcast the
     log-model, hard-count via one mapInPandas pass, collect the tiny count
@@ -181,8 +182,20 @@ def fit_viterbi(
     to uniform), and test convergence on the Viterbi joint log-likelihood.
 
     Same cache discipline as fit(): persists the corpus only if the caller
-    didn't, and then unpersists it."""
+    didn't, and then unpersists it.
+
+    ``topology_mask``: structural transition topology, same contract as
+    ``fit(topology_mask=...)``. Hard EM preserves it on its own even more
+    directly than soft EM — log A carries -inf at masked entries, so no
+    Viterbi path ever uses one and masked counts are exactly zero — but
+    ``m_step``'s uniform fallback for never-visited states must still be
+    re-masked (uniform over allowed, not the full row)."""
     model = init.validate()
+    if topology_mask is not None:
+        from baum_welch_spark.hmm.fit import _masked
+
+        topology_mask = np.asarray(topology_mask, dtype=bool)
+        model = _masked(model, topology_mask)
     sc = spark.sparkContext
     caller_persisted = sequences.storageLevel.useMemory or sequences.storageLevel.useDisk
     if not caller_persisted:
@@ -214,6 +227,10 @@ def fit_viterbi(
                     cB[r.i, r.j] += r.weight
             trace.append(ll)
             new_model = m_step(cpi, cA, cB)
+            if topology_mask is not None:
+                from baum_welch_spark.hmm.fit import _masked
+
+                new_model = _masked(new_model, topology_mask)
             delta = model.distance(new_model)
             model = new_model
             iterations = it + 1

@@ -44,6 +44,7 @@ SINGLE_RUN = SELF_EXECUTING | {
     "hmm_online",
     "hmm_fit_bakis",
     "cdc_apply_batch",
+    "hmm_fit_restarts",
 }
 
 HEADLINE = [

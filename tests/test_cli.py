@@ -172,3 +172,37 @@ def test_cli_sql_and_knn_ivfpq(spark, tmp_path):
     kn = str(tmp_path / "knn_ivfpq_out")
     assert main(["knn", "-i", SF0001, "--method", "ivfpq", "--n-queries", "2", "-k", "3", "-o", kn]) == 0
     assert spark.read.parquet(kn).count() == 6
+
+
+def test_cli_train_bakis_and_sample(spark, tmp_path, capsys):
+    """train --topology bakis yields a masked model; sample draws FFBS
+    paths under it that respect the structural zeros."""
+    import numpy as np
+
+    from baum_welch_spark.hmm import HMM
+
+    out = str(tmp_path / "hmm_bakis_out")
+    rc = main([
+        "train", "-i", SF0001, "-o", out,
+        "--num-hidden", "3", "--num-observed", "5",
+        "--max-iterations", "2", "--seed", "7",
+        "--topology", "bakis", "--bandwidth", "1",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    model = HMM.read(spark, summary["model_dir"])
+    mask = HMM.bakis_mask(3, bandwidth=1)
+    assert np.all(model.A[~mask] == 0.0)
+    np.testing.assert_allclose(model.pi, [1.0, 0.0, 0.0], atol=1e-12)
+
+    smp = str(tmp_path / "sampled")
+    assert main([
+        "sample", "-i", SF0001, "--model", summary["model_dir"],
+        "-n", "2", "-o", smp,
+    ]) == 0
+    rows = spark.read.parquet(smp).collect()
+    assert rows and {r.sample_id for r in rows} == {0, 1}
+    for r in rows:
+        path = [int(s) for s in r.path_str.split(",")]
+        assert path[0] == 0
+        assert all(mask[a, b] for a, b in zip(path, path[1:]))

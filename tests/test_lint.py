@@ -128,4 +128,8 @@ def test_driver_window_stays_oracle_dense():
         "knn_ivfpq_query",
         "hmm_online",
         "hmm_fit_bakis",
+        # r7 second wave: FFBS draws (sampling) and the multi-restart
+        # trainer (n_restarts EM loops)
+        "posterior_sample",
+        "hmm_fit_restarts",
     }, rows_only_in_window

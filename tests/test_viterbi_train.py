@@ -102,3 +102,26 @@ def test_viterbi_reestimate_plan_pins(spark, sequences_df):
     # beyond whatever the sequence-builder input plan already carries
     upstream = plan_report(sequences_df)
     assert int(rep["shuffles"]) - int(upstream["shuffles"]) <= 2, (rep, upstream)
+
+
+def test_fit_viterbi_topology_mask_preserved(spark):
+    """Masked transitions stay exactly zero through hard EM; unmasked rows
+    stay row-stochastic (uniform fallback is over allowed entries only)."""
+    import numpy as np
+
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.viterbi_train import fit_viterbi
+    from baum_welch_spark.operators.sequences import build_sequences
+    from baum_welch_spark.sources.io import load_table
+
+    from conftest import SF0001
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_sequences(events)
+    mask = HMM.bakis_mask(3, bandwidth=1)
+    init = HMM.random_masked(3, 5, mask, seed=13)
+    res = fit_viterbi(spark, seqs, init, max_iter=3, topology_mask=mask)
+    A = res.model.A
+    assert np.all(A[~mask] == 0.0)
+    np.testing.assert_allclose(A.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(res.model.pi, np.eye(3)[0], atol=1e-12)
