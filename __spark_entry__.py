@@ -841,6 +841,12 @@ def _q_hmm_fit_restarts(spark, sf):
     return best.model.to_df(spark)
 
 
+def _q_copy_spans(spark, sf):
+    from baum_welch_spark.operators.text import copy_spans
+
+    return copy_spans(*_tables(spark, sf, "documents"))
+
+
 def _q_cdc_apply_batch(spark, sf):
     from baum_welch_spark.streaming.upsert import cdc_apply_batch_face
 
@@ -917,6 +923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shifts their face hash (r6 green, re-evidenced this round)
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
+        # NEW r7 third wave: span-level copy localization (positional
+        # winnowing + gaps-and-islands merge), DuckDB-exact
+        "copy_spans": _q_copy_spans,
         # NEW r7: batch twin of streaming CDC apply — DuckDB-exact proof
         # that sequential bucketed merge_batch == global last-writer-wins
         "cdc_apply_batch": _q_cdc_apply_batch,
@@ -933,10 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantize.py shipped without driver evidence for these two
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
-        # TPC-H shapes q18/q22 keep their slots from r6; q7/q8/q13/q15/q17/
-        # q19 + time_bucket_interpolate/lineitem_stats rotated out (r6
-        # green, unchanged) to make room for the eight entries above
-        "q18_large_volume_customers": _q_q18,
+        # TPC-H q22 keeps its slot from r6; q7/q8/q13/q15/q17/q18/q19 +
+        # time_bucket_interpolate/lineitem_stats rotated out (r6 green,
+        # unchanged) to make room for the nine entries above
         "q22_dormant_customers": _q_q22,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
@@ -1008,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries above:
         "q7_volume_shipping": _q_q7,
         "q8_market_share": _q_q8,
+        "q18_large_volume_customers": _q_q18,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q13_customer_distribution": _q_q13,
@@ -1125,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.LANG_ID_SQL,
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "winnow_fingerprints": text.WINNOW_FINGERPRINTS_SQL,
+        "copy_spans": text.COPY_SPANS_SQL,
         "time_bucket_interpolate": relational.TIME_BUCKET_INTERPOLATE_SQL,
         "lineitem_stats": relational.LINEITEM_STATS_SQL,
         "copy_pairs": text.COPY_PAIRS_SQL,

@@ -10,7 +10,7 @@ full column pruning (only ``doc_id``/``text`` are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword language heuristic.
@@ -322,3 +322,177 @@ ORDER BY doc_a, doc_b
 
 
 COPY_PAIRS_SQL = copy_pairs_sql()
+
+
+def winnow_fingerprint_positions(
+    documents: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Positional winnowing: (doc_id, fp, pos) with ``pos`` the 1-based char
+    offset of the selected minimum gram in each window (FIRST occurrence of
+    the window minimum — the deterministic tiebreak both engines share).
+    The positional variant of :func:`winnow_fingerprints`, needed when the
+    question is WHERE the copy sits, not just whether one exists
+    (Schleimer/Wilkerson/Aiken 2003 record (hash, position) pairs for
+    exactly this reason). Distinct (doc_id, fp, pos) rows; same pure-
+    codegen shape (the _grams projection trap applies here too)."""
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    t = F.col("text")
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: portable_hash60(t.substr(i, F.lit(k))),
+    )
+    g = F.col("_grams")
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(g) - w + 1),
+        lambda j: F.struct(
+            F.array_min(F.slice(g, j, w)).alias("fp"),
+            (j + F.array_position(F.slice(g, j, w), F.array_min(F.slice(g, j, w))) - 1)
+            .cast("bigint")
+            .alias("pos"),
+        ),
+    )
+    return (
+        documents.filter(n >= k + w - 1)
+        .withColumn("_grams", grams)
+        .select("doc_id", F.explode(F.array_distinct(win)).alias("m"))
+        .select("doc_id", "m.fp", "m.pos")
+        .distinct()
+    )
+
+
+def copy_spans(
+    documents: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 8,
+    max_df: int = 25,
+    gap: int = 16,
+) -> DataFrame:
+    """Copy-SPAN localization: for every qualifying copy pair (the
+    :func:`copy_pairs` criterion — >= ``min_shared`` shared winnowing
+    fingerprints after the df cap), the matched char intervals in doc_a:
+    matched fingerprint positions sorted and merged whenever consecutive
+    positions are <= ``gap`` chars apart; each merged run becomes one span
+    (span_start, span_end = last_pos + k - 1, n_fps). This is what a
+    dedup/redaction pipeline actually consumes — WHICH bytes to drop or
+    attribute, not just which documents correlate (quote extraction,
+    license-header stripping, contamination span removal).
+
+    Scale posture: one winnowing scan feeds BOTH the df cap and the pair
+    stage (single positional fingerprint frame); pairs come by fingerprint
+    (bucket-join pair explode, df-capped at max_df^2/2 structs); span
+    merging is two windows over (doc_a, doc_b) — the classic
+    gaps-and-islands shape, partitioned by pair, never global. Shuffles:
+    fp groupBy, pair window, position join, span window — all keyed,
+    all bounded by matched-fingerprint volume.
+    """
+    from baum_welch_spark.functions.columns import pair_structs
+
+    fpp = winnow_fingerprint_positions(documents, k=k, w=w)
+    docfp = fpp.select("doc_id", "fp").distinct()
+    lists = (
+        docfp.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
+    )
+    pairs = lists.select(
+        F.col("fp"), F.explode(pair_structs("ds")).alias("p")
+    ).select("fp", "p.doc_a", "p.doc_b")
+    wp = Window.partitionBy("doc_a", "doc_b")
+    qual = pairs.withColumn("shared", F.count(F.lit(1)).over(wp)).filter(
+        F.col("shared") >= min_shared
+    )
+    matches = qual.join(
+        fpp.select(F.col("doc_id").alias("doc_a"), "fp", F.col("pos").alias("pos_a")),
+        ["doc_a", "fp"],
+    ).select("doc_a", "doc_b", "pos_a").distinct()
+    ws = Window.partitionBy("doc_a", "doc_b").orderBy("pos_a")
+    flagged = matches.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(ws) > F.lit(gap), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(ws))
+    return (
+        flagged.groupBy("doc_a", "doc_b", "span_id")
+        .agg(
+            F.min("pos_a").alias("span_start"),
+            (F.max("pos_a") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .select("doc_a", "doc_b", "span_start", "span_end", "n_fps")
+    )
+
+
+def copy_spans_sql(
+    k: int = 8, w: int = 4, min_shared: int = 8, max_df: int = 25, gap: int = 16
+) -> str:
+    """DuckDB oracle for :func:`copy_spans`, generated from the same
+    parameters (face/oracle no-drift convention). Mirrors the Spark shape:
+    positional winnowing -> df cap -> qualifying pairs -> matched doc_a
+    positions -> gaps-and-islands span merge."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {k} + 2),
+                        i -> ('0x' || substr(md5(substr(text, i::INTEGER, {k})), 1, 15))::BIGINT) AS g,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) >= {k} + {w} - 1
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(1, n - {k} - {w} + 3),
+                        j -> struct_pack(
+                          fp := list_min(g[j::INTEGER : j::INTEGER + {w} - 1]),
+                          pos := (j + list_position(g[j::INTEGER : j::INTEGER + {w} - 1],
+                                                    list_min(g[j::INTEGER : j::INTEGER + {w} - 1])) - 1)::BIGINT
+                        )) AS ms
+  FROM grams
+),
+fpp AS (
+  SELECT DISTINCT doc_id, m.fp AS fp, m.pos AS pos
+  FROM wins, UNNEST(ms) AS t(m)
+),
+docfp AS (SELECT DISTINCT doc_id, fp FROM fpp),
+df_ok AS (SELECT fp FROM docfp GROUP BY fp HAVING count(*) > 1 AND count(*) <= {max_df}),
+pruned AS (SELECT d.doc_id, d.fp FROM docfp d JOIN df_ok USING (fp)),
+pairs AS (
+  SELECT a.fp, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+qual AS (
+  SELECT fp, doc_a, doc_b
+  FROM (SELECT fp, doc_a, doc_b,
+               count(*) OVER (PARTITION BY doc_a, doc_b) AS shared
+        FROM pairs) t
+  WHERE shared >= {min_shared}
+),
+matches AS (
+  SELECT DISTINCT q.doc_a, q.doc_b, f.pos AS pos_a
+  FROM qual q JOIN fpp f ON f.doc_id = q.doc_a AND f.fp = q.fp
+),
+flagged AS (
+  SELECT doc_a, doc_b, pos_a,
+         CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a) > {gap}
+              THEN 1 ELSE 0 END AS new_span
+  FROM matches
+),
+spans AS (
+  SELECT doc_a, doc_b, pos_a,
+         sum(new_span) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_a, doc_b,
+       min(pos_a) AS span_start,
+       (max(pos_a) + {k - 1})::BIGINT AS span_end,
+       count(*) AS n_fps
+FROM spans
+GROUP BY doc_a, doc_b, span_id
+"""
+
+
+COPY_SPANS_SQL = copy_spans_sql()

@@ -138,3 +138,35 @@ def test_winnowing_density_below_full_shingling(spark):
     n_fp = winnow_fingerprints(docs, k=8, w=4).count()
     total_grams = docs.selectExpr("sum(length(text) - 8 + 1) AS g").first().g
     assert n_fp < total_grams / 2
+
+
+def test_copy_spans_localizes_planted_copy(spark):
+    """A paragraph planted in two otherwise-different documents must yield
+    a span covering (most of) the copy in doc_a, and unrelated docs none."""
+    from baum_welch_spark.operators.text import copy_spans
+
+    copy = "the quick brown fox jumps over the lazy dog again and again today"
+    a_pre = "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    b_pre = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec "
+    docs = spark.createDataFrame(
+        [
+            (1, a_pre + copy),
+            (2, b_pre + copy),
+            (3, "completely unrelated text with nothing shared at all here ok"),
+            (4, "another disjoint document whose words never overlap anything"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = copy_spans(docs, min_shared=4).collect()
+    assert spans, "planted copy not detected"
+    pairs = {(r.doc_a, r.doc_b) for r in spans}
+    assert pairs == {(1, 2)}  # only the planted pair, never 3/4
+    # the copy starts at len(a_pre) + 1 (1-based) in doc 1; the merged span
+    # must sit inside the copied region (winnowing guarantees coverage of
+    # any shared run >= k + w - 1 = 11 chars, up to gap-merge slack)
+    start = len(a_pre) + 1
+    end = start + len(copy) - 1
+    best = max(spans, key=lambda r: r.n_fps)
+    assert start - 16 <= best.span_start <= end
+    assert start <= best.span_end <= end + 16
+    assert all(r.span_end >= r.span_start for r in spans)
