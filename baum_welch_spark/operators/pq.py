@@ -673,3 +673,23 @@ def ivfpq_serve_face(
     return knn_ivfpq_query(
         spark, path, queries, embeddings, k=k, n_probe=n_probe
     )
+
+
+def ivfpq_append(spark, path: str, new_embeddings: DataFrame) -> None:
+    """Incremental index maintenance: encode NEW vectors with the index's
+    EXISTING centroids/codebooks and append them to the cell-partitioned
+    code files — the standard IVF lifecycle (Jegou 2011 serving practice:
+    codebooks are trained rarely, postings lists grow continuously; a
+    quantizer retrain is a full rebuild, an insert is an append).
+
+    Scale posture: one shuffle-free mapInPandas encode pass over the new
+    vectors + an APPEND write that creates files only under the cells the
+    new vectors land in — existing code files are never touched (the same
+    untouched-files property as the bucketed CDC snapshot; asserted in
+    tests). Codebook drift is the declared trade: vectors far from the
+    trained distribution get coarser codes, and the exact re-rank stage
+    absorbs the error until the next rebuild."""
+    centroids, books, _ = ivfpq_read_index(spark, path)
+    ivfpq_encode(new_embeddings, centroids, books).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")

@@ -204,3 +204,53 @@ def test_ivfpq_index_roundtrip_and_partition_pruned_query(spark, embeddings, tmp
     # return well-formed dense rankings)
     for rks in by_q.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_ivfpq_append_serves_new_vectors_without_touching_old_files(spark, embeddings):
+    """Append-time index maintenance: new vectors become searchable, old
+    cell files stay byte-identical, and only cells receiving new codes
+    gain files."""
+    import os
+
+    from baum_welch_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_write_index,
+        knn_ivfpq_query,
+    )
+    from pyspark.sql import functions as F
+
+    base = embeddings.filter(F.col("vec_id") % 2 == 0)
+    extra = embeddings.filter(F.col("vec_id") % 2 == 1)
+    path = str(spark._jvm.java.lang.System.getProperty("java.io.tmpdir")) + "/ivfpq_append_idx"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_write_index(base, path)
+
+    def files():
+        out = {}
+        root = f"{path}/codes"
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("cell="):
+                continue
+            for fn in sorted(os.listdir(f"{root}/{d}")):
+                if fn.endswith(".parquet"):
+                    p = f"{root}/{d}/{fn}"
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = files()
+    ivfpq_append(spark, path, extra)
+    after = files()
+    # old files untouched (same paths, same sizes), new files appended
+    assert set(before) <= set(after)
+    assert all(after[p] == sz for p, sz in before.items())
+    assert len(after) > len(before)
+    # an odd vector queried against the appended index must now find
+    # itself (its own code is in the probed cells; self-match at cos ~1)
+    q = extra.orderBy("vec_id").limit(3)
+    res = knn_ivfpq_query(spark, path, q, embeddings, k=3, n_probe=4).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.q_id, []).append(r.c_id)
+    assert by_q and all(qid in cs for qid, cs in by_q.items())
