@@ -841,6 +841,18 @@ def _q_hmm_fit_restarts(spark, sf):
     return best.model.to_df(spark)
 
 
+def _q_posterior_entropy(spark, sf):
+    # rows-only by nature (iterative O(T N^2) recursion); pytest pins it
+    # against brute-force path enumeration at 1e-8 and the deterministic-
+    # chain zero case (tests/test_sample.py)
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.sample import posterior_entropy
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return posterior_entropy(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
 def _q_copy_spans(spark, sf):
     from baum_welch_spark.operators.text import copy_spans
 
@@ -938,14 +950,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-restart trainer promoted to a face
         "posterior_sample": _q_posterior_sample,
         "hmm_fit_restarts": _q_hmm_fit_restarts,
+        # NEW r7 third wave: exact posterior path entropy (Hernando 2005)
+        "posterior_entropy": _q_posterior_entropy,
         # rotated IN r7 (VERDICT-r6 #2): the r6 signed-zero change to
         # quantize.py shipped without driver evidence for these two
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
-        # TPC-H q22 keeps its slot from r6; q7/q8/q13/q15/q17/q18/q19 +
-        # time_bucket_interpolate/lineitem_stats rotated out (r6 green,
-        # unchanged) to make room for the nine entries above
-        "q22_dormant_customers": _q_q22,
+        # all ten TPC-H/relational slots from the r6 window (q7/q8/q13/q15/
+        # q17/q18/q19/q22 + time_bucket_interpolate/lineitem_stats) rotated
+        # out this round (r6 green, unchanged) for the ten entries above
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
         "knn_pq": _q_knn_pq,
@@ -1017,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q_q7,
         "q8_market_share": _q_q8,
         "q18_large_volume_customers": _q_q18,
+        "q22_dormant_customers": _q_q22,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q13_customer_distribution": _q_q13,

@@ -93,3 +93,67 @@ def posterior_sample(
             yield pd.DataFrame({"seq_id": ids, "sample_id": sids, "path_str": paths})
 
     return sequences.mapInPandas(sample, schema=SAMPLE_SCHEMA)
+
+
+ENTROPY_SCHEMA = "seq_id bigint, t_len int, loglik double, entropy double, entropy_rate double"
+
+
+def _entropy_one(pi, A, B, obs) -> tuple[float, float]:
+    """(loglik, H(S_1..T | O)) for one sequence via the forward entropy
+    recursion (Hernando, Crespi, Cybenko 2005: H_t(j), the entropy of the
+    state prefix conditional on s_t = j and o_1..t, updates with the chain
+    rule H_t(j) = sum_i p_ij (H_{t-1}(i) - log p_ij) where
+    p_ij = P(s_{t-1} = i | s_t = j, o_1..t) prop alpha_{t-1}(i) A[i, j]) —
+    O(T N^2), no path enumeration."""
+    from baum_welch_spark.hmm.kernel import forward_backward
+
+    alpha, _, _, ll = forward_backward(pi, A, B, obs)
+    T, N = alpha.shape
+    H = np.zeros(N)
+    for t in range(1, T):
+        W = alpha[t - 1][:, None] * A  # (i prev, j cur), unnormalized p_ij
+        s = W.sum(axis=0)
+        s[s == 0.0] = 1.0
+        P = W / s  # column-stochastic
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logP = np.where(P > 0, np.log(P), 0.0)
+        H = (P * (H[:, None] - logP)).sum(axis=0)
+    a = alpha[T - 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        loga = np.where(a > 0, np.log(a), 0.0)
+    return ll, float((a * (H - loga)).sum())
+
+
+def posterior_entropy(
+    spark: SparkSession, sequences: DataFrame, model: HMM
+) -> DataFrame:
+    """Per-sequence posterior PATH uncertainty: (seq_id, t_len, loglik,
+    entropy, entropy_rate) with entropy = H(S_1..T | O, lambda) in nats and
+    entropy_rate = entropy / T. Zero iff the posterior is a point mass on
+    one path (e.g. deterministic topologies); upper-bounded by T ln N. The
+    quantity a confidence-aware decode pipeline thresholds on — Viterbi's
+    MAP path says nothing about how dominant that path is. Same scale shape
+    as the decoders: broadcast model, narrow map, no shuffle."""
+    model = model.validate()
+    bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pi, A, B = bc.value
+        for pdf in batches:
+            ids, tls, lls, hs, rates = [], [], [], [], []
+            for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
+                if obs is None or len(obs) == 0:
+                    continue
+                o = np.asarray(obs, dtype=np.int64)
+                ll, h = _entropy_one(pi, A, B, o)
+                ids.append(int(seq_id))
+                tls.append(len(o))
+                lls.append(ll)
+                hs.append(h)
+                rates.append(h / len(o))
+            yield pd.DataFrame(
+                {"seq_id": ids, "t_len": tls, "loglik": lls,
+                 "entropy": hs, "entropy_rate": rates}
+            )
+
+    return sequences.mapInPandas(compute, schema=ENTROPY_SCHEMA)

@@ -132,4 +132,7 @@ def test_driver_window_stays_oracle_dense():
         # trainer (n_restarts EM loops)
         "posterior_sample",
         "hmm_fit_restarts",
+        # r7 third wave: exact posterior path entropy (iterative recursion,
+        # pinned against brute-force enumeration in pytest)
+        "posterior_entropy",
     }, rows_only_in_window

@@ -77,3 +77,47 @@ def test_ffbs_deterministic_and_partition_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 30
+
+
+def test_posterior_entropy_matches_enumeration(spark):
+    """The O(T N^2) entropy recursion must equal brute-force enumeration
+    over all N^T paths (exact posterior entropy) on short sequences."""
+    from itertools import product
+
+    from baum_welch_spark.hmm.sample import posterior_entropy
+
+    model = HMM.random(N, M, seed=17)
+    rng = np.random.default_rng(0)
+    seqs = [(i, [int(x) for x in rng.integers(0, M, size=6)]) for i in range(5)]
+    df = spark.createDataFrame(seqs, "seq_id bigint, obs array<int>")
+    got = {r.seq_id: (r.loglik, r.entropy) for r in posterior_entropy(spark, df, model).collect()}
+    for sid, obs in seqs:
+        obs = np.asarray(obs)
+        T = len(obs)
+        joint = []
+        for path in product(range(N), repeat=T):
+            p = model.pi[path[0]] * model.B[path[0], obs[0]]
+            for t in range(1, T):
+                p *= model.A[path[t - 1], path[t]] * model.B[path[t], obs[t]]
+            joint.append(p)
+        joint = np.asarray(joint)
+        Z = joint.sum()
+        post = joint / Z
+        nz = post > 0
+        exact_H = float(-(post[nz] * np.log(post[nz])).sum())
+        ll, h = got[sid]
+        assert abs(ll - np.log(Z)) < 1e-8
+        assert abs(h - exact_H) < 1e-8, (h, exact_H)
+
+
+def test_posterior_entropy_zero_for_deterministic_chain(spark):
+    """A deterministic cycle with state-revealing emissions has exactly one
+    possible path -> entropy 0."""
+    from baum_welch_spark.hmm.sample import posterior_entropy
+
+    A = np.array([[0.0, 1.0], [1.0, 0.0]])
+    B = np.array([[1.0, 0.0], [0.0, 1.0]])
+    model = HMM(pi=np.array([1.0, 0.0]), A=A, B=B)
+    df = spark.createDataFrame([(1, [0, 1, 0, 1])], "seq_id bigint, obs array<int>")
+    r = posterior_entropy(spark, df, model).collect()[0]
+    assert abs(r.entropy) < 1e-12 and abs(r.entropy_rate) < 1e-12
