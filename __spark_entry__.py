@@ -859,6 +859,30 @@ def _q_copy_spans(spark, sf):
     return copy_spans(*_tables(spark, sf, "documents"))
 
 
+def _q_hmm_fit_semisup(spark, sf):
+    # rows-only by nature (EM loop); pytest pins both degenerate ends
+    # (all-labeled == closed-form counting, all-unlabeled == plain fit)
+    # and mixed-objective monotonicity (tests/test_semisup.py)
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import viterbi_decode
+    from baum_welch_spark.hmm.semisup import fit_semisupervised
+    from baum_welch_spark.operators.sequences import build_sequences
+    from pyspark.sql import functions as F
+
+    (events,) = _tables(spark, sf, "events")
+    seqs = build_sequences(events)
+    label_model = HMM.random(4, 5, seed=42)
+    dec = viterbi_decode(spark, seqs, label_model).select(
+        "seq_id", F.col("path").alias("states")
+    )
+    mixed = seqs.join(dec, "seq_id").withColumn(
+        "states",
+        F.when(F.col("seq_id") % 3 == 0, F.col("states")).otherwise(F.lit(None)),
+    )
+    res = fit_semisupervised(spark, mixed, HMM.random(4, 5, seed=7), max_iter=2)
+    return res.model.to_df(spark)
+
+
 def _q_cdc_apply_batch(spark, sf):
     from baum_welch_spark.streaming.upsert import cdc_apply_batch_face
 
@@ -952,6 +976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_fit_restarts": _q_hmm_fit_restarts,
         # NEW r7 third wave: exact posterior path entropy (Hernando 2005)
         "posterior_entropy": _q_posterior_entropy,
+        # NEW r7 third wave: semi-supervised EM (labeled paths = hard
+        # counts, unlabeled = E-step; merge_upsert rotated out, r6 green)
+        "hmm_fit_semisup": _q_hmm_fit_semisup,
         # rotated IN r7 (VERDICT-r6 #2): the r6 signed-zero change to
         # quantize.py shipped without driver evidence for these two
         "knn_quantized": _q_knn_quantized,
@@ -959,7 +986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all ten TPC-H/relational slots from the r6 window (q7/q8/q13/q15/
         # q17/q18/q19/q22 + time_bucket_interpolate/lineitem_stats) rotated
         # out this round (r6 green, unchanged) for the ten entries above
-        "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
@@ -1031,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q_q8,
         "q18_large_volume_customers": _q_q18,
         "q22_dormant_customers": _q_q22,
+        "merge_upsert": _q_merge_upsert,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q13_customer_distribution": _q_q13,

@@ -39,6 +39,8 @@ ALLOWED = {
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
+    # semi-supervised EM: same model-sized count-stripe collect as fit.py
+    "hmm/semisup.py": {"collect": 1, "toPandas": 0},
     # hard EM (segmental k-means): same model-sized count-stripe collect
     "hmm/viterbi_train.py": {"collect": 1, "toPandas": 0},
     # order selection: one 1-row T_total aggregate (fits use fit.py's site)
@@ -133,6 +135,8 @@ def test_driver_window_stays_oracle_dense():
         "posterior_sample",
         "hmm_fit_restarts",
         # r7 third wave: exact posterior path entropy (iterative recursion,
-        # pinned against brute-force enumeration in pytest)
+        # pinned against brute-force enumeration in pytest) and the
+        # semi-supervised EM loop
         "posterior_entropy",
+        "hmm_fit_semisup",
     }, rows_only_in_window
