@@ -515,3 +515,83 @@ def top_k_sequences(spark: SparkSession, sequences: DataFrame, model: HMM, k: in
     return (
         scored.orderBy(F.desc("avg_loglik"), F.asc("seq_id")).limit(k)
     )
+
+
+TOPK_SCHEMA = "seq_id bigint, rank int, loglik double, path array<int>"
+
+
+def _viterbi_topk_one(log_pi, log_A, log_B, obs, k):
+    """Parallel list-Viterbi (the serial list Viterbi algorithm of
+    Seshadri & Sundberg 1994, rank-merged per state): per state keep the
+    top-k partial path scores; a candidate at step t is (prev_state,
+    prev_rank), merged across N*k entries per state. Backpointer chains
+    are structurally distinct, so the k final paths are distinct without
+    any dedup. Returns [(loglik, path)] best-first, len <= min(k, N^T)."""
+    T = obs.shape[0]
+    N = log_pi.shape[0]
+    # delta: (N, k) partial scores, -inf padded; bp: (T, N, k, 2)
+    delta = np.full((N, k), -np.inf)
+    delta[:, 0] = log_pi + log_B[:, obs[0]]
+    bp = np.zeros((T, N, k, 2), dtype=np.int32)
+    for t in range(1, T):
+        new_delta = np.full((N, k), -np.inf)
+        for j in range(N):
+            cand = delta + log_A[:, j][:, None]  # (N, k)
+            flat = cand.ravel()
+            top = np.argsort(-flat, kind="stable")[:k]
+            keep = flat[top] > -np.inf
+            top = top[keep]
+            new_delta[j, : len(top)] = flat[top] + log_B[j, obs[t]]
+            bp[t, j, : len(top), 0] = top // k  # prev state
+            bp[t, j, : len(top), 1] = top % k  # prev rank
+        delta = new_delta
+    flat = delta.ravel()
+    order = np.argsort(-flat, kind="stable")
+    order = order[flat[order] > -np.inf][:k]
+    out = []
+    for idx in order:
+        j, r = int(idx // k), int(idx % k)
+        path = np.empty(T, dtype=np.int32)
+        path[T - 1] = j
+        for t in range(T - 1, 0, -1):
+            j, r = int(bp[t, j, r, 0]), int(bp[t, j, r, 1])
+            path[t - 1] = j
+        out.append((float(flat[idx]), path))
+    return out
+
+
+def viterbi_topk(
+    spark: SparkSession, sequences: DataFrame, model: HMM, k: int = 3
+) -> DataFrame:
+    """N-best decoding: the ``k`` jointly most likely hidden paths per
+    sequence with their joint log-probabilities — what a rescoring pipeline
+    consumes (second-pass ranking over decode hypotheses) and what
+    separates a dominant MAP path from a near-tie that posterior_entropy
+    flags. Same scale shape as viterbi_decode: broadcast model, narrow
+    Arrow map, no shuffle; per-sequence cost O(T N^2 k log k)."""
+    model = model.validate()
+    with np.errstate(divide="ignore"):
+        bc = spark.sparkContext.broadcast(
+            (np.log(model.pi), np.log(model.A), np.log(model.B))
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        log_pi, log_A, log_B = bc.value
+        for pdf in batches:
+            ids, ranks, lls, paths = [], [], [], []
+            for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
+                if obs is None or len(obs) == 0:
+                    continue
+                hyp = _viterbi_topk_one(
+                    log_pi, log_A, log_B, np.asarray(obs, dtype=np.int64), k
+                )
+                for r, (ll, p) in enumerate(hyp):
+                    ids.append(int(seq_id))
+                    ranks.append(r)
+                    lls.append(ll)
+                    paths.append(list(p))
+            yield pd.DataFrame(
+                {"seq_id": ids, "rank": ranks, "loglik": lls, "path": paths}
+            )
+
+    return sequences.mapInPandas(decode, schema=TOPK_SCHEMA)

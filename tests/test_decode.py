@@ -186,3 +186,43 @@ def test_viterbi_oracle_sql_valid_with_zero_probabilities():
     for sql in (viterbi_oracle_sql(m), score_oracle_sql(m)):
         assert "-inf," not in sql and "[-inf" not in sql
         con.sql(sql).fetchall()  # must parse and execute
+
+
+def test_viterbi_topk_matches_enumeration(spark):
+    """k-best paths and scores must equal brute-force enumeration of all
+    N^T joint path probabilities (top-k by score)."""
+    from itertools import product
+
+    import numpy as np
+
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import viterbi_topk
+
+    N, M, T, K = 3, 4, 6, 5
+    model = HMM.random(N, M, seed=23)
+    rng = np.random.default_rng(1)
+    seqs = [(i, [int(x) for x in rng.integers(0, M, size=T)]) for i in range(4)]
+    df = spark.createDataFrame(seqs, "seq_id bigint, obs array<int>")
+    got = {}
+    for r in viterbi_topk(spark, df, model, k=K).collect():
+        got.setdefault(r.seq_id, []).append((r.rank, r.loglik, tuple(r.path)))
+    with np.errstate(divide="ignore"):
+        lp, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
+    for sid, obs in seqs:
+        scored = []
+        for path in product(range(N), repeat=T):
+            ll = lp[path[0]] + lB[path[0], obs[0]]
+            for t in range(1, T):
+                ll += lA[path[t - 1], path[t]] + lB[path[t], obs[t]]
+            scored.append((ll, path))
+        scored.sort(key=lambda x: -x[0])
+        hyp = sorted(got[sid])
+        assert len(hyp) == K
+        assert [r for r, _, _ in hyp] == list(range(K))
+        for (rank, ll, path), (ell, _) in zip(hyp, scored[:K]):
+            assert abs(ll - ell) < 1e-10, (rank, ll, ell)
+        # every returned path's reported loglik is its true joint score,
+        # paths are distinct, and rank 0 is the Viterbi path
+        assert len({p for _, _, p in hyp}) == K
+        best_ll, best_path = scored[0]
+        assert hyp[0][2] == best_path or abs(hyp[0][1] - best_ll) < 1e-10

@@ -139,4 +139,5 @@ def test_driver_window_stays_oracle_dense():
         # semi-supervised EM loop
         "posterior_entropy",
         "hmm_fit_semisup",
+        "viterbi_topk",
     }, rows_only_in_window
