@@ -116,12 +116,18 @@ def cmd_train(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    from baum_welch_spark.hmm.decode import posterior_decode, viterbi_decode
+    from baum_welch_spark.hmm.decode import (
+        posterior_decode,
+        viterbi_decode,
+        viterbi_topk,
+    )
 
     spark, _own = _session("baum-welch-decode")
     model = HMM.read(spark, args.model)
     seqs = _build_sequences(spark, args.input)
-    if getattr(args, "posterior", False):
+    if getattr(args, "top_k", 1) > 1:
+        out = viterbi_topk(spark, seqs, model, k=args.top_k)
+    elif getattr(args, "posterior", False):
         out = posterior_decode(spark, seqs, model)
     else:
         out = viterbi_decode(spark, seqs, model)
@@ -177,7 +183,12 @@ def cmd_score(args) -> int:
 
     spark, _own = _session("baum-welch-score")
     model = HMM.read(spark, args.model)
-    out = score_sequences(spark, _build_sequences(spark, args.input), model)
+    if getattr(args, "entropy", False):
+        from baum_welch_spark.hmm.sample import posterior_entropy
+
+        out = posterior_entropy(spark, _build_sequences(spark, args.input), model)
+    else:
+        out = score_sequences(spark, _build_sequences(spark, args.input), model)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
@@ -474,6 +485,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--model", required=True)
     d.add_argument("--posterior", action="store_true",
                    help="per-step argmax-gamma decode instead of Viterbi")
+    d.add_argument("--top-k", type=int, default=1,
+                   help="k > 1: k-best list-Viterbi hypotheses per sequence")
     d.add_argument("-o", "--output")
     d.set_defaults(fn=cmd_decode)
 
@@ -500,6 +513,8 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("score", help="per-sequence log-likelihood under a model")
     s.add_argument("-i", "--input", required=True)
     s.add_argument("--model", required=True)
+    s.add_argument("--entropy", action="store_true",
+                   help="emit exact posterior path entropy H(S|O) instead of loglik")
     s.add_argument("-o", "--output")
     s.set_defaults(fn=cmd_score)
 

@@ -206,3 +206,33 @@ def test_cli_train_bakis_and_sample(spark, tmp_path, capsys):
         path = [int(s) for s in r.path_str.split(",")]
         assert path[0] == 0
         assert all(mask[a, b] for a, b in zip(path, path[1:]))
+
+
+def test_cli_topk_decode_and_entropy_score(spark, tmp_path, capsys):
+    out = str(tmp_path / "hmm_out_k")
+    rc = main([
+        "train", "-i", SF0001, "-o", out,
+        "--num-hidden", "3", "--num-observed", "5",
+        "--max-iterations", "1", "--seed", "7",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    kdir = str(tmp_path / "kbest")
+    assert main(["decode", "-i", SF0001, "--model", summary["model_dir"],
+                 "--top-k", "3", "-o", kdir]) == 0
+    kb = spark.read.parquet(kdir)
+    assert set(kb.columns) == {"seq_id", "rank", "loglik", "path"}
+    one = [r for r in kb.collect() if r.seq_id == kb.collect()[0].seq_id]
+    ranks = sorted(r.rank for r in one)
+    assert ranks == list(range(len(ranks)))
+    # best-first: loglik non-increasing with rank
+    by_rank = sorted(one, key=lambda r: r.rank)
+    assert all(a.loglik >= b.loglik - 1e-12 for a, b in zip(by_rank, by_rank[1:]))
+
+    edir = str(tmp_path / "entropy")
+    assert main(["score", "-i", SF0001, "--model", summary["model_dir"],
+                 "--entropy", "-o", edir]) == 0
+    ent = spark.read.parquet(edir)
+    assert set(ent.columns) == {"seq_id", "t_len", "loglik", "entropy", "entropy_rate"}
+    assert all(r.entropy >= -1e-12 for r in ent.collect())
