@@ -859,6 +859,12 @@ def _q_copy_spans(spark, sf):
     return copy_spans(*_tables(spark, sf, "documents"))
 
 
+def _q_decontaminate_spans(spark, sf):
+    from baum_welch_spark.operators.text import decontaminate_spans
+
+    return decontaminate_spans(*_tables(spark, sf, "documents"))
+
+
 def _q_viterbi_topk(spark, sf):
     # rows-only by nature (k-best DP with path arrays); pytest pins the
     # hypotheses against brute-force enumeration of all N^T joint scores
@@ -973,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r7 third wave: span-level copy localization (positional
         # winnowing + gaps-and-islands merge), DuckDB-exact
         "copy_spans": _q_copy_spans,
+        # NEW r7 third wave: span-level benchmark decontamination
+        # (broadcast eval fingerprints; state_occupancy rotated out)
+        "decontaminate_spans": _q_decontaminate_spans,
         # NEW r7: batch twin of streaming CDC apply — DuckDB-exact proof
         # that sequential bucketed merge_batch == global last-writer-wins
         "cdc_apply_batch": _q_cdc_apply_batch,
@@ -1002,7 +1011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out this round (r6 green, unchanged) for the ten entries above
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
-        "state_occupancy": _q_state_occupancy,
         # changed r5 (two-pass centered covariance; PCA consumes it)
         "emb_covariance": _q_emb_covariance,
         "emb_pca": _q_emb_pca,
@@ -1072,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": _q_q22,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
+        "state_occupancy": _q_state_occupancy,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q13_customer_distribution": _q_q13,
@@ -1190,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "winnow_fingerprints": text.WINNOW_FINGERPRINTS_SQL,
         "copy_spans": text.COPY_SPANS_SQL,
+        "decontaminate_spans": text.DECONTAMINATE_SPANS_SQL,
         "time_bucket_interpolate": relational.TIME_BUCKET_INTERPOLATE_SQL,
         "lineitem_stats": relational.LINEITEM_STATS_SQL,
         "copy_pairs": text.COPY_PAIRS_SQL,

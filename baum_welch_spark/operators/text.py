@@ -496,3 +496,113 @@ GROUP BY doc_a, doc_b, span_id
 
 
 COPY_SPANS_SQL = copy_spans_sql()
+
+
+def decontaminate_spans(
+    documents: DataFrame,
+    eval_mod: int = 50,
+    k: int = 8,
+    w: int = 4,
+    gap: int = 16,
+    min_fps: int = 2,
+) -> DataFrame:
+    """Span-level benchmark decontamination: the char intervals of each
+    TRAINING document that match the held-out eval set's winnowing
+    fingerprints (eval docs = the corpus.decontaminate convention,
+    ``doc_id % eval_mod == 0``; in production the eval side is the
+    benchmark suite). Where ``corpus.decontaminate`` answers "is this doc
+    contaminated", this answers "which bytes" — the input a surgical
+    span-removal pass needs (dropping whole documents over one leaked
+    paragraph wastes the rest of the doc).
+
+    Spans with fewer than ``min_fps`` matched fingerprints are dropped
+    (a single chance 8-gram collision is noise; a real leaked span of
+    length >= k + w - 1 + gap yields several).
+
+    Scale posture: the eval fingerprint set is benchmark-sized regardless
+    of corpus size, so the match join BROADCASTS (the 100 TB training side
+    streams through map-side, no fingerprint shuffle — the decontaminate
+    pattern); the only keyed shuffle is the per-doc gaps-and-islands span
+    window. Output: (doc_id, span_start, span_end, n_fps).
+    """
+    fpp = winnow_fingerprint_positions(documents, k=k, w=w)
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_fps = fpp.filter(is_eval).select("fp").distinct()
+    matches = (
+        fpp.filter(~is_eval)
+        .join(F.broadcast(eval_fps), "fp")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = matches.withColumn(
+        "new_span",
+        F.when(F.col("pos") - F.lag("pos").over(ws) > F.lit(gap), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(ws))
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= min_fps)
+        .select("doc_id", "span_start", "span_end", "n_fps")
+    )
+
+
+def decontaminate_spans_sql(
+    eval_mod: int = 50, k: int = 8, w: int = 4, gap: int = 16, min_fps: int = 2
+) -> str:
+    """DuckDB oracle for :func:`decontaminate_spans`, generated from the
+    same parameters."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {k} + 2),
+                        i -> ('0x' || substr(md5(substr(text, i::INTEGER, {k})), 1, 15))::BIGINT) AS g,
+         length(text) AS n
+  FROM documents
+  WHERE length(text) >= {k} + {w} - 1
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(1, n - {k} - {w} + 3),
+                        j -> struct_pack(
+                          fp := list_min(g[j::INTEGER : j::INTEGER + {w} - 1]),
+                          pos := (j + list_position(g[j::INTEGER : j::INTEGER + {w} - 1],
+                                                    list_min(g[j::INTEGER : j::INTEGER + {w} - 1])) - 1)::BIGINT
+                        )) AS ms
+  FROM grams
+),
+fpp AS (
+  SELECT DISTINCT doc_id, m.fp AS fp, m.pos AS pos
+  FROM wins, UNNEST(ms) AS t(m)
+),
+eval_fps AS (SELECT DISTINCT fp FROM fpp WHERE doc_id % {eval_mod} = 0),
+matches AS (
+  SELECT DISTINCT f.doc_id, f.pos
+  FROM fpp f JOIN eval_fps e USING (fp)
+  WHERE f.doc_id % {eval_mod} <> 0
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {gap}
+              THEN 1 ELSE 0 END AS new_span
+  FROM matches
+),
+spans AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, (max(pos) + {k - 1})::BIGINT AS span_end,
+       count(*) AS n_fps
+FROM spans
+GROUP BY doc_id, span_id
+HAVING count(*) >= {min_fps}
+"""
+
+
+DECONTAMINATE_SPANS_SQL = decontaminate_spans_sql()

@@ -170,3 +170,27 @@ def test_copy_spans_localizes_planted_copy(spark):
     assert start - 16 <= best.span_start <= end
     assert start <= best.span_end <= end + 16
     assert all(r.span_end >= r.span_start for r in spans)
+
+
+def test_decontaminate_spans_localizes_planted_leak(spark):
+    """A paragraph copied from an eval doc (doc_id % 50 == 0) into a
+    training doc must produce a span inside the copied region; clean
+    training docs produce nothing."""
+    from baum_welch_spark.operators.text import decontaminate_spans
+
+    leak = "exact benchmark question text that leaked into the training corpus verbatim"
+    docs = spark.createDataFrame(
+        [
+            (50, "eval document preamble " + leak + " eval document epilogue"),
+            (7, "training prefix words here " + leak + " training suffix words"),
+            (8, "zq wq xq yq kq jq hq gq fq dq sq aq pq oq nq mq lq bq cq rq"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = decontaminate_spans(docs, eval_mod=50).collect()
+    assert spans and {r.doc_id for r in spans} == {7}
+    start = len("training prefix words here ") + 1
+    end = start + len(leak) - 1
+    best = max(spans, key=lambda r: r.n_fps)
+    assert start - 16 <= best.span_start <= end
+    assert start <= best.span_end <= end + 16
