@@ -192,6 +192,24 @@ FROM documents
 """
 
 
+def _spread_for_extraction(documents: DataFrame) -> DataFrame:
+    """Guard for the CPU-heavy winnowing projections: a small parquet input
+    scans as ONE partition (maxPartitionBytes never splits a small file),
+    which serializes the per-char md5 gram pass onto a single core — the
+    scan-time cousin of the neardup_edit AQE-coalesce bug (input BYTES are
+    tiny relative to extraction CPU; measured 7.8 s -> 1.1 s at sf0.1).
+    Repartition to cluster parallelism ONLY when the scan's file count is
+    below it — a 100 TB corpus already arrives in thousands of splits and
+    must not eat an unconditional full-corpus shuffle."""
+    spark = documents.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    try:
+        few = len(documents.inputFiles()) < max(1, parts // 2)
+    except Exception:
+        few = True  # non-file frames (tests) are small; spreading is free
+    return documents.repartition(parts, "doc_id") if few else documents
+
+
 def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     the MOSS local-fingerprinting algorithm): hash every ``k``-char gram,
@@ -235,7 +253,7 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFra
     # order-insensitive — the old distinct+sort tail was two full shuffles
     # of the fingerprint stream for nothing
     return (
-        documents.filter(n >= k + w - 1)
+        _spread_for_extraction(documents.filter(n >= k + w - 1))
         .withColumn("_grams", grams)
         .select("doc_id", F.explode(fps).alias("fp"))
     )
@@ -333,8 +351,15 @@ def winnow_fingerprint_positions(
     The positional variant of :func:`winnow_fingerprints`, needed when the
     question is WHERE the copy sits, not just whether one exists
     (Schleimer/Wilkerson/Aiken 2003 record (hash, position) pairs for
-    exactly this reason). Distinct (doc_id, fp, pos) rows; same pure-
-    codegen shape (the _grams projection trap applies here too)."""
+    exactly this reason). Unique (doc_id, fp, pos) rows, unordered — the
+    per-doc ``array_distinct`` over (fp, pos) structs makes the exploded
+    rows unique already, so there is deliberately NO global ``.distinct()``
+    tail (it would be one full shuffle of the fingerprint stream for
+    nothing — the winnow_fingerprints lesson). Same pure-codegen shape (the
+    _grams projection trap applies here too, and the window MINIMA are
+    projected before the position pass for the same reason — inlining
+    ``array_min(slice(...))`` into the ``array_position`` lambda would
+    re-evaluate the min subtree per window)."""
     from baum_welch_spark.functions.columns import portable_hash60
 
     t = F.col("text")
@@ -344,21 +369,26 @@ def winnow_fingerprint_positions(
         lambda i: portable_hash60(t.substr(i, F.lit(k))),
     )
     g = F.col("_grams")
-    win = F.transform(
+    mins = F.transform(
         F.sequence(F.lit(1), F.size(g) - w + 1),
+        lambda j: F.array_min(F.slice(g, j, w)),
+    )
+    m = F.col("_mins")
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(m)),
         lambda j: F.struct(
-            F.array_min(F.slice(g, j, w)).alias("fp"),
-            (j + F.array_position(F.slice(g, j, w), F.array_min(F.slice(g, j, w))) - 1)
+            F.element_at(m, j).alias("fp"),
+            (j + F.array_position(F.slice(g, j, w), F.element_at(m, j)) - 1)
             .cast("bigint")
             .alias("pos"),
         ),
     )
     return (
-        documents.filter(n >= k + w - 1)
+        _spread_for_extraction(documents.filter(n >= k + w - 1))
         .withColumn("_grams", grams)
+        .withColumn("_mins", mins)
         .select("doc_id", F.explode(F.array_distinct(win)).alias("m"))
         .select("doc_id", "m.fp", "m.pos")
-        .distinct()
     )
 
 
