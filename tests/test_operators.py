@@ -817,6 +817,8 @@ def test_copy_pairs_single_shuffle_before_agg(spark, documents):
     from baum_welch_spark.operators import text
 
     rep = plan_report(text.copy_pairs(documents))
-    # fp groupBy + (doc_a, doc_b) agg + final sort = 3 exchanges max
-    assert int(rep["shuffles"]) <= 3, rep
+    # fp groupBy + (doc_a, doc_b) agg + final sort = 3 exchanges, plus the
+    # conditional _spread_for_extraction repartition (raw-doc bytes, fires
+    # on few-file scans like this fixture) = 4 max
+    assert int(rep["shuffles"]) <= 4, rep
     assert rep["python_stages"] == 0, rep
