@@ -842,15 +842,19 @@ def _q_hmm_fit_restarts(spark, sf):
 
 
 def _q_posterior_entropy(spark, sf):
-    # rows-only by nature (iterative O(T N^2) recursion); pytest pins it
+    # DuckDB-exact since r8 (VERDICT-r7 #3): the Hernando recursion is
+    # linear like the forward pass, so it runs as a recursive CTE
+    # (hmm/sample.py entropy_oracle_sql); pytest additionally pins it
     # against brute-force path enumeration at 1e-8 and the deterministic-
     # chain zero case (tests/test_sample.py)
     from baum_welch_spark.hmm import HMM
-    from baum_welch_spark.hmm.sample import posterior_entropy
+    from baum_welch_spark.hmm.sample import posterior_entropy_face
     from baum_welch_spark.operators.sequences import build_sequences
 
     (events,) = _tables(spark, sf, "events")
-    return posterior_entropy(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+    return posterior_entropy_face(
+        spark, build_sequences(events), HMM.random(4, 5, seed=42)
+    )
 
 
 def _q_copy_spans(spark, sf):
@@ -866,14 +870,17 @@ def _q_decontaminate_spans(spark, sf):
 
 
 def _q_viterbi_topk(spark, sf):
-    # rows-only by nature (k-best DP with path arrays); pytest pins the
-    # hypotheses against brute-force enumeration of all N^T joint scores
+    # k-best DP; pytest pins the hypotheses against brute-force enumeration
+    # of all N^T joint scores. The face emits path_str (not array<int>) so
+    # the driver's canonicalizer can sort/hash it — the r7 defect.
     from baum_welch_spark.hmm import HMM
-    from baum_welch_spark.hmm.decode import viterbi_topk
+    from baum_welch_spark.hmm.decode import viterbi_topk_face
     from baum_welch_spark.operators.sequences import build_sequences
 
     (events,) = _tables(spark, sf, "events")
-    return viterbi_topk(spark, build_sequences(events), HMM.random(4, 5, seed=42), k=3)
+    return viterbi_topk_face(
+        spark, build_sequences(events), HMM.random(4, 5, seed=42), k=3
+    )
 
 
 def _q_hmm_fit_semisup(spark, sf):
@@ -1276,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
         # same literal-model convention (hmm_generate stays rows-only —
         # sampling from λ is not SQL-expressible)
         "posterior_decode": _posterior_oracle(),
+        # posterior path entropy: the Hernando H_t(j) recursion as a second
+        # recursive CTE over the score oracle's alpha (DuckDB-exact since r8)
+        "posterior_entropy": _entropy_oracle(),
         "dup_ngrams": _dup_ngrams_sql(),
         "emb_quantize": _quantize_sql()[0],
         "knn_quantized": _quantize_sql()[1],
@@ -1353,6 +1363,13 @@ def _occupancy_oracle() -> str:
     from baum_welch_spark.hmm.decode import occupancy_oracle_sql
 
     return occupancy_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _entropy_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.sample import entropy_oracle_sql
+
+    return entropy_oracle_sql(HMM.random(4, 5, seed=42))
 
 
 def _dup_ngrams_sql() -> str:

@@ -595,3 +595,22 @@ def viterbi_topk(
             )
 
     return sequences.mapInPandas(decode, schema=TOPK_SCHEMA)
+
+
+def viterbi_topk_face(
+    spark: SparkSession, sequences: DataFrame, model: HMM, k: int = 3
+) -> DataFrame:
+    """Scalar driver-contract face of viterbi_topk: the ``path array<int>``
+    column is unhashable in the driver's canonicalizer (it sort_values over
+    every column), so project it to a comma-joined ``path_str`` — the same
+    pattern viterbi_decode_face uses — and round the joint log-likelihood
+    to a stable precision."""
+    hyp = viterbi_topk(spark, sequences, model, k=k)
+    return hyp.select(
+        "seq_id",
+        "rank",
+        F.round("loglik", 6).alias("loglik"),
+        F.array_join(F.transform("path", lambda x: x.cast("string")), ",").alias(
+            "path_str"
+        ),
+    )

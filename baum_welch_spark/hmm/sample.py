@@ -157,3 +157,135 @@ def posterior_entropy(
             )
 
     return sequences.mapInPandas(compute, schema=ENTROPY_SCHEMA)
+
+
+def posterior_entropy_face(
+    spark: SparkSession, sequences: DataFrame, model: HMM
+) -> DataFrame:
+    """Driver-contract face of posterior_entropy: the three float columns
+    rounded to a stable precision so the DuckDB recursive-CTE oracle
+    (entropy_oracle_sql) hashes identically — both engines run the same
+    Hernando forward entropy recursion in double precision, agreeing to
+    ~1e-12 but not bitwise."""
+    from pyspark.sql import functions as F
+
+    ent = posterior_entropy(spark, sequences, model)
+    return ent.select(
+        "seq_id",
+        "t_len",
+        F.round("loglik", 6).alias("loglik"),
+        F.round("entropy", 6).alias("entropy"),
+        F.round("entropy_rate", 6).alias("entropy_rate"),
+    )
+
+
+def entropy_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for posterior_entropy_face: the scaled
+    forward recursion (normalized alphas + running log-likelihood, exactly
+    score_oracle_sql's alpha CTE) plus the Hernando H_t(j) entropy
+    recursion as a second recursive CTE.
+
+    Mirrors _entropy_one operation-for-operation: per step the backward
+    transition posterior P_ij = alpha_t(i) A[i,j] / s_j (s_j==0 guarded to
+    1, matching the NumPy ``s[s == 0] = 1``), zero-probability terms
+    contribute 0 (the ``np.where(P > 0, log P, 0)`` guard), and sums run
+    in the same i/j order — values agree to ~1e-12; both sides round to 6
+    decimals. MATERIALIZED on every CTE a recursion references (see
+    score_oracle_sql's note: DuckDB otherwise re-runs the upstream
+    recursion per step of the downstream one)."""
+    from baum_welch_spark.hmm.decode import _CODED_SQL, _blist, _lit
+
+    model = model.validate()
+    N = model.pi.shape[0]
+    pi, A, B = model.pi, model.A, model.B
+    j1 = range(1, N + 1)
+    base_u = ",\n         ".join(
+        f"{_lit(pi[j - 1])} * ({_blist(B[j - 1])})[c.sym + 1] AS u{j}" for j in j1
+    )
+    step_u = ",\n         ".join(
+        "("
+        + " + ".join(f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1)
+        + f") * ({_blist(B[j - 1])})[c.sym + 1] AS nu{j}"
+        for j in j1
+    )
+    usum = " + ".join(f"u{j}" for j in j1)
+    nusum = " + ".join(f"nu{j}" for j in j1)
+    norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
+    nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+
+    # entropy recursion: base H_0(j) = 0; step H_{t+1}(j) =
+    # sum_i P_ij (H_t(i) - ln P_ij), P_ij = alpha_t(i) A[i,j] / s_j.
+    # The step carries its ns/nd lateral aliases as output columns (SQL has
+    # no intermediate-only aliases), so the base emits dummy s/d columns to
+    # match arity; recursion state is h{j} only.
+    base_h = (
+        ", ".join(f"{_lit(1.0)} AS s{j}" for j in j1)
+        + ", "
+        + ", ".join(f"{_lit(1.0)} AS d{j}" for j in j1)
+        + ", "
+        + ", ".join(f"{_lit(0.0)} AS h{j}" for j in j1)
+    )
+    ns_defs = ",\n         ".join(
+        "("
+        + " + ".join(f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1)
+        + f") AS ns{j}"
+        for j in j1
+    )
+    nd_defs = ", ".join(
+        f"CASE WHEN ns{j} = {_lit(0.0)} THEN {_lit(1.0)} ELSE ns{j} END AS nd{j}"
+        for j in j1
+    )
+
+    def _term(i: int, j: int) -> str:
+        p = f"(a.p{i} * {_lit(A[i - 1][j - 1])}) / nd{j}"
+        return (
+            f"CASE WHEN {p} > {_lit(0.0)} "
+            f"THEN ({p}) * (e.h{i} - ln({p})) ELSE {_lit(0.0)} END"
+        )
+
+    nh_defs = ",\n         ".join(
+        "(" + " + ".join(_term(i, j) for i in j1) + f") AS nh{j}" for j in j1
+    )
+    final = " + ".join(
+        f"CASE WHEN al.p{j} > {_lit(0.0)} "
+        f"THEN al.p{j} * (e.h{j} - ln(al.p{j})) ELSE {_lit(0.0)} END"
+        for j in j1
+    )
+    return f"""
+WITH coded AS MATERIALIZED ({_CODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS MATERIALIZED (
+  WITH RECURSIVE alpha_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_u},
+           ({usum}) AS s, ln(s) AS ll, {norm}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT a.user_id, a.t + 1,
+           {step_u},
+           ({nusum}) AS ns, a.ll + ln(ns) AS nll, {nnorm}
+    FROM alpha_r a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+  ) SELECT * FROM alpha_r
+),
+ent AS MATERIALIZED (
+  WITH RECURSIVE ent_r AS (
+    SELECT c.user_id, 0 AS t, {base_h}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT e.user_id, e.t + 1,
+           {ns_defs},
+         {nd_defs},
+         {nh_defs}
+    FROM ent_r e
+    JOIN alpha a ON a.user_id = e.user_id AND a.t = e.t
+    JOIN coded c ON c.user_id = e.user_id AND c.t = e.t + 1
+  ) SELECT * FROM ent_r
+)
+SELECT e.user_id AS seq_id, l.t_len::INTEGER AS t_len,
+       round(al.ll, 6) AS loglik,
+       round({final}, 6) AS entropy,
+       round(({final}) / l.t_len, 6) AS entropy_rate
+FROM ent e
+JOIN lens l ON l.user_id = e.user_id AND e.t = l.t_len - 1
+JOIN alpha al ON al.user_id = e.user_id AND al.t = l.t_len - 1
+"""

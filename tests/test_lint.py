@@ -134,10 +134,40 @@ def test_driver_window_stays_oracle_dense():
         # trainer (n_restarts EM loops)
         "posterior_sample",
         "hmm_fit_restarts",
-        # r7 third wave: exact posterior path entropy (iterative recursion,
-        # pinned against brute-force enumeration in pytest) and the
-        # semi-supervised EM loop
-        "posterior_entropy",
+        # r7 third wave: the semi-supervised EM loop (posterior_entropy
+        # graduated to a DuckDB-exact recursive-CTE oracle in r8)
         "hmm_fit_semisup",
         "viterbi_topk",
     }, rows_only_in_window
+
+
+def test_window_faces_have_scalar_schemas(spark):
+    """Driver-canonicalization compatibility lint (VERDICT-r7 #2): the
+    driver sorts + hashes EVERY column of EVERY face in its 50-entry
+    window, rows-only included, and pandas' multi-column sort factorizes
+    (hashes) each cell — an array/map/struct top-level column crashes it
+    with ``TypeError: unhashable type`` (the r7 viterbi_topk defect).
+    Construct each in-window face at sf0.001 and assert its schema is
+    scalar-only; faces below the window are covered the round they rotate
+    in (test_face_manifest forces rotation on any code change)."""
+    import sys
+
+    from pyspark.sql import types as T
+
+    from conftest import SF0001
+
+    sys.path.insert(0, str(PKG.parent))
+    import __spark_entry__ as em
+
+    bad = []
+    for name, fn in list(em.queries().items())[:50]:
+        schema = fn(spark, SF0001).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, (
+        "in-window face schemas with non-scalar top-level columns (the "
+        "driver's canonicalizer cannot hash these — project to a joined "
+        "string, e.g. hmm/decode.py viterbi_decode_face's path_str):\n"
+        + "\n".join(bad)
+    )

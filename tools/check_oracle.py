@@ -37,6 +37,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the driver's canonicalization for rows-only faces: sort
+    columns by name, then sort_values over ALL columns (multi-column
+    sort_values lexsorts via factorize, which HASHES each value — an
+    unhashable top-level cell like a list/dict/ndarray raises exactly the
+    ``TypeError: unhashable type: 'list'`` that killed viterbi_topk in r7).
+    Additionally reject unhashable cell types outright so single-column
+    frames (where pandas takes the comparison-sort path and would not
+    crash) still fail locally."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            bad = df[c].map(lambda v: isinstance(v, (list, dict, set)) or hasattr(v, "__array__"))
+            if bad.any():
+                t = type(df[c][bad.idxmax()]).__name__
+                raise TypeError(f"unhashable/array cell type '{t}' in column {c!r}")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
 def dtype_kinds(df: pd.DataFrame) -> list[str]:
     """Coarse dtype kind per column. The driver's value hash canonicalizes
     int/float/object differently (e.g. DuckDB HUGEINT arrives as object or
@@ -125,6 +144,20 @@ def main() -> int:
             continue
         elapsed = time.time() - t0
         if name not in oracles:
+            # Rows-only faces still pass through the driver's canonicalizer
+            # (sort all columns + value hash) — exactly where the r7
+            # viterbi_topk array<int> schema crashed. Replicate that sort
+            # here so an unhashable/unsortable top-level cell (list, dict,
+            # ndarray) fails locally before the driver ever sees it.
+            try:
+                driver_canon(sdf)
+            except Exception as e:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: rows-only output not canonicalizable "
+                    f"(driver would crash): {type(e).__name__}: {e}"
+                )
+                continue
             print(f"ok   {name}: rows-only, {len(sdf)} rows  ({elapsed:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: zero rows")
