@@ -81,8 +81,22 @@ def _semisup_udf(bc_model):
                     continue
                 o = np.asarray(obs, dtype=np.int64)
                 if st is not None and len(st) == len(o):
+                    s = np.asarray(st, dtype=np.int64)
+                    # fail fast on out-of-range labels (mirrors fit()'s
+                    # null-weight fail-fast): a negative index — e.g. -1
+                    # used as an 'unknown' sentinel by an annotation
+                    # source — would silently wrap via numpy indexing and
+                    # corrupt the last state's counts; >= n would crash
+                    # the executor with an opaque IndexError
+                    if s.size and (s.min() < 0 or s.max() >= n):
+                        raise ValueError(
+                            f"labeled state out of range [0, {n}): "
+                            f"min={int(s.min())} max={int(s.max())} — use "
+                            "NULL (not a sentinel value) for unlabeled "
+                            "sequences"
+                        )
                     lab_o.append(o)
-                    lab_s.append(np.asarray(st, dtype=np.int64))
+                    lab_s.append(s)
                 else:
                     unlab.append(o)
             if lab_o:

@@ -664,10 +664,11 @@ def ivfpq_serve_face(
     prunes the code scan (asserted in tests/test_pq.py). Rows-only by
     nature (k-means + residual-PQ training); pytest pins recall >= 0.5 vs
     knn_brute and the pruned-scan plan shape. The index lands in a fresh
-    temp directory each run (left for the driver's lazy collect)."""
-    import tempfile
+    scratch directory each run — alive through the driver's lazy collect,
+    removed at process exit (session.scratch_dir)."""
+    from baum_welch_spark.session import scratch_dir
 
-    path = tempfile.mkdtemp(prefix="bw_ivfpq_index_")
+    path = scratch_dir("bw_ivfpq_index_")
     ivfpq_write_index(embeddings, path)
     queries = embeddings.orderBy("vec_id").limit(n_queries)
     return knn_ivfpq_query(

@@ -206,7 +206,19 @@ def _spread_for_extraction(documents: DataFrame) -> DataFrame:
     try:
         few = len(documents.inputFiles()) < max(1, parts // 2)
     except Exception:
-        few = True  # non-file frames (tests) are small; spreading is free
+        # non-file-backed frame (in-memory/view): consult Catalyst's byte
+        # estimate instead of assuming small — a large cached corpus must
+        # not eat an unconditional full-corpus shuffle just because it has
+        # no input files. Below ~1 GiB the spread is cheap relative to the
+        # extraction CPU it parallelizes; above, the frame already has (or
+        # deserves) real partitioning upstream.
+        try:
+            size = int(
+                documents._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = 0  # stats unavailable: treat as small (tests), spread
+        few = size < (1 << 30)
     return documents.repartition(parts, "doc_id") if few else documents
 
 

@@ -44,3 +44,26 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: driver-contract faces that persist
+    an index/snapshot (ivfpq_serve_face, cdc_apply_batch_face) need the dir
+    alive through the caller's LAZY collect, so they cannot remove it
+    themselves — without a registry, repeated bench/test invocations
+    accumulate unbounded /tmp usage (ADVICE r7). atexit fires after every
+    collect is done."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(path)
+    return path

@@ -42,6 +42,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _MANIFEST = "_manifest.json"
 DEFAULT_BUCKETS = 16
@@ -75,7 +76,13 @@ def _bucket_paths(snapshot_dir: str, manifest: dict, buckets=None) -> list[str]:
 def _gc_generations(snapshot_dir: str, manifest: dict) -> None:
     live = {manifest["gen"]} | {int(g) for g in manifest["buckets"].values()}
     for name in os.listdir(snapshot_dir):
-        if name.startswith("gen-") and int(name[4:]) not in live:
+        if not name.startswith("gen-"):
+            continue
+        # skip unparseable entries (e.g. a leftover 'gen-5.tmp' partial
+        # write) instead of failing the whole micro-batch on ValueError
+        if not name[4:].isdigit():
+            continue
+        if int(name[4:]) not in live:
             shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
@@ -123,11 +130,32 @@ def merge_batch(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
     delta = delta.withColumn("_bucket", _bucket_col(key, n_buckets))
-    touched = sorted(
-        r._bucket for r in delta.select("_bucket").distinct().collect()
-    )
-    if not touched:  # empty micro-batch
-        return
+    # persist: the collapsed delta is consumed twice (touched-bucket collect
+    # + the merge join) — without this the last-writer-wins window runs two
+    # full times per micro-batch
+    delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = sorted(
+            r._bucket for r in delta.select("_bucket").distinct().collect()
+        )
+        if not touched:  # empty micro-batch
+            return
+        _merge_touched(
+            spark, delta, snapshot_dir, key, value_cols, touched, n_buckets
+        )
+    finally:
+        delta.unpersist()
+
+
+def _merge_touched(
+    spark: SparkSession,
+    delta: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    value_cols: list[str],
+    touched: list[int],
+    n_buckets: int,
+) -> None:
     manifest = _load_manifest(snapshot_dir)
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
@@ -154,9 +182,15 @@ def merge_batch(
         )
     gen = 1 if manifest is None else manifest["gen"] + 1
     out = os.path.join(snapshot_dir, f"gen-{gen}")
-    merged.withColumn("bucket", _bucket_col(key, n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(out)
+    # repartition on the bucket id before the partitionBy write: without it
+    # every shuffle partition of the merge join writes its own file into
+    # every bucket dir it touches (up to tasks x buckets small files per
+    # generation); with it each touched bucket is one writer task -> one
+    # file, which is also the 100 TB shape (a bucket is a few GB — one
+    # task's worth)
+    merged.withColumn("bucket", _bucket_col(key, n_buckets)).repartition(
+        max(len(touched), 1), "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(out)
     # a touched bucket whose keys were all deleted produces no bucket dir —
     # drop it from the manifest instead of pointing at a missing path
     written = {
@@ -201,7 +235,11 @@ def apply_cdc_stream(
 
 
 def cdc_apply_batch_face(
-    spark: SparkSession, customer: DataFrame, orders: DataFrame, n_buckets: int = 16
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 16,
+    since_year: int = 1998,
 ) -> DataFrame:
     """Driver-contract face (DuckDB-exact): the batch twin of the CDC
     stream. A deterministic change-log derived from ``orders`` — key
@@ -214,12 +252,17 @@ def cdc_apply_batch_face(
     merge, which is what the DuckDB oracle computes (window rn=1 by ts
     desc + full-outer merge). Exercises the real bucketed snapshot
     machinery end-to-end: 1 + n_years manifest generations, partial-bucket
-    rewrites, manifest-pointed reads."""
-    import tempfile
+    rewrites, manifest-pointed reads.
 
+    ``since_year`` caps the change-log (orders before it are dropped on
+    BOTH sides, face and oracle): each year is one sequential Spark job +
+    manifest IO, so the face's wall cost is linear in years — 4 years
+    exercises the multi-generation machinery at half the wall of the full
+    1992-1998 log (VERDICT-r7 #6)."""
     from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
 
-    snap = tempfile.mkdtemp(prefix="bw_cdc_snap_")
+    snap = scratch_dir("bw_cdc_snap_")
     base = customer.select(
         F.col("c_custkey").alias("cust_id"),
         F.col("c_acctbal").alias("bal"),
@@ -235,6 +278,8 @@ def cdc_apply_batch_face(
         .alias("op"),
         (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
         F.year("o_orderdate").alias("_y"),
+    ).filter(
+        F.col("_y") >= since_year
     )
     years = sorted(r._y for r in log.select("_y").distinct().collect())
     for y in years:
@@ -247,7 +292,9 @@ def cdc_apply_batch_face(
 
 
 #: DuckDB oracle for cdc_apply_batch_face: sequential per-year apply with
-#: ts-ordered batch boundaries == ONE global last-writer-wins merge.
+#: ts-ordered batch boundaries == ONE global last-writer-wins merge. The
+#: year filter mirrors the face's since_year=1998 change-log cap
+#: (testdata orders span 1995-2001; the cap keeps the LAST 4 years).
 CDC_APPLY_BATCH_SQL = """
 WITH log AS (
     SELECT o_custkey AS cust_id,
@@ -255,6 +302,7 @@ WITH log AS (
            CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
            year(o_orderdate) * 1000000000 + o_orderkey AS ts
     FROM orders
+    WHERE year(o_orderdate) >= 1998
 ), lww AS (
     SELECT cust_id, op, bal FROM (
         SELECT cust_id, op, bal,

@@ -86,3 +86,15 @@ def test_mixed_objective_monotone_and_labels_respected(spark):
     assert len(t) == 4
     assert all(b >= a - 1e-8 for a, b in zip(t, t[1:])), t
     res.model.validate()
+
+
+def test_out_of_range_labels_fail_fast(spark):
+    """ADVICE-r7: a -1 'unknown' sentinel must raise a descriptive error,
+    not silently wrap to the last state via numpy negative indexing."""
+    import pytest
+
+    seqs = _seqs(spark).withColumn(
+        "states", F.transform("obs", lambda _: F.lit(-1))
+    )
+    with pytest.raises(Exception, match="labeled state out of range"):
+        fit_semisupervised(spark, seqs, HMM.random(N, M, seed=7), max_iter=1)
