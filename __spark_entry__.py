@@ -923,6 +923,16 @@ def _q_knn_ivfpq_query(spark, sf):
     return ivfpq_serve_face(spark, *_tables(spark, sf, "embeddings"))
 
 
+def _q_ivfpq_append(spark, sf):
+    # rows-only by nature (k-means + residual-PQ training); the full
+    # serving lifecycle under the driver: build on even vec_ids, append
+    # the odd half with frozen codebooks, search the grown index. pytest
+    # pins untouched-code-file byte-identity and appended-vector recall
+    from baum_welch_spark.operators.pq import ivfpq_append_face
+
+    return ivfpq_append_face(spark, *_tables(spark, sf, "embeddings"))
+
+
 def _q_hmm_online(spark, sf):
     # rows-only by nature (stepwise-EM training loop); pytest pins the
     # >=60%-of-batch-EM loglik-gain bar (tests/test_online.py)
@@ -949,122 +959,50 @@ def _q_hmm_fit_bakis(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries only (CORRECTNESS_r02/r03 are exactly the first 50 in dict
-    # order). The first 50 here are curated: core HMM parity faces, ops not
-    # yet driver-verified, ops whose implementation changed this round, then
-    # one representative per operator family. Entries past 50 are all green
-    # in a prior round's CORRECTNESS file and unchanged since; rotate them
-    # back in whenever their code changes.
+    # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
+    # any face whose code changes, and any NEW face, must be inside the
+    # window the round it ships. r8 curation (VERDICT-r7 #4): the window is
+    # the 10 faces changed/added this round plus the 40 faces whose last
+    # driver evidence was oldest (r3/r4 vintage); the 30 r7-exact and 19
+    # r7-rows-only-green faces dropped below, unchanged since their check.
     return {
-        # HMM dataflow faces (SURVEY §2.1-2.4) — core parity, always first
-        "seq_build": _q_seq_build,
-        "stripe_agg": _q_transition_counts,
-        "normalize": _q_transition_model,
-        "convergence_distance": _q_model_half_distance,
-        "seq_decode_names": _q_seq_decode_names,
-        "hmm_fit": _q_hmm_fit,
-        "viterbi_decode": _q_viterbi_decode,
-        "seq_scores": _q_seq_scores,
-        # new this round (r5): posterior decode (DuckDB-exact), generation
-        # (rows-only by nature), and the three entries never driver-verified
-        # before r5 (rows-only training loops)
-        "posterior_decode": _q_posterior_decode,
-        # NEW r6 third wave: hard-EM (segmental k-means) re-estimation step
-        "viterbi_reestimate": _q_viterbi_reestimate,
-        "hmm_generate": _q_hmm_generate,
-        "quality_classifier": _q_quality_classifier,
-        "bpe_merges": _q_bpe_merges,
-        "hmm_fit_grouped": _q_hmm_fit_grouped,
-        # NEW r6 third wave: per-group serving decode (cogrouped models)
-        "grouped_decode": _q_grouped_decode,
-        # NEW r6 third wave: BIC/AIC order-selection sweep (rows-only)
-        "hmm_select": _q_hmm_select,
-        # winnow/copy_pairs stay in-window r7: text.py docstring change
-        # shifts their face hash (r6 green, re-evidenced this round)
+        # --- changed or new this round (must be in-window) ---
+        "viterbi_topk": _q_viterbi_topk,
+        "posterior_entropy": _q_posterior_entropy,
+        "hmm_fit_semisup": _q_hmm_fit_semisup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
-        # NEW r7 third wave: span-level copy localization (positional
-        # winnowing + gaps-and-islands merge), DuckDB-exact
         "copy_spans": _q_copy_spans,
-        # NEW r7 third wave: span-level benchmark decontamination
-        # (broadcast eval fingerprints; state_occupancy rotated out)
         "decontaminate_spans": _q_decontaminate_spans,
-        # NEW r7: batch twin of streaming CDC apply — DuckDB-exact proof
-        # that sequential bucketed merge_batch == global last-writer-wins
         "cdc_apply_batch": _q_cdc_apply_batch,
-        # NEW r7: the serving paths promoted to driver faces (VERDICT-r6 #4)
         "knn_ivfpq_query": _q_knn_ivfpq_query,
-        "hmm_online": _q_hmm_online,
-        # NEW r7: Bakis/left-to-right structured topology fit (Rabiner SIV.b)
-        "hmm_fit_bakis": _q_hmm_fit_bakis,
-        # NEW r7 second wave: FFBS posterior path sampling + the
-        # multi-restart trainer promoted to a face
-        "posterior_sample": _q_posterior_sample,
-        "hmm_fit_restarts": _q_hmm_fit_restarts,
-        # NEW r7 third wave: exact posterior path entropy (Hernando 2005)
-        "posterior_entropy": _q_posterior_entropy,
-        # NEW r7 third wave: semi-supervised EM (labeled paths = hard
-        # counts, unlabeled = E-step; merge_upsert rotated out, r6 green)
-        "hmm_fit_semisup": _q_hmm_fit_semisup,
-        # NEW r7 third wave: k-best list-Viterbi decoding (scd2_history
-        # rotated out, r6 green)
-        "viterbi_topk": _q_viterbi_topk,
-        # rotated IN r7 (VERDICT-r6 #2): the r6 signed-zero change to
-        # quantize.py shipped without driver evidence for these two
-        "knn_quantized": _q_knn_quantized,
-        "emb_quantize": _q_emb_quantize,
-        # all ten TPC-H/relational slots from the r6 window (q7/q8/q13/q15/
-        # q17/q18/q19/q22 + time_bucket_interpolate/lineitem_stats) rotated
-        # out this round (r6 green, unchanged) for the ten entries above
-        "knn_pq": _q_knn_pq,
-        "knn_ivfpq": _q_knn_ivfpq,  # NEW r6: IVFADC composition
-        # changed r5 (two-pass centered covariance; PCA consumes it)
-        "emb_covariance": _q_emb_covariance,
-        "emb_pca": _q_emb_pca,
-        # NEW r6 third wave: per-dimension z-score standardization summary
-        "emb_standardize": _q_emb_standardize,
-        # similarity suite — knn_brute/knn_ivf changed this round (signed-zero
-        # normalization on the cosine round), so they stay in the window
-        "knn_brute": _q_knn_brute,
-        "knn_ivf": _q_knn_ivf,
-        "clean_corpus": _q_clean_corpus,
-        # the six r5 faces that had never been driver-verified (VERDICT-r5
-        # #3), rotated IN this round; linreg_price / funnel_conversion /
-        # trending_topk / pagerank_docs also changed this round (signed-zero
-        # normalization, parameterized oracle SQL, pair_generator)
-        "linreg_price": _q_linreg_price,
-        "linreg_multi": _q_linreg_multi,  # NEW r6: multivariate OLS
-        "funnel_conversion": _q_funnel_conversion,
-        "trending_topk": _q_trending_topk,
-        "canonical_docs": _q_canonical_docs,
-        "pagerank_docs": _q_pagerank_docs,
-        "compression_ratio": _q_compression_ratio,
-        # NEW r6 third wave: asymmetric shingle-containment near-dup, plus
-        # neardup_jaccard rotated back in (its pair-overlap core was
-        # factored out to be shared with containment this round)
-        "neardup_containment": _q_neardup_containment,
-        "neardup_jaccard": _q_neardup_jaccard,
-        # dedup_clusters composes the refactored jaccard pair core -> re-check
-        "dedup_clusters": _q_dedup_clusters,
-        # NEW r6 third wave: blocked Levenshtein near-dup
-        "neardup_edit": _q_neardup_edit,
-        # ---- driver's 50-entry window ends here (neardup_edit is #50);
-        # everything below was driver-verified green in a prior round
-        # (CORRECTNESS_r01-r05, see each group comment) or is rows-only by
-        # nature, and is code-unchanged since its last green check. RULE
-        # (VERDICT-r5): any face whose code changes, and any NEW face, must
-        # be rotated into the first 50 the same round it lands.
-        # rotated OUT this round for viterbi_reestimate / neardup_containment
-        # / the neardup_jaccard re-check (all three driver-green r5,
-        # unchanged):
-        "sessionize": _q_sessionize,
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        "user_spend_deciles": _q_user_spend_deciles,
-        "salted_join_segment_stats": _q_salted_join_segment_stats,
-        "ppl_filter": _q_ppl_filter,
-        "q10_returned_revenue": _q_q10,
-        "q14_promo_share": _q_q14,
+        "ivfpq_append": _q_ivfpq_append,
+        # --- rotated IN: last driver-verified r3 (oldest evidence) ---
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint_clusters": _q_fingerprint_clusters,
+        "minhash_lsh": _q_minhash,
+        "simhash": _q_simhash,
+        "pack_sequences": _q_pack_sequences,
+        "events_rollup": _q_events_rollup,
+        "viewers_no_purchase": _q_viewers_no_purchase,
+        "value_quantiles": _q_value_quantiles,
+        "q4_late_orders": _q_q4,
+        "daily_revenue_ma7": _q_daily_revenue_ma7,
+        "user_type_stats": _q_user_type_stats,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "customers_without_orders": _q_customers_without_orders,
+        "repeat_buyer_days": _q_repeat_buyer_days,
+        "value_approx_quantiles": _q_value_approx_quantiles,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "stratified_sample": _q_stratified_sample,
+        "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "chunk_documents": _q_chunk_documents,
+        # --- rotated IN: last driver-verified r4 ---
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -1073,14 +1011,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
-        # rotated OUT this round (green in a prior round, unchanged):
-        # q1_pricing_summary, vocab_topk, tfidf_top_terms, weighted_sample,
-        # time_bucket_gapfill, bigram_lm_score, decontaminate, pii_redact,
-        # line_dedup, mixture_sample, emb_norms, cosine_neardup,
-        # cosine_neardup_lsh
+        "cap_per_source": _q_cap_per_source,
+        "bm25_topk": _q_bm25_topk,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "zorder_events": _q_zorder_events,
+        "semantic_dedup": _q_semantic_dedup,
+        "vocab_topk_cms": _q_vocab_topk_cms,
+        "corpus_report": _q_corpus_report,
+        "ohlc_bars": _q_ohlc_bars,
+        # ---- driver's 50-entry window ends here (ohlc_bars is #50);
+        # everything below was driver-verified green in r5-r7 (see
+        # CORRECTNESS_r05-r07) and is code-unchanged since (enforced by the
+        # face-hash manifest). Still for r9 rotation: trigram_lm_score,
+        # cohort_retention, rolling_user_spend (r4 vintage).
+        "seq_build": _q_seq_build,
+        "stripe_agg": _q_transition_counts,
+        "normalize": _q_transition_model,
+        "convergence_distance": _q_model_half_distance,
+        "seq_decode_names": _q_seq_decode_names,
+        "hmm_fit": _q_hmm_fit,
+        "viterbi_decode": _q_viterbi_decode,
+        "seq_scores": _q_seq_scores,
+        "posterior_decode": _q_posterior_decode,
+        "viterbi_reestimate": _q_viterbi_reestimate,
+        "hmm_generate": _q_hmm_generate,
+        "quality_classifier": _q_quality_classifier,
+        "bpe_merges": _q_bpe_merges,
+        "hmm_fit_grouped": _q_hmm_fit_grouped,
+        "grouped_decode": _q_grouped_decode,
+        "hmm_select": _q_hmm_select,
+        "hmm_online": _q_hmm_online,
+        "hmm_fit_bakis": _q_hmm_fit_bakis,
+        "posterior_sample": _q_posterior_sample,
+        "hmm_fit_restarts": _q_hmm_fit_restarts,
+        "knn_quantized": _q_knn_quantized,
+        "emb_quantize": _q_emb_quantize,
+        "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "emb_covariance": _q_emb_covariance,
+        "emb_pca": _q_emb_pca,
+        "emb_standardize": _q_emb_standardize,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "clean_corpus": _q_clean_corpus,
+        "linreg_price": _q_linreg_price,
+        "linreg_multi": _q_linreg_multi,
+        "funnel_conversion": _q_funnel_conversion,
+        "trending_topk": _q_trending_topk,
+        "canonical_docs": _q_canonical_docs,
+        "pagerank_docs": _q_pagerank_docs,
+        "compression_ratio": _q_compression_ratio,
+        "neardup_containment": _q_neardup_containment,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "neardup_edit": _q_neardup_edit,
+        "sessionize": _q_sessionize,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "user_spend_deciles": _q_user_spend_deciles,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
+        "ppl_filter": _q_ppl_filter,
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
         "dup_ngrams": _q_dup_ngrams,
-        # rotated OUT r7 (r6 green, unchanged) for the new/rotated-in
-        # entries above:
         "q7_volume_shipping": _q_q7,
         "q8_market_share": _q_q8,
         "q18_large_volume_customers": _q_q18,
@@ -1109,46 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "bigram_lm_score": _q_bigram_lm_score,
-        "cap_per_source": _q_cap_per_source,
-        "dedup_exact": _q_dedup_exact,
-        "fingerprint_clusters": _q_fingerprint_clusters,
-        "minhash_lsh": _q_minhash,
-        "simhash": _q_simhash,
-        # (dedup_clusters lives ONLY in the in-window block above — a
-        # duplicate key here was deleted in r7; tests/test_lint.py now
-        # asserts the literal has no duplicate keys)
-        "pack_sequences": _q_pack_sequences,
-        "events_rollup": _q_events_rollup,
-        "viewers_no_purchase": _q_viewers_no_purchase,
-        "value_quantiles": _q_value_quantiles,
-        "q4_late_orders": _q_q4,
-        # rotated OUT of the window this round (driver-verified green in r4,
-        # unchanged since)
-        "bm25_topk": _q_bm25_topk,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "zorder_events": _q_zorder_events,
-        "semantic_dedup": _q_semantic_dedup,
-        "vocab_topk_cms": _q_vocab_topk_cms,
-        "corpus_report": _q_corpus_report,
-        "ohlc_bars": _q_ohlc_bars,
         "trigram_lm_score": _q_trigram_lm_score,
         "cohort_retention": _q_cohort_retention,
         "rolling_user_spend": _q_rolling_user_spend,
-        "daily_revenue_ma7": _q_daily_revenue_ma7,
-        "user_type_stats": _q_user_type_stats,
-        "approx_distinct_users": _q_approx_distinct_users,
-        "customers_without_orders": _q_customers_without_orders,
-        "repeat_buyer_days": _q_repeat_buyer_days,
-        "value_approx_quantiles": _q_value_approx_quantiles,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "stratified_sample": _q_stratified_sample,
-        "token_stats": _q_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "doc_quality": _q_doc_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,
-        "chunk_documents": _q_chunk_documents,
     }
 
 

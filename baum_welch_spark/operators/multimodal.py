@@ -2,12 +2,14 @@
 opaque ``binary`` payloads with a typed metadata struct, processed by
 Arrow-batched mapInPandas operators.
 
-Real decode is implemented IN-CONTAINER for the uncompressed formats whose
-codecs need nothing beyond the stdlib + NumPy: WAV (stdlib ``wave``) and
-binary PPM (P6). ``decode_stub=False`` decodes those for real (bytes ->
-samples/pixels -> band features); compressed formats (mp4, png, mp3...)
-still raise NotImplementedError at the point a real codec library would
-run — a clearly-marked stub, since the container has no ffmpeg/PIL.
+Real decode is implemented IN-CONTAINER for the formats whose codecs need
+nothing beyond the stdlib + NumPy: WAV (stdlib ``wave``), binary PPM (P6),
+and 8-bit PNG (stdlib ``zlib`` inflate + hand-rolled scanline unfilters —
+the dominant real image format in web corpora, r8). ``decode_stub=False``
+decodes those for real (bytes -> samples/pixels -> band features); formats
+that genuinely need a codec library (mp4, jpeg, mp3...) still raise
+NotImplementedError at the point it would run — a clearly-marked stub,
+since the container has no ffmpeg/PIL.
 ``decode_stub=True`` (default) derives deterministic fake features from the
 payload digest for any modality.
 
@@ -127,9 +129,10 @@ def _wav_features(payload: bytes, dim: int) -> np.ndarray:
     return np.sqrt((x.reshape(dim, -1) ** 2).mean(axis=1)).astype(np.float32)
 
 
-def _ppm_features(payload: bytes, dim: int) -> np.ndarray:
-    """Mean luminance over dim horizontal bands (in [0, 1])."""
-    gray = decode_ppm(payload).astype(np.float32).mean(axis=2) / 255.0
+def _image_features(payload: bytes, dim: int) -> np.ndarray:
+    """Mean luminance over dim horizontal bands (in [0, 1]); decodes PPM
+    or PNG by signature (decode_image)."""
+    gray = decode_image(payload).astype(np.float32).mean(axis=2) / 255.0
     cuts = np.linspace(0, gray.shape[0], dim + 1).astype(int)
     return np.array(
         [gray[cuts[i] : max(cuts[i + 1], cuts[i] + 1)].mean() for i in range(dim)],
@@ -180,12 +183,12 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
     if mime == "audio/wav":
         return _wav_features(payload, dim)
-    if mime in ("image/x-portable-pixmap", "image/ppm"):
-        return _ppm_features(payload, dim)
+    if mime in ("image/x-portable-pixmap", "image/ppm", "image/png"):
+        return _image_features(payload, dim)
     raise NotImplementedError(
         f"real media decode for {mime!r} requires PIL/librosa/ffmpeg (not in "
-        "container); in-container codecs cover audio/wav and binary PPM — "
-        "filter to those or run with decode_stub=True"
+        "container); in-container codecs cover audio/wav, binary PPM, and "
+        "8-bit PNG — filter to those or run with decode_stub=True"
     )
 
 
@@ -319,12 +322,15 @@ def resize_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFram
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                px = decode_ppm(bytes(payload))
+                raw = bytes(payload)
+                is_png = raw[:8] == _PNG_SIG
+                px = decode_image(raw)
                 out = resize_ppm(px, out_h, out_w)
                 ids.append(aid)
                 hs.append(out.shape[0])
                 ws.append(out.shape[1])
-                outs.append(encode_ppm(out))
+                # re-encode in the input's own format (PNG in -> PNG out)
+                outs.append(encode_png(out) if is_png else encode_ppm(out))
             yield pd.DataFrame(
                 {"asset_id": ids, "width": ws, "height": hs, "payload": outs}
             )
@@ -332,3 +338,128 @@ def resize_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFram
     return assets.filter(F.col("modality") == "image").select(
         "asset_id", "payload"
     ).mapInPandas(resize, schema="asset_id bigint, width int, height int, payload binary")
+
+
+# --- PNG codec (stdlib zlib + NumPy; VERDICT-r7 #7) ------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 per
+    scanline, one zlib IDAT). A real compressed-image path needing nothing
+    beyond the stdlib — PNG's container is chunks + CRC32 and its codec IS
+    zlib; only the per-scanline filters need hand-rolling."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(pixels[y], dtype=np.uint8).tobytes()
+        for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit depth, color types
+    0 (gray, broadcast to RGB), 2 (RGB), 6 (RGBA, alpha dropped), all five
+    scanline filters, non-interlaced only — the overwhelmingly dominant
+    PNG shape in web corpora. Anything else raises NotImplementedError at
+    the honest codec boundary (16-bit, palette, Adam7)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if ctype not in (0, 2, 6):
+                raise NotImplementedError(f"PNG color type {ctype} not supported")
+            if interlace:
+                raise NotImplementedError("Adam7 interlaced PNG not supported")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG IDAT size {len(raw)} != {h} x ({stride} + 1)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left dependency -> sequential in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:  # Sub
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif f == 4:  # Paeth
+                    cur[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Signature-dispatched image decode: PNG or binary PPM -> (h, w, 3)
+    uint8 RGB. The single entry point the image operators use, so adding a
+    codec extends every image face at once."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return decode_ppm(payload)

@@ -102,42 +102,25 @@ def test_driver_window_stays_oracle_dense():
     assert len(qs) == len(set(qs))
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     rows_only_in_window = [q for q in qs[:50] if q not in osql]
-    # r5 curation: the three training-loop entries never driver-verified
-    # before (VERDICT r4 "What's missing" #3) plus sampling-based generation
-    # are rows-only by nature and deliberately rotated INTO the window
-    # r6 additions: pagerank_docs/compression_ratio (the two rows-only
-    # faces among the six never-driver-verified entries rotated in per
-    # VERDICT-r5 #3) and knn_ivfpq (training loops, like knn_pq)
+    # r8 window (VERDICT-r7 #4 rotation): rows-only entries are either
+    # training/index-build loops (not SQL-expressible; each pinned by its
+    # own pytest oracle), sketch-based approximations (HLL / KLL have no
+    # DuckDB twin with identical estimator internals), or k-best decoding
+    # (posterior_entropy graduated to a DuckDB-exact recursive-CTE oracle
+    # in r8 and is no longer on this list)
     assert set(rows_only_in_window) <= {
-        "hmm_fit",
-        "emb_pca",
-        "hmm_generate",
-        "quality_classifier",
-        "bpe_merges",
-        "hmm_fit_grouped",
-        "knn_pq",
-        "knn_ivfpq",
-        "pagerank_docs",
-        "compression_ratio",
-        # r6 third wave: per-group serving decode (models from the Python
-        # EM loop are not SQL-expressible; pytest pins decoder parity) and
-        # the BIC/AIC order-selection sweep (per-candidate EM loops)
-        "grouped_decode",
-        "hmm_select",
-        # r7: the serving/streaming paths promoted to driver faces
-        # (VERDICT-r6 #4) and the Bakis-topology EM loop — all training
-        # or index-build loops, rows-only by nature
-        "knn_ivfpq_query",
-        "hmm_online",
-        "hmm_fit_bakis",
-        # r7 second wave: FFBS draws (sampling) and the multi-restart
-        # trainer (n_restarts EM loops)
-        "posterior_sample",
-        "hmm_fit_restarts",
-        # r7 third wave: the semi-supervised EM loop (posterior_entropy
-        # graduated to a DuckDB-exact recursive-CTE oracle in r8)
-        "hmm_fit_semisup",
+        # k-best list-Viterbi: path sets, pinned vs N^T enumeration pytest
         "viterbi_topk",
+        # EM loops: semi-supervised (degenerate-ends pytest)
+        "hmm_fit_semisup",
+        # serving paths: persisted IVF-PQ index build/append + search
+        "knn_ivfpq_query",
+        "ivfpq_append",
+        # sketches: HLL approx_count_distinct / KLL approx quantiles
+        "approx_distinct_users",
+        "value_approx_quantiles",
+        # k-means-seeded IVF (Lloyd training loop)
+        "knn_ivf_kmeans",
     }, rows_only_in_window
 
 

@@ -822,3 +822,101 @@ def test_copy_pairs_single_shuffle_before_agg(spark, documents):
     # on few-file scans like this fixture) = 4 max
     assert int(rep["shuffles"]) <= 4, rep
     assert rep["python_stages"] == 0, rep
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """encode_png -> decode_png is exact; decode handles every scanline
+    filter (a hand-filtered IDAT exercises Sub/Up/Average/Paeth), gray and
+    RGBA color types, and rejects unsupported shapes at the honest codec
+    boundary."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_png(multimodal.encode_png(px)), px)
+
+    # hand-build a PNG whose scanlines use filters 1..4 (encoder only emits 0)
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    h, w, ch = 5, 4, 3
+    img = rng.integers(0, 256, (h, w * ch), dtype=np.uint8).astype(np.int64)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, f in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = img[y]
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: multimodal._paeth(a, b, c)}[f]
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    payload = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        multimodal.decode_png(payload), img.astype(np.uint8).reshape(h, w, ch)
+    )
+
+    # gray (type 0) broadcasts, RGBA (type 6) drops alpha
+    gray = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    g_payload = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(b"\x00" + gray[y].tobytes() for y in range(4))))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(g_payload), np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    a_payload = (
+        multimodal._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(a_payload), rgba[:, :, :3])
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_png(
+            multimodal._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        )
+
+
+def test_png_planted_duplicate_neardup(spark):
+    """VERDICT-r7 #7: the REAL PNG path end-to-end — encode planted
+    near-duplicate images as PNG, decode through extract_features
+    (decode_stub=False), and the near-dup pair (tiny pixel perturbation)
+    surfaces while a structurally different image does not."""
+    rng = np.random.default_rng(11)
+    # VERTICAL gradient: band-luminance features ramp 0 -> 255 down the rows
+    base = (np.linspace(0, 255, 16)[:, None, None] * np.ones((1, 16, 3))).astype(np.uint8)
+    variant = np.clip(base.astype(np.int64) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+    other = base[::-1].copy()  # inverted ramp: opposite band profile
+    rows = [
+        (i, "image", multimodal.encode_png(p),
+         {"mime": "image/png", "width": 16, "height": 16, "duration_ms": None})
+        for i, p in enumerate([base, variant, other])
+    ]
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in multimodal.neardup_assets_by_feature(
+            assets, threshold=0.999, decode_stub=False
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+    # resize keeps PNG payloads PNG
+    resized = multimodal.resize_images(assets, out_h=4, out_w=4).collect()
+    assert len(resized) == 3
+    for r in resized:
+        assert bytes(r.payload)[:8] == multimodal._PNG_SIG
+        assert multimodal.decode_png(bytes(r.payload)).shape == (4, 4, 3)

@@ -254,3 +254,17 @@ def test_ivfpq_append_serves_new_vectors_without_touching_old_files(spark, embed
     for r in res:
         by_q.setdefault(r.q_id, []).append(r.c_id)
     assert by_q and all(qid in cs for qid, cs in by_q.items())
+
+
+def test_ivfpq_append_face_lifecycle(spark, embeddings):
+    """The r8 driver face: build on evens, append odds, search — every
+    query vector (which is in the corpus) must retrieve itself at rank 1
+    (cos ~ 1 self-match survives ADC + exact re-rank)."""
+    from baum_welch_spark.operators.pq import ivfpq_append_face
+
+    res = ivfpq_append_face(spark, embeddings, k=3, n_probe=4).collect()
+    top = {}
+    for r in res:
+        if r.q_id not in top or r.cos > top[r.q_id][1]:
+            top[r.q_id] = (r.c_id, r.cos)
+    assert top and all(cid == qid for qid, (cid, _) in top.items()), top
