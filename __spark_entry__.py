@@ -923,6 +923,54 @@ def _q_knn_ivfpq_query(spark, sf):
     return ivfpq_serve_face(spark, *_tables(spark, sf, "embeddings"))
 
 
+def _q_ghmm_viterbi(spark, sf):
+    # DuckDB-exact: the Gaussian-emission Viterbi DP as a recursive CTE
+    # with the log-density computed inline from literals (hmm/gaussian.py)
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        viterbi_gauss_face,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    return viterbi_gauss_face(
+        spark, build_value_sequences(events), GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    )
+
+
+def _q_ghmm_score(spark, sf):
+    # DuckDB-exact: scaled forward recursion with exp(log-density) inline
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        score_gauss_face,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    return score_gauss_face(
+        spark, build_value_sequences(events), GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    )
+
+
+def _q_ghmm_fit(spark, sf):
+    # rows-only by nature (EM loop); pytest pins distributed == sequential
+    # NumPy oracle at 1e-8 and monotone loglik (tests/test_gaussian.py)
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        fit_gaussian,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    res = fit_gaussian(
+        spark,
+        build_value_sequences(events),
+        GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0),
+        max_iter=3,
+    )
+    return res.model.to_df(spark)
+
+
 def _q_ivfpq_append(spark, sf):
     # rows-only by nature (k-means + residual-PQ training); the full
     # serving lifecycle under the driver: build on even vec_ids, append
@@ -977,6 +1025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_batch": _q_cdc_apply_batch,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "ivfpq_append": _q_ivfpq_append,
+        # NEW r8 second wave: the Gaussian-emission model family — decode
+        # and score DuckDB-exact (inline log-density literals), fit pinned
+        # vs the sequential NumPy oracle
+        "ghmm_viterbi": _q_ghmm_viterbi,
+        "ghmm_score": _q_ghmm_score,
+        "ghmm_fit": _q_ghmm_fit,
         # --- rotated IN: last driver-verified r3 (oldest evidence) ---
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -1016,14 +1070,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
         "semantic_dedup": _q_semantic_dedup,
+        # ---- driver's 50-entry window ends here (semantic_dedup is #50);
+        # vocab_topk_cms / corpus_report / ohlc_bars were displaced below
+        # by the three ghmm faces (r4-green, unchanged; r9 rotation list)
         "vocab_topk_cms": _q_vocab_topk_cms,
         "corpus_report": _q_corpus_report,
         "ohlc_bars": _q_ohlc_bars,
-        # ---- driver's 50-entry window ends here (ohlc_bars is #50);
-        # everything below was driver-verified green in r5-r7 (see
-        # CORRECTNESS_r05-r07) and is code-unchanged since (enforced by the
+        # everything below was driver-verified green in r4-r7 (see
+        # CORRECTNESS_r04-r07) and is code-unchanged since (enforced by the
         # face-hash manifest). Still for r9 rotation: trigram_lm_score,
-        # cohort_retention, rolling_user_spend (r4 vintage).
+        # cohort_retention, rolling_user_spend, vocab_topk_cms,
+        # corpus_report, ohlc_bars (r4 vintage).
         "seq_build": _q_seq_build,
         "stripe_agg": _q_transition_counts,
         "normalize": _q_transition_model,
@@ -1242,6 +1299,10 @@ def oracle_sql() -> dict[str, str]:
         # posterior path entropy: the Hernando H_t(j) recursion as a second
         # recursive CTE over the score oracle's alpha (DuckDB-exact since r8)
         "posterior_entropy": _entropy_oracle(),
+        # Gaussian family (r8): the same recursive-CTE DPs with the
+        # log-density computed inline from embedded literals
+        "ghmm_viterbi": _ghmm_viterbi_oracle(),
+        "ghmm_score": _ghmm_score_oracle(),
         "dup_ngrams": _dup_ngrams_sql(),
         "emb_quantize": _quantize_sql()[0],
         "knn_quantized": _quantize_sql()[1],
@@ -1326,6 +1387,18 @@ def _entropy_oracle() -> str:
     from baum_welch_spark.hmm.sample import entropy_oracle_sql
 
     return entropy_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _ghmm_viterbi_oracle() -> str:
+    from baum_welch_spark.hmm.gaussian import GaussianHMM, gauss_viterbi_oracle_sql
+
+    return gauss_viterbi_oracle_sql(GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0))
+
+
+def _ghmm_score_oracle() -> str:
+    from baum_welch_spark.hmm.gaussian import GaussianHMM, gauss_score_oracle_sql
+
+    return gauss_score_oracle_sql(GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0))
 
 
 def _dup_ngrams_sql() -> str:

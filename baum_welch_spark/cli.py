@@ -42,6 +42,8 @@ def cmd_train(args) -> int:
     from baum_welch_spark.hmm.fit import fit, fit_restarts
 
     spark, _own = _session("baum-welch-train")
+    if getattr(args, "emissions", "discrete") == "gaussian":
+        return _train_gaussian(spark, args, _own)
     seqs = _build_sequences(spark, args.input)
     finals = None
     mask = None
@@ -115,6 +117,48 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _train_gaussian(spark, args, _own) -> int:
+    """Gaussian-emission EM over events.value (hmm/gaussian.py); the
+    emission range is taken from the data (one min/max aggregate, the
+    model-sized side-read convention)."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        fit_gaussian,
+    )
+    from baum_welch_spark.sources.io import load_table
+
+    if args.restarts > 1 or getattr(args, "topology", "full") != "full":
+        print("--restarts/--topology are discrete-only; ignored with "
+              "--emissions gaussian", file=sys.stderr)
+    events = load_table(spark, args.input, "events")
+    seqs = build_value_sequences(events)
+    if args.model_in:
+        init = GaussianHMM.read(spark, args.model_in)
+    else:
+        lo, hi = events.agg(F.min("value"), F.max("value")).first()
+        init = GaussianHMM.random(
+            args.num_hidden, seed=args.seed, lo=float(lo), hi=float(hi)
+        )
+    result = fit_gaussian(
+        spark, seqs, init,
+        max_iter=args.max_iterations, tol=args.convergence_delta,
+    )
+    result.model.write(spark, f"{args.output}/model-final")
+    print(json.dumps({
+        "iterations": result.iterations,
+        "converged": result.converged,
+        "loglik_trace": result.loglik_trace,
+        "model_dir": f"{args.output}/model-final",
+        "emissions": "gaussian",
+    }))
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_decode(args) -> int:
     from baum_welch_spark.hmm.decode import (
         posterior_decode,
@@ -123,6 +167,27 @@ def cmd_decode(args) -> int:
     )
 
     spark, _own = _session("baum-welch-decode")
+    if getattr(args, "emissions", "discrete") == "gaussian":
+        from baum_welch_spark.hmm.gaussian import (
+            GaussianHMM,
+            build_value_sequences,
+            viterbi_gauss,
+        )
+        from baum_welch_spark.sources.io import load_table
+
+        if getattr(args, "top_k", 1) > 1 or getattr(args, "posterior", False):
+            print("--top-k/--posterior are discrete-only; using Viterbi",
+                  file=sys.stderr)
+        gm = GaussianHMM.read(spark, args.model)
+        gseqs = build_value_sequences(load_table(spark, args.input, "events"))
+        out = viterbi_gauss(spark, gseqs, gm)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        else:
+            out.show(20, truncate=80)
+        if _own:
+            spark.stop()
+        return 0
     model = HMM.read(spark, args.model)
     seqs = _build_sequences(spark, args.input)
     if getattr(args, "top_k", 1) > 1:
@@ -182,6 +247,24 @@ def cmd_score(args) -> int:
     from baum_welch_spark.hmm.decode import score_sequences
 
     spark, _own = _session("baum-welch-score")
+    if getattr(args, "emissions", "discrete") == "gaussian":
+        from baum_welch_spark.hmm.gaussian import (
+            GaussianHMM,
+            build_value_sequences,
+            score_gauss,
+        )
+        from baum_welch_spark.sources.io import load_table
+
+        gm = GaussianHMM.read(spark, args.model)
+        gseqs = build_value_sequences(load_table(spark, args.input, "events"))
+        out = score_gauss(spark, gseqs, gm)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        else:
+            out.show(20)
+        if _own:
+            spark.stop()
+        return 0
     model = HMM.read(spark, args.model)
     if getattr(args, "entropy", False):
         from baum_welch_spark.hmm.sample import posterior_entropy
@@ -470,6 +553,11 @@ def main(argv: list[str] | None = None) -> int:
         "--bandwidth", type=int, default=2,
         help="forward reach of each state under --topology bakis",
     )
+    t.add_argument(
+        "--emissions", choices=["discrete", "gaussian"], default="discrete",
+        help="gaussian = continuous-observation EM over events.value "
+        "(Rabiner SVI; per-state Normal emissions)",
+    )
     t.set_defaults(fn=cmd_train)
 
     sel = sub.add_parser("select", help="BIC/AIC sweep over candidate hidden-state counts")
@@ -488,6 +576,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--top-k", type=int, default=1,
                    help="k > 1: k-best list-Viterbi hypotheses per sequence")
     d.add_argument("-o", "--output")
+    d.add_argument("--emissions", choices=["discrete", "gaussian"], default="discrete")
     d.set_defaults(fn=cmd_decode)
 
     sp = sub.add_parser(
@@ -516,6 +605,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--entropy", action="store_true",
                    help="emit exact posterior path entropy H(S|O) instead of loglik")
     s.add_argument("-o", "--output")
+    s.add_argument("--emissions", choices=["discrete", "gaussian"], default="discrete")
     s.set_defaults(fn=cmd_score)
 
     dd = sub.add_parser("dedup", help="document dedup: exact groups or jaccard clusters")

@@ -236,3 +236,35 @@ def test_cli_topk_decode_and_entropy_score(spark, tmp_path, capsys):
     ent = spark.read.parquet(edir)
     assert set(ent.columns) == {"seq_id", "t_len", "loglik", "entropy", "entropy_rate"}
     assert all(r.entropy >= -1e-12 for r in ent.collect())
+
+
+def test_cli_gaussian_train_decode_score_chain(spark, tmp_path, capsys):
+    """--emissions gaussian: the continuous family through the same D1
+    surface — train on events.value, decode + score under the written
+    model, model codec roundtrip."""
+    out = str(tmp_path / "ghmm_out")
+    rc = main([
+        "train", "-i", SF0001, "-o", out, "--emissions", "gaussian",
+        "--num-hidden", "3", "--max-iterations", "3", "--seed", "7",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["emissions"] == "gaussian"
+    t = summary["loglik_trace"]
+    assert len(t) == 3 and all(b >= a - 1e-6 for a, b in zip(t, t[1:]))
+
+    from baum_welch_spark.hmm.gaussian import GaussianHMM
+
+    m = GaussianHMM.read(spark, summary["model_dir"])
+    m2 = GaussianHMM.read(spark, summary["model_dir"])
+    assert m.distance(m2) == 0.0  # codec roundtrip is exact
+
+    dec = str(tmp_path / "gdecoded")
+    assert main(["decode", "-i", SF0001, "--model", summary["model_dir"],
+                 "--emissions", "gaussian", "-o", dec]) == 0
+    decoded = spark.read.parquet(dec)
+    assert set(decoded.columns) == {"seq_id", "loglik", "path_str"}
+    sc = str(tmp_path / "gscored")
+    assert main(["score", "-i", SF0001, "--model", summary["model_dir"],
+                 "--emissions", "gaussian", "-o", sc]) == 0
+    assert spark.read.parquet(sc).count() == decoded.count()

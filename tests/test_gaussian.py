@@ -1,0 +1,154 @@
+"""Gaussian-emission HMM (hmm/gaussian.py): kernel vs brute-force path
+enumeration, distributed EM vs the sequential NumPy oracle, and the DuckDB
+face parity is covered by the driver board (ghmm_viterbi / ghmm_score)."""
+
+import numpy as np
+import pytest
+
+from baum_welch_spark.hmm.gaussian import (
+    GaussianHMM,
+    build_value_sequences,
+    e_step_moments,
+    fit_gaussian,
+    forward_backward_gauss,
+    log_emissions,
+    m_step_gauss,
+    score_gauss,
+    sequential_gauss_em,
+    viterbi_gauss,
+    _viterbi_gauss_one,
+)
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+N = 3
+
+
+def _model():
+    return GaussianHMM.random(N, seed=5, lo=0.0, hi=10.0)
+
+
+def _enum_joint(model, x):
+    """All N^T path joint log-densities by brute force."""
+    import itertools
+
+    logb = log_emissions(model, x)
+    with np.errstate(divide="ignore"):
+        lpi, lA = np.log(model.pi), np.log(model.A)
+    T = len(x)
+    out = {}
+    for path in itertools.product(range(N), repeat=T):
+        ll = lpi[path[0]] + logb[0, path[0]]
+        for t in range(1, T):
+            ll += lA[path[t - 1], path[t]] + logb[t, path[t]]
+        out[path] = ll
+    return out
+
+
+def test_forward_backward_matches_enumeration():
+    rng = np.random.default_rng(0)
+    model = _model()
+    x = rng.uniform(0, 10, size=6)
+    joint = _enum_joint(model, x)
+    total = np.logaddexp.reduce(list(joint.values()))
+    alpha, beta, scale, ll = forward_backward_gauss(model, x)
+    assert ll == pytest.approx(total, abs=1e-10)
+    # posterior marginals from enumeration == alpha*beta (gamma)
+    gamma = alpha * beta
+    for t in range(len(x)):
+        for q in range(N):
+            marg = np.logaddexp.reduce(
+                [v for p, v in joint.items() if p[t] == q]
+            )
+            assert gamma[t, q] == pytest.approx(np.exp(marg - total), abs=1e-10)
+
+
+def test_viterbi_matches_enumeration():
+    rng = np.random.default_rng(1)
+    model = _model()
+    for trial in range(5):
+        x = rng.uniform(0, 10, size=5)
+        joint = _enum_joint(model, x)
+        best = max(joint, key=joint.get)
+        path, ll = _viterbi_gauss_one(model, x)
+        assert tuple(path) == best
+        assert ll == pytest.approx(joint[best], abs=1e-10)
+
+
+def test_e_step_moments_identities():
+    """Σγ summed over states == T; Σγx summed over states == Σx (γ rows
+    are a distribution per t)."""
+    rng = np.random.default_rng(2)
+    model = _model()
+    x = rng.uniform(0, 10, size=40)
+    cpi, cA, cm = np.zeros(N), np.zeros((N, N)), np.zeros((N, 3))
+    e_step_moments(model, x, cpi, cA, cm)
+    assert cpi.sum() == pytest.approx(1.0, abs=1e-10)
+    assert cm[:, 0].sum() == pytest.approx(len(x), abs=1e-8)
+    assert cm[:, 1].sum() == pytest.approx(x.sum(), abs=1e-8)
+    assert cm[:, 2].sum() == pytest.approx((x * x).sum(), abs=1e-6)
+    assert cA.sum() == pytest.approx(len(x) - 1, abs=1e-8)
+
+
+def test_m_step_zero_mass_state_keeps_emission_params():
+    model = _model()
+    cpi = np.array([1.0, 0.0, 0.0])
+    cA = np.zeros((N, N))
+    cm = np.zeros((N, 3))
+    cm[0] = [10.0, 20.0, 50.0]  # only state 0 has mass
+    new = m_step_gauss(model, cpi, cA, cm)
+    assert new.mu[0] == pytest.approx(2.0)
+    np.testing.assert_allclose(new.mu[1:], model.mu[1:])
+    np.testing.assert_allclose(new.sigma2[1:], model.sigma2[1:], atol=1e-12)
+    # zero-mass A rows go uniform
+    np.testing.assert_allclose(new.A, np.full((N, N), 1.0 / N))
+
+
+def test_fit_gaussian_matches_sequential_oracle(spark):
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events)
+    init = GaussianHMM.random(3, seed=42, lo=0.0, hi=500.0)
+    dist = fit_gaussian(spark, seqs, init, max_iter=4)
+    seq_list = [
+        np.asarray(r.obs, dtype=np.float64)
+        for r in seqs.collect()
+        if r.obs
+    ]
+    ref_model, ref_trace = sequential_gauss_em(init, seq_list, max_iter=4)
+    np.testing.assert_allclose(dist.loglik_trace, ref_trace, rtol=1e-8)
+    np.testing.assert_allclose(dist.model.pi, ref_model.pi, atol=1e-8)
+    np.testing.assert_allclose(dist.model.A, ref_model.A, atol=1e-8)
+    np.testing.assert_allclose(dist.model.mu, ref_model.mu, rtol=1e-8)
+    np.testing.assert_allclose(dist.model.sigma2, ref_model.sigma2, rtol=1e-8)
+    # EM monotonicity
+    t = dist.loglik_trace
+    assert all(b >= a - 1e-6 for a, b in zip(t, t[1:])), t
+
+
+def test_value_sequences_total_order(spark):
+    events = load_table(spark, SF0001, "events")
+    seqs = {r.seq_id: list(r.obs) for r in build_value_sequences(events).collect()}
+    rows = events.select("user_id", "ts", "event_id", "value").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, items in by_user.items():
+        expect = [v for _, _, v in sorted(items)]
+        assert seqs[uid] == pytest.approx(expect)
+
+
+def test_decode_score_consistency(spark):
+    """Viterbi joint loglik <= marginal loglik per sequence, decode paths
+    are valid states, t_len matches."""
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events)
+    model = GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    dec = {r.seq_id: r for r in viterbi_gauss(spark, seqs, model).collect()}
+    sc = {r.seq_id: r for r in score_gauss(spark, seqs, model).collect()}
+    assert set(dec) == set(sc) and dec
+    for sid, d in dec.items():
+        states = [int(s) for s in d.path_str.split(",")]
+        assert all(0 <= s < 4 for s in states)
+        assert len(states) == sc[sid].t_len
+        assert d.loglik <= sc[sid].loglik + 1e-9

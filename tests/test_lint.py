@@ -39,6 +39,9 @@ ALLOWED = {
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
+    # Gaussian-emission EM: model-sized stripe collect (fit loop) + the
+    # model-codec read (tidy model rows)
+    "hmm/gaussian.py": {"collect": 2, "toPandas": 0},
     # semi-supervised EM: same model-sized count-stripe collect as fit.py
     "hmm/semisup.py": {"collect": 1, "toPandas": 0},
     # hard EM (segmental k-means): same model-sized count-stripe collect
@@ -111,8 +114,10 @@ def test_driver_window_stays_oracle_dense():
     assert set(rows_only_in_window) <= {
         # k-best list-Viterbi: path sets, pinned vs N^T enumeration pytest
         "viterbi_topk",
-        # EM loops: semi-supervised (degenerate-ends pytest)
+        # EM loops: semi-supervised (degenerate-ends pytest) and the
+        # Gaussian family fit (1e-8 sequential-NumPy-oracle pytest)
         "hmm_fit_semisup",
+        "ghmm_fit",
         # serving paths: persisted IVF-PQ index build/append + search
         "knn_ivfpq_query",
         "ivfpq_append",
