@@ -913,6 +913,15 @@ def _q_cdc_apply_batch(spark, sf):
     return cdc_apply_batch_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_ivm_segment_stats(spark, sf):
+    # DuckDB-exact: incremental materialized-view maintenance — the agg
+    # state folds touched-bucket-only deltas through the per-year CDC
+    # apply and must land exactly on the oracle's full recompute
+    from baum_welch_spark.streaming.upsert import ivm_segment_stats_face
+
+    return ivm_segment_stats_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
 def _q_knn_ivfpq_query(spark, sf):
     # rows-only by nature (k-means + residual-PQ training); unlike
     # knn_ivfpq this face PERSISTS the index (codes partitioned by cell)
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_spans": _q_copy_spans,
         "decontaminate_spans": _q_decontaminate_spans,
         "cdc_apply_batch": _q_cdc_apply_batch,
+        "ivm_segment_stats": _q_ivm_segment_stats,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "ivfpq_append": _q_ivfpq_append,
         # NEW r8 second wave: the Gaussian-emission model family — decode
@@ -1069,10 +1079,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
+        # ---- driver's 50-entry window ends here (zorder_events is #50);
+        # semantic_dedup / vocab_topk_cms / corpus_report / ohlc_bars were
+        # displaced below by the ghmm + IVM faces (r4-green, unchanged;
+        # r9 rotation list)
         "semantic_dedup": _q_semantic_dedup,
-        # ---- driver's 50-entry window ends here (semantic_dedup is #50);
-        # vocab_topk_cms / corpus_report / ohlc_bars were displaced below
-        # by the three ghmm faces (r4-green, unchanged; r9 rotation list)
         "vocab_topk_cms": _q_vocab_topk_cms,
         "corpus_report": _q_corpus_report,
         "ohlc_bars": _q_ohlc_bars,
@@ -1169,6 +1180,12 @@ def _cdc_apply_batch_sql() -> str:
     from baum_welch_spark.streaming.upsert import CDC_APPLY_BATCH_SQL
 
     return CDC_APPLY_BATCH_SQL
+
+
+def _ivm_segment_stats_sql() -> str:
+    from baum_welch_spark.streaming.upsert import IVM_SEGMENT_STATS_SQL
+
+    return IVM_SEGMENT_STATS_SQL
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1302,6 +1319,8 @@ def oracle_sql() -> dict[str, str]:
         # Gaussian family (r8): the same recursive-CTE DPs with the
         # log-density computed inline from embedded literals
         "ghmm_viterbi": _ghmm_viterbi_oracle(),
+        # IVM: incremental fold == full recompute over the LWW final state
+        "ivm_segment_stats": _ivm_segment_stats_sql(),
         "ghmm_score": _ghmm_score_oracle(),
         "dup_ngrams": _dup_ngrams_sql(),
         "emb_quantize": _quantize_sql()[0],

@@ -316,3 +316,192 @@ FROM customer b
 FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
 WHERE l.op IS NULL OR l.op = 'upsert'
 """
+
+
+# --- incremental view maintenance over the bucketed snapshot (r8) ----------
+
+
+def agg_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    value_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    touched: list[int] | None = None,
+) -> DataFrame:
+    """Per-key aggregate deltas for one COLLAPSED change batch against the
+    CURRENT snapshot — the primitive for incremental materialized-view
+    maintenance (the Delta/Iceberg CDF consumption pattern): a downstream
+    aggregate updates from (key, d_value, d_count) rows whose computation
+    reads ONLY the manifest-pointed buckets the batch touches, never the
+    full snapshot.
+
+    Per delta row with key k (old = snapshot value if k exists):
+      upsert, old exists:  d_value = new − old, d_count = 0
+      upsert, new key:     d_value = new,       d_count = +1
+      delete, old exists:  d_value = −old,      d_count = −1
+      delete, no old:      no row
+    Must be computed BEFORE merge_batch applies the same batch (it reads
+    pre-merge state). ``delta`` is collapse_batch output with the
+    ``_d_{value_col}``/``op``/``_bucket`` columns (see merge_batch).
+    """
+    manifest = _load_manifest(snapshot_dir)
+    if touched is None:
+        touched = sorted(
+            r._bucket for r in delta.select("_bucket").distinct().collect()
+        )
+    base_paths = (
+        [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
+    )
+    dv = F.col(f"_d_{value_col}")
+    if not base_paths:
+        return delta.filter(F.col("op") == "upsert").select(
+            F.col(key),
+            dv.alias("d_value"),
+            F.lit(1).cast("long").alias("d_count"),
+        )
+    base = spark.read.parquet(*base_paths).select(
+        key, F.col(value_col).alias("_old")
+    )
+    j = delta.join(base, key, "left_outer")
+    has_old = F.col("_old").isNotNull()
+    return (
+        j.filter((F.col("op") == "upsert") | has_old)
+        .select(
+            F.col(key),
+            F.when(F.col("op") == "upsert", dv - F.coalesce(F.col("_old"), F.lit(0.0)))
+            .otherwise(-F.col("_old"))
+            .alias("d_value"),
+            F.when(F.col("op") == "upsert", F.when(has_old, 0).otherwise(1))
+            .otherwise(-1)
+            .cast("long")
+            .alias("d_count"),
+        )
+    )
+
+
+def collapse_delta(
+    batch: DataFrame, key: str, value_cols: list[str], ts_col: str = "ts",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """collapse_batch + the merge_batch column convention, exposed so IVM
+    callers can share one collapsed frame between agg_delta and the merge."""
+    d = collapse_batch(batch, key, ts_col).select(
+        F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
+    )
+    return d.withColumn("_bucket", _bucket_col(key, n_buckets))
+
+
+def ivm_segment_stats_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 16,
+    since_year: int = 1998,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): maintain a per-market-segment
+    materialized aggregate (sum of balances, live customer count)
+    INCREMENTALLY through the same per-year CDC apply as
+    cdc_apply_batch_face — the agg state is updated from agg_delta's
+    touched-bucket-only rows before each merge, the snapshot itself is
+    never rescanned, and the final state must equal the oracle's full
+    recompute over the last-writer-wins result. Output: (segment, sum_bal,
+    n_customers)."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_ivm_snap_")
+    seg = customer.select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("upsert").alias("op"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+        F.year("o_orderdate").alias("_y"),
+    ).filter(F.col("_y") >= since_year)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+
+    # segment-sized agg state, folded on the driver (model-sized: one row
+    # per market segment)
+    state: dict[str, list[float]] = {}
+
+    def fold(batch: DataFrame) -> None:
+        # one collapse per batch, shared by the agg fold AND the merge
+        # (merge_batch would re-collapse; _merge_touched takes the
+        # collapsed delta directly)
+        d = collapse_delta(batch, "cust_id", ["bal"], n_buckets=n_buckets)
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r._bucket for r in d.select("_bucket").distinct().collect()
+            )
+            rows = (
+                agg_delta(spark, d, snap, "cust_id", "bal", n_buckets, touched=touched)
+                .join(F.broadcast(seg), "cust_id")
+                .groupBy("segment")
+                .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
+                .collect()
+            )
+            for r in rows:
+                s = state.setdefault(r.segment, [0.0, 0])
+                s[0] += r.dv
+                s[1] += r.dn
+            if touched:
+                _merge_touched(
+                    spark, d, snap, "cust_id", ["bal"], touched, n_buckets
+                )
+        finally:
+            d.unpersist()
+
+    fold(base)
+    for y in years:
+        fold(log.filter(F.col("_y") == y).drop("_y"))
+    out = spark.createDataFrame(
+        [(k, v[0], int(v[1])) for k, v in sorted(state.items())],
+        schema="segment string, sum_bal double, n_customers long",
+    )
+    return out.select("segment", round0(F.col("sum_bal"), 2).alias("sum_bal"), "n_customers")
+
+
+#: DuckDB oracle for ivm_segment_stats_face: FULL recompute of the
+#: aggregate over the last-writer-wins final state — the incremental path
+#: must land on exactly this. Same change-log derivation and year cap as
+#: CDC_APPLY_BATCH_SQL.
+IVM_SEGMENT_STATS_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts
+    FROM orders
+    WHERE year(o_orderdate) >= 1998
+), lww AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+), final AS (
+    SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+           CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END AS bal
+    FROM customer b
+    FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
+    WHERE l.op IS NULL OR l.op = 'upsert'
+)
+SELECT c.c_mktsegment AS segment,
+       round(sum(f.bal), 2) + 0.0 AS sum_bal,
+       count(*) AS n_customers
+FROM final f JOIN customer c ON c.c_custkey = f.cust_id
+GROUP BY c.c_mktsegment
+"""

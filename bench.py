@@ -45,6 +45,10 @@ SINGLE_RUN = SELF_EXECUTING | {
     "hmm_fit_bakis",
     "cdc_apply_batch",
     "hmm_fit_restarts",
+    # r8: EM loops and the build+append+search serving lifecycle
+    "hmm_fit_semisup",
+    "ghmm_fit",
+    "ivfpq_append",
 }
 
 HEADLINE = [

@@ -215,3 +215,77 @@ def test_cdc_apply_batch_face_equals_global_lww(spark):
         .collect()
     }
     assert len(got) > 0 and got == expect
+
+
+def test_agg_delta_four_cases(spark, tmp_path):
+    """agg_delta's per-row semantics: update (new-old, +0), insert (+new,
+    +1), delete-existing (-old, -1), delete-missing (no row)."""
+    from baum_welch_spark.streaming.upsert import (
+        agg_delta,
+        collapse_delta,
+        merge_batch,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, 10.0, "upsert", 0), (2, 20.0, "upsert", 0)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"])
+    batch = spark.createDataFrame(
+        [
+            (1, 15.0, "upsert", 1),   # update: +5, 0
+            (3, 7.0, "upsert", 1),    # insert: +7, +1
+            (2, 0.0, "delete", 1),    # delete existing: -20, -1
+            (9, 0.0, "delete", 1),    # delete missing: no row
+        ],
+        "k long, v double, op string, ts long",
+    )
+    d = collapse_delta(batch, "k", ["v"])
+    rows = {r.k: (r.d_value, r.d_count) for r in agg_delta(spark, d, snap, "k", "v").collect()}
+    assert rows == {1: (5.0, 0), 3: (7.0, 1), 2: (-20.0, -1)}
+    # fold == recompute after applying the batch
+    merge_batch(spark, batch, snap, "k", ["v"])
+    from baum_welch_spark.streaming.upsert import read_snapshot as rs
+
+    final = rs(spark, snap).agg(F.sum("v"), F.count("*")).first()
+    assert (30.0 + sum(v for v, _ in rows.values()),
+            2 + sum(c for _, c in rows.values())) == (final[0], final[1])
+
+
+def test_ivm_face_equals_snapshot_recompute(spark):
+    """The incremental segment aggregate lands exactly on a recompute over
+    the final snapshot (sf0.001)."""
+    from baum_welch_spark.streaming.upsert import ivm_segment_stats_face
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    inc = {
+        r.segment: (r.sum_bal, r.n_customers)
+        for r in ivm_segment_stats_face(spark, customer, orders).collect()
+    }
+    # recompute: global LWW in pure DataFrame ops
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+    ).filter(F.year(F.to_timestamp(F.lit("1998-01-01"))) <= F.col("ts") / 1000000000)
+    w = Window.partitionBy("cust_id").orderBy(F.desc("ts"))
+    lww = log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn", "ts")
+    fin = (
+        customer.select(F.col("c_custkey").alias("cust_id"), F.col("c_acctbal").alias("bal0"),
+                        F.col("c_mktsegment").alias("segment"))
+        .join(lww, "cust_id", "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") == "upsert"))
+        .select("segment",
+                F.when(F.col("op") == "upsert", F.col("bal")).otherwise(F.col("bal0")).alias("v"))
+    )
+    ref = {
+        r.segment: (float(r.s), r.n)
+        for r in fin.groupBy("segment").agg(F.round(F.sum("v"), 2).alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert set(inc) == set(ref)
+    for seg in ref:
+        assert inc[seg][1] == ref[seg][1], seg
+        assert inc[seg][0] == pytest.approx(ref[seg][0], abs=0.02), seg
