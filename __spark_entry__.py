@@ -673,9 +673,11 @@ def _q_compression_ratio(spark, sf):
 
 
 def _q_pagerank_docs(spark, sf):
-    # rows-only by nature: fixed-point float iteration with per-step
-    # aggregation is not expressible in DuckDB recursive CTEs; pytest pins
-    # it against a NumPy power-iteration oracle + mass conservation
+    # DuckDB-exact since r8: the fixed-count power iteration UNROLLED into
+    # plain CTE stages (graph.pagerank_docs_sql) — symmetric near-dup
+    # edges mean zero dangling mass, and the driver-side double constants
+    # are reproduced as full-precision literals; pytest additionally pins
+    # the kernel against a NumPy power-iteration oracle + mass conservation
     from baum_welch_spark.operators.graph import pagerank_docs
 
     return pagerank_docs(*_tables(spark, sf, "documents"))
@@ -922,6 +924,26 @@ def _q_ivm_segment_stats(spark, sf):
     return ivm_segment_stats_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_cdc_time_travel(spark, sf):
+    # DuckDB-exact: versioned time-travel — the same per-year CDC apply
+    # with a full retention horizon, read back at the version covering
+    # only the first two applied years; later generations exist on disk
+    # but must be invisible to the historical read
+    from baum_welch_spark.streaming.upsert import cdc_time_travel_face
+
+    return cdc_time_travel_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
+def _q_cdc_changes(spark, sf):
+    # DuckDB-exact: change-data-feed between two retained versions —
+    # snapshot_diff reads ONLY buckets whose generation pointer differs
+    # between the two version manifests; oracle = full-outer diff of the
+    # two year-capped LWW states
+    from baum_welch_spark.streaming.upsert import cdc_changes_face
+
+    return cdc_changes_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
 def _q_knn_ivfpq_query(spark, sf):
     # rows-only by nature (k-means + residual-PQ training); unlike
     # knn_ivfpq this face PERSISTS the index (codes partitioned by cell)
@@ -1033,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": _q_decontaminate_spans,
         "cdc_apply_batch": _q_cdc_apply_batch,
         "ivm_segment_stats": _q_ivm_segment_stats,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_changes": _q_cdc_changes,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "ivfpq_append": _q_ivfpq_append,
         # NEW r8 second wave: the Gaussian-emission model family — decode
@@ -1076,13 +1100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
         "cap_per_source": _q_cap_per_source,
+        # pagerank_docs rotated in: graduated rows-only -> DuckDB-exact
+        # this round (unrolled power-iteration oracle), so its hash changed
+        "pagerank_docs": _q_pagerank_docs,
+        # ---- driver's 50-entry window ends here (pagerank_docs is #50);
+        # bm25_topk / decontaminate_bloom / zorder_events / semantic_dedup
+        # / vocab_topk_cms / corpus_report / ohlc_bars were displaced below
+        # by the ghmm + IVM + time-travel + CDF + pagerank faces (r4-green,
+        # unchanged; r9 rotation list)
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
-        # ---- driver's 50-entry window ends here (zorder_events is #50);
-        # semantic_dedup / vocab_topk_cms / corpus_report / ohlc_bars were
-        # displaced below by the ghmm + IVM faces (r4-green, unchanged;
-        # r9 rotation list)
         "semantic_dedup": _q_semantic_dedup,
         "vocab_topk_cms": _q_vocab_topk_cms,
         "corpus_report": _q_corpus_report,
@@ -1127,7 +1155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "trending_topk": _q_trending_topk,
         "canonical_docs": _q_canonical_docs,
-        "pagerank_docs": _q_pagerank_docs,
         "compression_ratio": _q_compression_ratio,
         "neardup_containment": _q_neardup_containment,
         "neardup_jaccard": _q_neardup_jaccard,
@@ -1188,11 +1215,24 @@ def _ivm_segment_stats_sql() -> str:
     return IVM_SEGMENT_STATS_SQL
 
 
+def _cdc_time_travel_sql() -> str:
+    from baum_welch_spark.streaming.upsert import CDC_TIME_TRAVEL_SQL
+
+    return CDC_TIME_TRAVEL_SQL
+
+
+def _cdc_changes_sql() -> str:
+    from baum_welch_spark.streaming.upsert import CDC_CHANGES_SQL
+
+    return CDC_CHANGES_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     from baum_welch_spark.operators import (
         asof,
         corpus,
         dedup,
+        graph,
         layout,
         linalg,
         markov,
@@ -1285,6 +1325,12 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": merge.MERGE_UPSERT_SQL,
         "scd2_history": merge.SCD2_HISTORY_SQL,
         "cdc_apply_batch": _cdc_apply_batch_sql(),
+        # time-travel: historical version == year-capped global LWW
+        "cdc_time_travel": _cdc_time_travel_sql(),
+        # CDF between versions == full-outer diff of two LWW states
+        "cdc_changes": _cdc_changes_sql(),
+        # fixed-count power iteration unrolled into plain CTE stages
+        "pagerank_docs": graph.pagerank_docs_sql(),
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,

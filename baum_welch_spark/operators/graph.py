@@ -15,10 +15,16 @@ re-evaluating the previous iteration's lineage. Rank frame is
 node-count-sized and stays distributed; nothing corpus-sized ever reaches
 the driver.
 
-Rows-only in the driver contract (fixed-point float iteration with
-aggregation per step is not expressible in DuckDB's recursive CTEs);
-pytest pins it against an in-memory NumPy power iteration and the
-sum-to-one invariant.
+DuckDB-exact in the driver contract since r8: SQL recursive CTEs cannot
+aggregate over the recursive reference, but the iteration count is FIXED
+(max_iter=6), so :func:`pagerank_docs_sql` UNROLLS the power iteration
+into one plain CTE stage per step — each stage is the same grouped sum
+the Spark plan runs, with the driver-side Python double constants
+((1-d)/n, 1/n) reproduced bit-for-bit via full-precision literals (the
+ghmm inline-literal trick). The near-dup edge set is symmetric, so no
+node is dangling and the dangling-mass term is exactly 0.0 on both
+engines. pytest additionally pins the kernel against an in-memory NumPy
+power iteration and the sum-to-one invariant.
 """
 
 from __future__ import annotations
@@ -164,3 +170,83 @@ def pagerank_docs(
         .select(F.col("node").alias("doc_id"), "rank")
         .orderBy(F.desc("rank"), F.asc("doc_id"))
     )
+
+
+def pagerank_docs_sql(
+    damping: float = 0.85, max_iter: int = 6, threshold: float = 0.4
+) -> str:
+    """DuckDB oracle for :func:`pagerank_docs`: the fixed-count power
+    iteration UNROLLED into ``max_iter`` plain CTE stages (recursive CTEs
+    cannot aggregate over the recursive reference; a fixed iteration count
+    does not need one). Must mirror the Spark plan exactly:
+
+    - same exact-trigram-Jaccard pair graph (dedup.NEARDUP_JACCARD_SQL's
+      chain at this face's threshold), symmetrized — so every node has an
+      out-edge and the dangling-mass term is exactly 0.0 on both engines;
+    - Spark computes ``(1-d)/n`` and the ``1/n`` init as PYTHON doubles on
+      the driver and embeds them via F.lit; the SQL reproduces the same
+      bits by casting the repr'd intermediate through DOUBLE before the
+      division (decimal literals would otherwise divide as DECIMAL);
+    - per stage: rank' = (1-d)/n + d * COALESCE(SUM(rank/deg) over
+      in-edges, 0) — double/bigint division and a double sum, the same
+      IEEE ops Catalyst runs;
+    - final round(rank, 8), the face convention.
+    """
+    one_minus_d = repr(1.0 - damping)  # e.g. '0.15000000000000002'
+    d = repr(damping)
+    stages = []
+    for k in range(1, max_iter + 1):
+        stages.append(f"""r{k} AS (
+  SELECT n2.node,
+         CAST('{one_minus_d}' AS DOUBLE) / nn.n
+           + CAST('{d}' AS DOUBLE) * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n2
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.deg) AS inflow
+    FROM edges e
+    JOIN r{k - 1} r ON r.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) i ON i.node = n2.node
+)""")
+    unrolled = ",\n".join(stages)
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- mirror of the Spark side's max_doc_freq=1000 hot-shingle cap (see
+-- dedup.NEARDUP_JACCARD_SQL)
+cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT nodes.node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+{unrolled}
+SELECT node AS doc_id, round(rank, 8) + 0.0 AS rank
+FROM r{max_iter}
+"""

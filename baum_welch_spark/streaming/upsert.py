@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 _MANIFEST = "_manifest.json"
+_VERSIONS = "_versions"
 DEFAULT_BUCKETS = 16
 
 
@@ -58,6 +59,16 @@ def _load_manifest(snapshot_dir: str) -> dict | None:
 
 def _write_manifest(snapshot_dir: str, manifest: dict) -> None:
     os.makedirs(snapshot_dir, exist_ok=True)
+    # version log first (the Delta-_delta_log shape: one immutable manifest
+    # per committed generation), THEN the atomic current-pointer flip — a
+    # crash between the two leaves a valid current manifest plus at most one
+    # orphan version file, never a current pointer without its version
+    vdir = os.path.join(snapshot_dir, _VERSIONS)
+    os.makedirs(vdir, exist_ok=True)
+    vpath = os.path.join(vdir, f"v-{manifest['gen']}.json")
+    with open(vpath + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(vpath + ".tmp", vpath)
     path = os.path.join(snapshot_dir, _MANIFEST)
     with open(path + ".tmp", "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -73,8 +84,48 @@ def _bucket_paths(snapshot_dir: str, manifest: dict, buckets=None) -> list[str]:
     ]
 
 
-def _gc_generations(snapshot_dir: str, manifest: dict) -> None:
-    live = {manifest["gen"]} | {int(g) for g in manifest["buckets"].values()}
+def list_versions(snapshot_dir: str) -> list[int]:
+    """Committed snapshot versions still present in the version log,
+    ascending. Version N is the manifest published by the N-th committed
+    micro-batch; versions past the retention horizon are GC'd."""
+    vdir = os.path.join(snapshot_dir, _VERSIONS)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v-") and name.endswith(".json") and name[2:-5].isdigit():
+            out.append(int(name[2:-5]))
+    return sorted(out)
+
+
+def _gc_generations(snapshot_dir: str, manifest: dict, retain: int = 1) -> None:
+    """Drop generation directories no retained version references.
+
+    ``retain`` is the time-travel retention horizon in VERSIONS (the
+    Delta/Iceberg ``VACUUM ... RETAIN`` analogue): the newest ``retain``
+    manifests in the version log stay readable via
+    :func:`read_snapshot_at`; older version files and any generation
+    directory only they reference are deleted. ``retain=1`` keeps just the
+    current manifest — the pre-time-travel behavior."""
+    retained = set()
+    versions = list_versions(snapshot_dir)
+    keep = set(versions[-max(retain, 1):])
+    vdir = os.path.join(snapshot_dir, _VERSIONS)
+    for v in versions:
+        vpath = os.path.join(vdir, f"v-{v}.json")
+        if v not in keep:
+            try:
+                os.remove(vpath)
+            except OSError:
+                pass
+            continue
+        try:
+            with open(vpath) as f:
+                m = json.load(f)
+            retained |= {m["gen"]} | {int(g) for g in m["buckets"].values()}
+        except (OSError, ValueError, KeyError):
+            continue
+    live = {manifest["gen"]} | {int(g) for g in manifest["buckets"].values()} | retained
     for name in os.listdir(snapshot_dir):
         if not name.startswith("gen-"):
             continue
@@ -94,6 +145,101 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     if manifest is None or not manifest["buckets"]:
         return None
     return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
+
+
+def read_snapshot_at(
+    spark: SparkSession, snapshot_dir: str, version: int
+) -> DataFrame | None:
+    """Time-travel read: the snapshot exactly as of committed ``version``
+    (see :func:`list_versions`). Buckets untouched since that version are
+    read from the SAME files the current snapshot points at — versions
+    share unchanged generation directories structurally, so retaining k
+    versions costs only the touched-bucket deltas between them, not k full
+    copies. Raises ``KeyError`` for a version outside the retained log
+    (GC'd past the ``retain`` horizon or never committed)."""
+    manifest = _load_version_manifest(snapshot_dir, version)
+    if not manifest["buckets"]:
+        return None
+    return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
+
+
+def _load_version_manifest(snapshot_dir: str, version: int) -> dict:
+    vpath = os.path.join(snapshot_dir, _VERSIONS, f"v-{version}.json")
+    if not os.path.exists(vpath):
+        raise KeyError(
+            f"version {version} is not in the retained version log of "
+            f"{snapshot_dir} (available: {list_versions(snapshot_dir)})"
+        )
+    with open(vpath) as f:
+        return json.load(f)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    snapshot_dir: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two retained versions (the Delta
+    ``table_changes(v_from, v_to)`` analogue): per-key rows
+    ``(key, op, old_<c>..., new_<c>...)`` with op in insert/delete/update.
+
+    The 100 TB property: only buckets whose GENERATION POINTER differs
+    between the two version manifests are read — versions structurally
+    share untouched generation dirs, so the diff's IO is
+    O(buckets touched between the versions), never O(snapshot). Keys that
+    live in a rewritten bucket but did not change are joined and filtered
+    (a bucket rewrite copies its unchanged keys forward), which is the
+    same read amplification the rewrite itself had.
+    """
+    m_from = _load_version_manifest(snapshot_dir, v_from)
+    m_to = _load_version_manifest(snapshot_dir, v_to)
+    all_b = set(m_from["buckets"]) | set(m_to["buckets"])
+    changed = sorted(
+        int(b) for b in all_b
+        if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+    )
+    schema = f"{key} long, " + ", ".join(f"{c} double" for c in value_cols)
+
+    def side(manifest: dict) -> DataFrame:
+        paths = [
+            os.path.join(snapshot_dir, f"gen-{manifest['buckets'][str(b)]}", f"bucket={b}")
+            for b in changed
+            if str(b) in manifest["buckets"]
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths).select(key, *value_cols)
+
+    old = side(m_from).select(
+        key, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+    )
+    new = side(m_to).select(
+        key, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    )
+    j = old.join(new, key, "full_outer")
+    in_old = F.col(f"old_{value_cols[0]}").isNotNull()
+    in_new = F.col(f"new_{value_cols[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in value_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    # NULL value columns can't disambiguate presence through the full-outer
+    # join, so presence is re-derived via an anti-joinable marker instead
+    # when a value column is nullable; the snapshot's value columns are
+    # written non-null by merge_batch (op='upsert' rows carry values), so
+    # the isNotNull presence test is sound here.
+    op = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter((F.col("op") != "update") | differs)
+        .select(key, "op", *[f"old_{c}" for c in value_cols], *[f"new_{c}" for c in value_cols])
+    )
 
 
 def _bucket_col(key: str, n_buckets: int):
@@ -122,10 +268,12 @@ def merge_batch(
     value_cols: list[str],
     ts_col: str = "ts",
     n_buckets: int = DEFAULT_BUCKETS,
+    retain: int = 1,
 ) -> None:
     """Apply one collapsed micro-batch to the bucketed snapshot: read ONLY
     the buckets the batch touches, merge, write ONLY those buckets into the
-    next generation, flip the manifest (see module doc)."""
+    next generation, flip the manifest (see module doc). ``retain`` keeps
+    that many trailing versions readable via :func:`read_snapshot_at`."""
     delta = collapse_batch(batch, key, ts_col).select(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
@@ -141,7 +289,8 @@ def merge_batch(
         if not touched:  # empty micro-batch
             return
         _merge_touched(
-            spark, delta, snapshot_dir, key, value_cols, touched, n_buckets
+            spark, delta, snapshot_dir, key, value_cols, touched, n_buckets,
+            retain=retain,
         )
     finally:
         delta.unpersist()
@@ -155,6 +304,7 @@ def _merge_touched(
     value_cols: list[str],
     touched: list[int],
     n_buckets: int,
+    retain: int = 1,
 ) -> None:
     manifest = _load_manifest(snapshot_dir)
     base_paths = (
@@ -206,7 +356,7 @@ def _merge_touched(
             buckets.pop(str(b), None)
     manifest = {"gen": gen, "buckets": buckets}
     _write_manifest(snapshot_dir, manifest)
-    _gc_generations(snapshot_dir, manifest)
+    _gc_generations(snapshot_dir, manifest, retain=retain)
 
 
 def apply_cdc_stream(
@@ -217,6 +367,7 @@ def apply_cdc_stream(
     ts_col: str = "ts",
     checkpoint: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    retain: int = 1,
 ):
     """Start the maintenance query: every micro-batch merges into the
     snapshot via :func:`merge_batch`. Returns the StreamingQuery; callers
@@ -226,12 +377,42 @@ def apply_cdc_stream(
     spark = updates.sparkSession
 
     def apply(batch: DataFrame, _epoch: int) -> None:
-        merge_batch(spark, batch, snapshot_dir, key, value_cols, ts_col, n_buckets)
+        merge_batch(
+            spark, batch, snapshot_dir, key, value_cols, ts_col, n_buckets,
+            retain=retain,
+        )
 
     writer = updates.writeStream.foreachBatch(apply).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _cdc_demo_log(
+    customer: DataFrame, orders: DataFrame, since_year: int
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic demo change-log shared by the CDC faces: base
+    snapshot seeded from ``customer`` (ts=0), change rows derived from
+    ``orders`` — key o_custkey, value o_totalprice, op = delete when
+    o_orderkey % 37 = 0 else upsert, ts = year * 1e9 + o_orderkey (unique,
+    so last-writer-wins is a total order), plus a ``_y`` year column for
+    per-year batching; orders before ``since_year`` are dropped."""
+    base = customer.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("upsert").alias("op"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+        F.year("o_orderdate").alias("_y"),
+    ).filter(F.col("_y") >= since_year)
+    return base, log
 
 
 def cdc_apply_batch_face(
@@ -263,24 +444,8 @@ def cdc_apply_batch_face(
     from baum_welch_spark.session import scratch_dir
 
     snap = scratch_dir("bw_cdc_snap_")
-    base = customer.select(
-        F.col("c_custkey").alias("cust_id"),
-        F.col("c_acctbal").alias("bal"),
-        F.lit("upsert").alias("op"),
-        F.lit(0).cast("long").alias("ts"),
-    )
+    base, log = _cdc_demo_log(customer, orders, since_year)
     merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets)
-    log = orders.select(
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_totalprice").alias("bal"),
-        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
-        .otherwise(F.lit("upsert"))
-        .alias("op"),
-        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
-        F.year("o_orderdate").alias("_y"),
-    ).filter(
-        F.col("_y") >= since_year
-    )
     years = sorted(r._y for r in log.select("_y").distinct().collect())
     for y in years:
         merge_batch(
@@ -415,21 +580,7 @@ def ivm_segment_stats_face(
     seg = customer.select(
         F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
     )
-    base = customer.select(
-        F.col("c_custkey").alias("cust_id"),
-        F.col("c_acctbal").alias("bal"),
-        F.lit("upsert").alias("op"),
-        F.lit(0).cast("long").alias("ts"),
-    )
-    log = orders.select(
-        F.col("o_custkey").alias("cust_id"),
-        F.col("o_totalprice").alias("bal"),
-        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
-        .otherwise(F.lit("upsert"))
-        .alias("op"),
-        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
-        F.year("o_orderdate").alias("_y"),
-    ).filter(F.col("_y") >= since_year)
+    base, log = _cdc_demo_log(customer, orders, since_year)
     years = sorted(r._y for r in log.select("_y").distinct().collect())
 
     # segment-sized agg state, folded on the driver (model-sized: one row
@@ -472,6 +623,175 @@ def ivm_segment_stats_face(
         schema="segment string, sum_bal double, n_customers long",
     )
     return out.select("segment", round0(F.col("sum_bal"), 2).alias("sum_bal"), "n_customers")
+
+
+def cdc_time_travel_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 16,
+    since_year: int = 1998,
+    as_of_years: int = 2,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): time-travel over the versioned
+    CDC snapshot. Runs the same deterministic per-year change-log apply as
+    :func:`cdc_apply_batch_face` (base = customer, one merge_batch per
+    order-year >= ``since_year``) with a retention horizon covering every
+    committed version, then reads the snapshot BACK as of the version
+    committed by the ``as_of_years``-th year batch via
+    :func:`read_snapshot_at` — i.e. the state after applying years
+    [since_year, since_year + as_of_years) and nothing later. Because
+    batch boundaries respect ts order, that historical version provably
+    equals one global last-writer-wins merge over the year-capped log,
+    which is what the oracle computes. Exercises the full version-log
+    lifecycle under the driver: per-generation manifests, structural
+    sharing of untouched buckets across versions, and a historical read
+    that must NOT see later generations."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_tt_snap_")
+    base, log = _cdc_demo_log(customer, orders, since_year)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    retain = len(years) + 1  # keep every version readable
+    merge_batch(
+        spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets, retain=retain
+    )
+    for y in years:
+        merge_batch(
+            spark, log.filter(F.col("_y") == y).drop("_y"), snap,
+            "cust_id", ["bal"], n_buckets=n_buckets, retain=retain,
+        )
+    # version 1 = base, version 1+k = after the k-th year batch; the as-of
+    # version is the one covering years [since_year, since_year+as_of_years)
+    # — counted from the years actually present, matching the oracle's
+    # year-range cap even if a calendar year has no orders
+    k = len([y for y in years if y < since_year + as_of_years])
+    out = read_snapshot_at(spark, snap, version=1 + k)
+    return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"))
+
+
+#: DuckDB oracle for cdc_time_travel_face: the historical version after
+#: as_of_years=2 year-batches == one global last-writer-wins merge over the
+#: log capped to years [1998, 2000) — later years exist in the change-log
+#: and in the CURRENT snapshot but must be invisible to the versioned read.
+CDC_TIME_TRAVEL_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts
+    FROM orders
+    WHERE year(o_orderdate) >= 1998 AND year(o_orderdate) < 2000
+), lww AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+       round(CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END, 2) + 0.0 AS bal
+FROM customer b
+FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
+WHERE l.op IS NULL OR l.op = 'upsert'
+"""
+
+
+def cdc_changes_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 16,
+    since_year: int = 1998,
+    as_of_years: int = 2,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): change-data-feed between two
+    retained snapshot versions. Same per-year apply as
+    :func:`cdc_time_travel_face`; then :func:`snapshot_diff` computes the
+    per-key (op, old, new) changes from the version covering years
+    [since_year, since_year + as_of_years) to the FINAL version — reading
+    ONLY buckets whose generation pointer differs between the two version
+    manifests. The oracle computes the same diff as a full-outer join of
+    the two year-capped last-writer-wins states; every key it reports
+    lives in a rewritten bucket by construction, so the bucket-pruned read
+    provably loses nothing."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_cdf_snap_")
+    base, log = _cdc_demo_log(customer, orders, since_year)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    retain = len(years) + 1
+    merge_batch(
+        spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets, retain=retain
+    )
+    for y in years:
+        merge_batch(
+            spark, log.filter(F.col("_y") == y).drop("_y"), snap,
+            "cust_id", ["bal"], n_buckets=n_buckets, retain=retain,
+        )
+    k = len([y for y in years if y < since_year + as_of_years])
+    d = snapshot_diff(
+        spark, snap, v_from=1 + k, v_to=1 + len(years), key="cust_id",
+        value_cols=["bal"],
+    )
+    return d.select(
+        "cust_id",
+        "op",
+        round0(F.col("old_bal"), 2).alias("old_bal"),
+        round0(F.col("new_bal"), 2).alias("new_bal"),
+    )
+
+
+#: DuckDB oracle for cdc_changes_face: the CDF between the two versions ==
+#: full-outer diff of the two year-capped global LWW states (the from-state
+#: caps the log at year < 2000, the to-state takes the whole >= 1998 log).
+#: op classification and the unrounded-value inequality match
+#: snapshot_diff's eqNullSafe filter; values are 2-dp rounded for output
+#: only.
+CDC_CHANGES_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts,
+           year(o_orderdate) AS y
+    FROM orders
+    WHERE year(o_orderdate) >= 1998
+), lww_from AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log WHERE y < 2000
+    ) t WHERE rn = 1
+), lww_to AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+), state_from AS (
+    SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+           CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END AS bal
+    FROM customer b FULL OUTER JOIN lww_from l ON b.c_custkey = l.cust_id
+    WHERE l.op IS NULL OR l.op = 'upsert'
+), state_to AS (
+    SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+           CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END AS bal
+    FROM customer b FULL OUTER JOIN lww_to l ON b.c_custkey = l.cust_id
+    WHERE l.op IS NULL OR l.op = 'upsert'
+)
+SELECT COALESCE(f.cust_id, t.cust_id) AS cust_id,
+       CASE WHEN t.cust_id IS NULL THEN 'delete'
+            WHEN f.cust_id IS NULL THEN 'insert'
+            ELSE 'update' END AS op,
+       round(f.bal, 2) + 0.0 AS old_bal,
+       round(t.bal, 2) + 0.0 AS new_bal
+FROM state_from f
+FULL OUTER JOIN state_to t ON f.cust_id = t.cust_id
+WHERE f.cust_id IS NULL OR t.cust_id IS NULL OR f.bal <> t.bal
+"""
 
 
 #: DuckDB oracle for ivm_segment_stats_face: FULL recompute of the

@@ -217,6 +217,175 @@ def test_cdc_apply_batch_face_equals_global_lww(spark):
     assert len(got) > 0 and got == expect
 
 
+def test_time_travel_reads_each_version_exactly(spark, tmp_path):
+    """With retain covering all versions, read_snapshot_at(v) returns the
+    state exactly as of the v-th committed merge; versions structurally
+    share untouched generation dirs (no k-full-copies)."""
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        list_versions,
+        merge_batch,
+        read_snapshot_at,
+    )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1), (3, 30.0, "upsert", 1)],
+        [(2, 21.0, "upsert", 2)],
+        [(3, 0.0, "delete", 3), (4, 40.0, "upsert", 3)],
+    ]
+    for b in batches:
+        df = spark.createDataFrame(b, "k long, v double, op string, ts long")
+        merge_batch(spark, df, snap, "k", ["v"], n_buckets=4, retain=3)
+    assert list_versions(snap) == [1, 2, 3]
+    expect = {
+        1: {1: 10.0, 2: 20.0, 3: 30.0},
+        2: {1: 10.0, 2: 21.0, 3: 30.0},
+        3: {1: 10.0, 2: 21.0, 4: 40.0},
+    }
+    for v, want in expect.items():
+        got = {r.k: r.v for r in read_snapshot_at(spark, snap, v).collect()}
+        assert got == want, f"version {v}"
+    # structural sharing: gen-1 must still exist (versions 2 and 3 point
+    # untouched buckets at it) and there are exactly 3 generation dirs —
+    # retaining 3 versions did NOT triple the data
+    gens = sorted(d for d in os.listdir(snap) if d.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2", "gen-3"]
+    # unknown / never-committed version -> KeyError
+    with pytest.raises(KeyError):
+        read_snapshot_at(spark, snap, 99)
+
+
+def test_retention_gc_drops_old_versions_and_their_generations(spark, tmp_path):
+    """retain=1 keeps only the current version: older version files are
+    GC'd, read_snapshot_at on them raises, and generation dirs referenced
+    ONLY by dropped versions are deleted — while generations the current
+    manifest still points at survive."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        list_versions,
+        merge_batch,
+        read_snapshot,
+        read_snapshot_at,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 41)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4, retain=1)
+    # touch one key -> one bucket; gen-1 still holds the other buckets
+    b2 = spark.createDataFrame([(1, 99.0, "upsert", 2)], "k long, v double, op string, ts long")
+    merge_batch(spark, b2, snap, "k", ["v"], n_buckets=4, retain=1)
+    assert list_versions(snap) == [2]
+    with pytest.raises(KeyError):
+        read_snapshot_at(spark, snap, 1)
+    # gen-1 survives (current manifest points untouched buckets at it)
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        m = json.load(f)
+    assert sorted(set(m["buckets"].values())) == [1, 2]
+    assert os.path.isdir(os.path.join(snap, "gen-1"))
+    # a third merge touching the SAME bucket with retain=1 must GC gen-2
+    # (nothing references it afterwards)
+    b3 = spark.createDataFrame([(1, 100.0, "upsert", 3)], "k long, v double, op string, ts long")
+    merge_batch(spark, b3, snap, "k", ["v"], n_buckets=4, retain=1)
+    assert not os.path.isdir(os.path.join(snap, "gen-2"))
+    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
+    assert got[1] == 100.0 and len(got) == 40
+
+
+def test_time_travel_face_equals_year_capped_lww(spark):
+    """The face's historical read must equal a year-capped global LWW
+    computed directly — later years are in the change-log and the current
+    snapshot but invisible to the versioned read (the oracle's shape)."""
+    from baum_welch_spark.streaming.upsert import cdc_time_travel_face
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    got = {r.cust_id: r.bal for r in cdc_time_travel_face(spark, customer, orders).collect()}
+
+    log = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
+    ).filter((F.col("ts") / 1000000000 >= 1998) & (F.col("ts") / 1000000000 < 2000))
+    w = Window.partitionBy("cust_id").orderBy(F.desc("ts"))
+    lww = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    j = customer.join(lww, customer.c_custkey == lww.cust_id, "full_outer")
+    expect = {
+        r.k: round(r.v, 2)
+        for r in j.filter(F.col("op").isNull() | (F.col("op") == "upsert"))
+        .select(
+            F.coalesce("c_custkey", "cust_id").alias("k"),
+            F.when(F.col("op") == "upsert", F.col("bal")).otherwise(F.col("c_acctbal")).alias("v"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and got == expect
+    # the historical state differs from the final one (later years matter)
+    from baum_welch_spark.streaming.upsert import cdc_apply_batch_face
+
+    final = {r.cust_id: r.bal for r in cdc_apply_batch_face(spark, customer, orders).collect()}
+    assert final != got
+
+
+def test_snapshot_diff_matches_brute_force_and_prunes_buckets(spark, tmp_path):
+    """snapshot_diff == brute-force diff of the two version reads, AND its
+    scan touches only files in buckets whose generation pointer differs
+    between the two version manifests."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import merge_batch, snapshot_diff
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 101)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=8, retain=4)
+    b2 = spark.createDataFrame(
+        [(5, 55.0, "upsert", 2), (6, 0.0, "delete", 2), (1000, 1.0, "upsert", 2)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, b2, snap, "k", ["v"], n_buckets=8, retain=4)
+    b3 = spark.createDataFrame(
+        [(5, 66.0, "upsert", 3)], "k long, v double, op string, ts long"
+    )
+    merge_batch(spark, b3, snap, "k", ["v"], n_buckets=8, retain=4)
+
+    d = snapshot_diff(spark, snap, v_from=1, v_to=3, key="k", value_cols=["v"])
+    got = {r.k: (r.op, r.old_v, r.new_v) for r in d.collect()}
+    assert got == {
+        5: ("update", 5.0, 66.0),
+        6: ("delete", 6.0, None),
+        1000: ("insert", None, 1.0),
+    }
+    # bucket pruning: every scanned file sits in a bucket whose pointer
+    # differs between v-1 and v-3
+    with open(os.path.join(snap, "_versions", "v-1.json")) as f:
+        m1 = json.load(f)
+    with open(os.path.join(snap, "_versions", "v-3.json")) as f:
+        m3 = json.load(f)
+    changed = {
+        b for b in set(m1["buckets"]) | set(m3["buckets"])
+        if m1["buckets"].get(b) != m3["buckets"].get(b)
+    }
+    assert changed and len(changed) < 8  # the pruning is non-trivial here
+    for path in d.inputFiles():
+        bucket = next(p.split("=")[1] for p in path.split("/") if p.startswith("bucket="))
+        assert bucket in changed, path
+    # identical versions diff to empty
+    assert snapshot_diff(spark, snap, 3, 3, "k", ["v"]).count() == 0
+
+
 def test_agg_delta_four_cases(spark, tmp_path):
     """agg_delta's per-row semantics: update (new-old, +0), insert (+new,
     +1), delete-existing (-old, -1), delete-missing (no row)."""
