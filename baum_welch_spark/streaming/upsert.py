@@ -267,13 +267,31 @@ def merge_batch(
     key: str,
     value_cols: list[str],
     ts_col: str = "ts",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     retain: int = 1,
 ) -> None:
     """Apply one collapsed micro-batch to the bucketed snapshot: read ONLY
     the buckets the batch touches, merge, write ONLY those buckets into the
     next generation, flip the manifest (see module doc). ``retain`` keeps
-    that many trailing versions readable via :func:`read_snapshot_at`."""
+    that many trailing versions readable via :func:`read_snapshot_at`.
+
+    ``n_buckets`` is TABLE metadata, recorded in the manifest at creation
+    (and rewritten by :func:`compact_snapshot`): pass it to create a new
+    snapshot (None -> DEFAULT_BUCKETS), omit it on an existing one (the
+    stored value wins). An explicit value that contradicts the stored one
+    fails fast — merging under the wrong modulus would scatter keys across
+    buckets and silently corrupt every later bucket-pruned read."""
+    manifest = _load_manifest(snapshot_dir)
+    stored = None if manifest is None else manifest.get("n_buckets")
+    if n_buckets is None:
+        n_buckets = stored if stored is not None else DEFAULT_BUCKETS
+    elif stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"snapshot {snapshot_dir} is bucketed with n_buckets={stored}; "
+            f"merge_batch was called with n_buckets={n_buckets}. Omit the "
+            "argument (the manifest value wins) or compact_snapshot() to "
+            "re-bucket."
+        )
     delta = collapse_batch(batch, key, ts_col).select(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
