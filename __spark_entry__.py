@@ -505,6 +505,52 @@ def _q_viterbi_reestimate(spark, sf):
     return viterbi_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_em_reestimate(spark, sf):
+    # DuckDB-exact (r9): ONE soft-EM re-estimation step from a fixed model
+    # — pins the distributed E-step's γ/ξ aggregation + window normalize
+    # end-to-end against the recursive-CTE forward/backward oracle, the
+    # soft twin of viterbi_reestimate's hard-EM pin
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_reestimate
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return em_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
+
+
+def _q_asset_neardup(spark, sf):
+    # rows-only by nature (binary payloads have no SQL twin): the full
+    # multimodal pipeline under the driver — synthetic WAV/PPM/video
+    # assets -> REAL in-container decode (stdlib wave / NumPy PPM; video
+    # rows use the deterministic digest stub) -> band features ->
+    # feature-cosine near-dup pairs. pytest pins planted-duplicate recall
+    # (tests/test_operators.py multimodal block)
+    from baum_welch_spark.operators.multimodal import (
+        extract_features,
+        neardup_assets_by_feature,
+        synthetic_assets,
+    )
+    from pyspark.sql import functions as F
+
+    assets = synthetic_assets(spark, n=96, seed=42)
+    # near-dup WITHIN each modality (cross-modality cosine on all-positive
+    # band features is meaningless): WAV + PPM decode for real; video
+    # payloads are opaque (no in-container mp4 codec — the honest stub
+    # boundary), so video near-dups via the digest-stub features
+    parts = [
+        neardup_assets_by_feature(
+            assets.filter(F.col("modality") == m),
+            threshold=0.98,
+            decode_stub=(m == "video"),
+        ).withColumn("modality", F.lit(m))
+        for m in ("image", "audio", "video")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("modality", "asset_a", "asset_b", "cos")
+
+
 def _q_posterior_decode(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.decode import posterior_decode
@@ -1040,12 +1086,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
     # any face whose code changes, and any NEW face, must be inside the
-    # window the round it ships. r8 curation (VERDICT-r7 #4): the window is
-    # the 10 faces changed/added this round plus the 40 faces whose last
-    # driver evidence was oldest (r3/r4 vintage); the 30 r7-exact and 19
-    # r7-rows-only-green faces dropped below, unchanged since their check.
+    # window the round it ships. r9 curation (VERDICT-r8 #3): the window is
+    # the 8 faces changed/added this round plus the 42 faces with the
+    # STALEST driver evidence — all 10 last-checked-r4 and all 24
+    # last-checked-r5 faces, plus 8 of the 13 last-checked-r6 faces (the
+    # remaining 5 TPC-H faces head the r10 rotation list). The 50 r8-window
+    # faces and the 40 r7-checked faces dropped below, code-unchanged since
+    # their check (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
+        # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal
+        # pipeline's first driver face (rows-only)
+        "em_reestimate": _q_em_reestimate,
+        "asset_neardup": _q_asset_neardup,
+        # CHANGED: CDC n_buckets-in-manifest contract + snapshot_diff
+        # presence markers (VERDICT-r8 #1/#2, ADVICE-r8), IVM broadcast
+        # direction fix (VERDICT-r8 #5), Gaussian underflow guard
+        "cdc_apply_batch": _q_cdc_apply_batch,
+        "ivm_segment_stats": _q_ivm_segment_stats,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_changes": _q_cdc_changes,
+        "ghmm_score": _q_ghmm_score,
+        "ghmm_fit": _q_ghmm_fit,
+        # --- rotated IN: last driver-verified r4 (oldest evidence) ---
+        "bm25_topk": _q_bm25_topk,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "zorder_events": _q_zorder_events,
+        "semantic_dedup": _q_semantic_dedup,
+        "vocab_topk_cms": _q_vocab_topk_cms,
+        "corpus_report": _q_corpus_report,
+        "ohlc_bars": _q_ohlc_bars,
+        "trigram_lm_score": _q_trigram_lm_score,
+        "cohort_retention": _q_cohort_retention,
+        "rolling_user_spend": _q_rolling_user_spend,
+        # --- rotated IN: last driver-verified r5 ---
+        "sessionize": _q_sessionize,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "user_spend_deciles": _q_user_spend_deciles,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
+        "ppl_filter": _q_ppl_filter,
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
+        "dup_ngrams": _q_dup_ngrams,
+        "user_spend_rank": _q_user_spend_rank,
+        "temperature_mixture": _q_temperature_mixture,
+        "pii_redact": _q_pii_redact,
+        "line_dedup": _q_line_dedup,
+        "mixture_sample": _q_mixture_sample,
+        "emb_norms": _q_emb_norms,
+        "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "decontaminate": _q_decontaminate,
+        "q1_pricing_summary": _q_q1,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "weighted_sample": _q_weighted_sample,
+        "time_bucket_gapfill": _q_time_bucket_gapfill,
+        "bigram_lm_score": _q_bigram_lm_score,
+        # --- rotated IN: last driver-verified r6 (8 of 13) ---
+        "merge_upsert": _q_merge_upsert,
+        "scd2_history": _q_scd2_history,
+        "state_occupancy": _q_state_occupancy,
+        "time_bucket_interpolate": _q_time_bucket_interpolate,
+        "lineitem_stats": _q_lineitem_stats,
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "q13_customer_distribution": _q_q13,
+        # ---- driver's 50-entry window ends here (q13 is #50) ----
+        # r6-vintage leftovers: head of the r10 rotation list
+        "q15_top_supplier": _q_q15,
+        "q17_small_quantity_revenue": _q_q17,
+        "q18_large_volume_customers": _q_q18,
+        "q19_bracket_revenue": _q_q19,
+        "q22_dormant_customers": _q_q22,
+        # everything below was driver-verified green in r7/r8 (see
+        # CORRECTNESS_r07/r08) and is code-unchanged since (enforced by the
+        # face-hash manifest). r8-checked block:
         "viterbi_topk": _q_viterbi_topk,
         "posterior_entropy": _q_posterior_entropy,
         "hmm_fit_semisup": _q_hmm_fit_semisup,
@@ -1053,19 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_pairs": _q_copy_pairs,
         "copy_spans": _q_copy_spans,
         "decontaminate_spans": _q_decontaminate_spans,
-        "cdc_apply_batch": _q_cdc_apply_batch,
-        "ivm_segment_stats": _q_ivm_segment_stats,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "cdc_changes": _q_cdc_changes,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "ivfpq_append": _q_ivfpq_append,
-        # NEW r8 second wave: the Gaussian-emission model family — decode
-        # and score DuckDB-exact (inline log-density literals), fit pinned
-        # vs the sequential NumPy oracle
         "ghmm_viterbi": _q_ghmm_viterbi,
-        "ghmm_score": _q_ghmm_score,
-        "ghmm_fit": _q_ghmm_fit,
-        # --- rotated IN: last driver-verified r3 (oldest evidence) ---
         "dedup_exact": _q_dedup_exact,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "minhash_lsh": _q_minhash,
@@ -1090,7 +1197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
         "chunk_documents": _q_chunk_documents,
-        # --- rotated IN: last driver-verified r4 ---
         "asof_purchase_view": _q_asof,
         "purchase_view_context": _q_purchase_view_context,
         "top_event_per_user": _q_top_event,
@@ -1100,26 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_k_stats": _q_props_k_stats,
         "salted_value_stats": _q_salted_value_stats,
         "cap_per_source": _q_cap_per_source,
-        # pagerank_docs rotated in: graduated rows-only -> DuckDB-exact
-        # this round (unrolled power-iteration oracle), so its hash changed
         "pagerank_docs": _q_pagerank_docs,
-        # ---- driver's 50-entry window ends here (pagerank_docs is #50);
-        # bm25_topk / decontaminate_bloom / zorder_events / semantic_dedup
-        # / vocab_topk_cms / corpus_report / ohlc_bars were displaced below
-        # by the ghmm + IVM + time-travel + CDF + pagerank faces (r4-green,
-        # unchanged; r9 rotation list)
-        "bm25_topk": _q_bm25_topk,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "zorder_events": _q_zorder_events,
-        "semantic_dedup": _q_semantic_dedup,
-        "vocab_topk_cms": _q_vocab_topk_cms,
-        "corpus_report": _q_corpus_report,
-        "ohlc_bars": _q_ohlc_bars,
-        # everything below was driver-verified green in r4-r7 (see
-        # CORRECTNESS_r04-r07) and is code-unchanged since (enforced by the
-        # face-hash manifest). Still for r9 rotation: trigram_lm_score,
-        # cohort_retention, rolling_user_spend, vocab_topk_cms,
-        # corpus_report, ohlc_bars (r4 vintage).
+        # r7-checked block:
         "seq_build": _q_seq_build,
         "stripe_agg": _q_transition_counts,
         "normalize": _q_transition_model,
@@ -1160,46 +1248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "neardup_edit": _q_neardup_edit,
-        "sessionize": _q_sessionize,
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        "user_spend_deciles": _q_user_spend_deciles,
-        "salted_join_segment_stats": _q_salted_join_segment_stats,
-        "ppl_filter": _q_ppl_filter,
-        "q10_returned_revenue": _q_q10,
-        "q14_promo_share": _q_q14,
-        "dup_ngrams": _q_dup_ngrams,
-        "q7_volume_shipping": _q_q7,
-        "q8_market_share": _q_q8,
-        "q18_large_volume_customers": _q_q18,
-        "q22_dormant_customers": _q_q22,
-        "merge_upsert": _q_merge_upsert,
-        "scd2_history": _q_scd2_history,
-        "state_occupancy": _q_state_occupancy,
-        "time_bucket_interpolate": _q_time_bucket_interpolate,
-        "lineitem_stats": _q_lineitem_stats,
-        "q13_customer_distribution": _q_q13,
-        "q15_top_supplier": _q_q15,
-        "q17_small_quantity_revenue": _q_q17,
-        "q19_bracket_revenue": _q_q19,
-        "user_spend_rank": _q_user_spend_rank,
-        "temperature_mixture": _q_temperature_mixture,
-        "pii_redact": _q_pii_redact,
-        "line_dedup": _q_line_dedup,
-        "mixture_sample": _q_mixture_sample,
-        "emb_norms": _q_emb_norms,
-        "cosine_neardup": _q_cosine_neardup,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
-        "decontaminate": _q_decontaminate,
-        "q1_pricing_summary": _q_q1,
-        "vocab_topk": _q_vocab_topk,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "weighted_sample": _q_weighted_sample,
-        "time_bucket_gapfill": _q_time_bucket_gapfill,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "trigram_lm_score": _q_trigram_lm_score,
-        "cohort_retention": _q_cohort_retention,
-        "rolling_user_spend": _q_rolling_user_spend,
     }
 
 
@@ -1355,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_decode": _viterbi_oracle(),
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
+        "em_reestimate": _em_reestimate_oracle(),
         # posterior decode: forward+backward recursions as recursive CTEs,
         # same literal-model convention (hmm_generate stays rows-only —
         # sampling from λ is not SQL-expressible)
@@ -1431,6 +1480,13 @@ def _viterbi_reestimate_oracle() -> str:
     from baum_welch_spark.hmm.viterbi_train import viterbi_reestimate_oracle_sql
 
     return viterbi_reestimate_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _em_reestimate_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_reestimate_oracle_sql
+
+    return em_reestimate_oracle_sql(HMM.random(4, 5, seed=42))
 
 
 def _posterior_oracle() -> str:

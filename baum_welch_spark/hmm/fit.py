@@ -320,3 +320,97 @@ def fit_restarts(
     finally:
         if not caller_persisted:
             sequences.unpersist()
+
+
+def em_reestimate(
+    spark: SparkSession, sequences: DataFrame, model: HMM
+) -> DataFrame:
+    """One distributed SOFT-EM re-estimation step as a tidy DataFrame
+    (kind, i, j, prob): E-step expected counts (γ at t=0 for pi, Σ_t ξ for
+    A, Σ_t γ by symbol for B — kernel.e_step_counts_batch, reference
+    M4/M5/M6 stripes, BaumWelchMapper.java:157-240 with the §2.6 Q2/Q3/Q5
+    corrections) under a FIXED ``model``, then the Catalyst window
+    normalize (normalize_counts, reference reducer A4).
+
+    This is the soft twin of viterbi_train.viterbi_reestimate, and the
+    DuckDB-exact pin for the distributed E-step itself: the oracle
+    (em_reestimate_oracle_sql) recomputes γ/ξ from the scaled
+    forward/backward recursive CTEs and must land on the same 6-dp-rounded
+    probabilities — so the mapInPandas accumulation, the count shuffle, and
+    the window normalize are checked end-to-end, not just via the pytest
+    NumPy oracle. Probabilities are strictly positive here (γ > 0 for a
+    dense random model), so plain round needs no signed-zero guard."""
+    bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
+    counts = expected_counts(sequences, bc)
+    return normalize_counts(counts).select(
+        "kind", "i", "j", F.round(F.col("prob"), 6).alias("prob")
+    )
+
+
+def em_reestimate_oracle_sql(model: HMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for em_reestimate: the shared scaled
+    forward/backward CTEs (decode._fb_ctes), γ as alpha_hat * beta_hat
+    (the kernel's own convention — NOT per-step renormalized, it already
+    sums to 1), ξ_t(i,j) = p_i(t) · A_ij · B_j(o_{t+1}) · b_j(t+1) / s(t+1)
+    (kernel.py module doc), summed by plain GROUP BYs and normalized with
+    the same count/Σcount window as the Spark side. The two engines sum γ/ξ
+    in different float orders (~1e-12 agreement); both round to 6 dp."""
+    from baum_welch_spark.hmm.decode import _blist, _fb_ctes, _lit
+    from baum_welch_spark.hmm.model import (
+        KIND_EMISSION,
+        KIND_INITIAL,
+        KIND_TRANSITION,
+    )
+
+    N = model.pi.shape[0]
+    A, B = model.A, model.B
+    j1 = range(1, N + 1)
+    gcols = ",\n         ".join(f"al.p{j} * bt.b{j} AS g{j}" for j in j1)
+    xcols = ",\n         ".join(
+        f"al.p{i} * {_lit(A[i - 1][j - 1])} * ({_blist(B[j - 1])})[c.sym + 1]"
+        f" * bt.b{j} / a2.s AS x{i}_{j}"
+        for i in j1
+        for j in j1
+    )
+    init_branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0"
+        for j in j1
+    )
+    trans_branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi"
+        for i in j1
+        for j in j1
+    )
+    emit_branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{KIND_EMISSION}', {j - 1}, c.sym, sum(g.g{j})"
+        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t GROUP BY c.sym"
+        for j in j1
+    )
+    return (
+        _fb_ctes(model)
+        + f"""
+g AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {gcols}
+  FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
+),
+xi AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {xcols}
+  FROM alpha al
+  JOIN alpha a2 ON a2.user_id = al.user_id AND a2.t = al.t + 1
+  JOIN coded c ON c.user_id = al.user_id AND c.t = al.t + 1
+  JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t + 1
+),
+raw AS (
+{init_branches}
+  UNION ALL
+{trans_branches}
+  UNION ALL
+{emit_branches}
+)
+SELECT kind, i::INTEGER AS i, j::INTEGER AS j,
+       round(weight / sum(weight) OVER (PARTITION BY kind, i), 6) AS prob
+FROM raw
+"""
+    )

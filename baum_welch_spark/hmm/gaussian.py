@@ -170,10 +170,27 @@ def forward_backward_gauss(
     scale = np.empty(T)
     a = model.pi * b[0]
     scale[0] = a.sum()
+    # underflow guard: once a fitted sigma2 hits VAR_FLOOR=1e-6, exp()
+    # underflows to 0 beyond |x-mu| ~ 0.04 — an all-zero emission row makes
+    # scale[t]=0, which without this check silently NaNs every downstream
+    # alpha/loglik through fit/score/decode instead of surfacing an error.
+    if scale[0] == 0.0:
+        raise FloatingPointError(
+            "forward_backward_gauss: zero forward mass at t=0 — every "
+            "state's density underflowed (far-outlier observation or a "
+            "collapsed sigma2); widen the variance floor or rescale inputs"
+        )
     alpha[0] = a / scale[0]
     for t in range(1, T):
         a = (alpha[t - 1] @ model.A) * b[t]
         scale[t] = a.sum()
+        if scale[t] == 0.0:
+            raise FloatingPointError(
+                f"forward_backward_gauss: zero forward mass at t={t} — "
+                "every state's density underflowed (far-outlier "
+                "observation or a collapsed sigma2); widen the variance "
+                "floor or rescale inputs"
+            )
         alpha[t] = a / scale[t]
     beta[T - 1] = 1.0
     for t in range(T - 2, -1, -1):

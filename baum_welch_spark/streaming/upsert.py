@@ -194,6 +194,11 @@ def snapshot_diff(
     (a bucket rewrite copies its unchanged keys forward), which is the
     same read amplification the rewrite itself had.
     """
+    if v_from > v_to:
+        raise ValueError(
+            f"snapshot_diff: v_from={v_from} > v_to={v_to} (an inverted "
+            "range would report inserts as deletes; swap the arguments)"
+        )
     m_from = _load_version_manifest(snapshot_dir, v_from)
     m_to = _load_version_manifest(snapshot_dir, v_to)
     all_b = set(m_from["buckets"]) | set(m_to["buckets"])
@@ -201,35 +206,52 @@ def snapshot_diff(
         int(b) for b in all_b
         if m_from["buckets"].get(b) != m_to["buckets"].get(b)
     )
-    schema = f"{key} long, " + ", ".join(f"{c} double" for c in value_cols)
 
-    def side(manifest: dict) -> DataFrame:
-        paths = [
+    def paths_for(manifest: dict) -> list[str]:
+        return [
             os.path.join(snapshot_dir, f"gen-{manifest['buckets'][str(b)]}", f"bucket={b}")
             for b in changed
             if str(b) in manifest["buckets"]
         ]
+
+    p_from, p_to = paths_for(m_from), paths_for(m_to)
+    # schema for an empty side comes from real snapshot files (any bucket of
+    # either version), never a hardcoded guess; only a snapshot that has
+    # NEVER held a row falls back to the long-key/double-value default
+    schema_paths = (
+        (p_from or p_to)
+        or _bucket_paths(snapshot_dir, m_to)
+        or _bucket_paths(snapshot_dir, m_from)
+    )
+    if schema_paths:
+        empty_schema = spark.read.parquet(*schema_paths).select(key, *value_cols).schema
+    else:
+        empty_schema = f"{key} long, " + ", ".join(f"{c} double" for c in value_cols)
+
+    def side(paths: list[str]) -> DataFrame:
         if not paths:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], empty_schema)
         return spark.read.parquet(*paths).select(key, *value_cols)
 
-    old = side(m_from).select(
-        key, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+    # presence is carried by an explicit marker column through the
+    # full-outer join — NOT inferred from a value column's null-ness, so
+    # nullable value columns diff correctly
+    old = side(p_from).select(
+        key,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
     )
-    new = side(m_to).select(
-        key, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    new = side(p_to).select(
+        key,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
     )
     j = old.join(new, key, "full_outer")
-    in_old = F.col(f"old_{value_cols[0]}").isNotNull()
-    in_new = F.col(f"new_{value_cols[0]}").isNotNull()
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     differs = F.lit(False)
     for c in value_cols:
         differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-    # NULL value columns can't disambiguate presence through the full-outer
-    # join, so presence is re-derived via an anti-joinable marker instead
-    # when a value column is nullable; the snapshot's value columns are
-    # written non-null by merge_batch (op='upsert' rows carry values), so
-    # the isNotNull presence test is sound here.
     op = (
         F.when(in_old & ~in_new, F.lit("delete"))
         .when(~in_old & in_new, F.lit("insert"))
@@ -372,9 +394,56 @@ def _merge_touched(
             buckets[str(b)] = gen
         else:
             buckets.pop(str(b), None)
-    manifest = {"gen": gen, "buckets": buckets}
+    # n_buckets is TABLE metadata: recorded in every manifest so later
+    # merge_batch calls can fail-fast on a contradicting modulus (and omit
+    # the argument entirely — the stored value wins)
+    manifest = {"gen": gen, "buckets": buckets, "n_buckets": n_buckets}
     _write_manifest(snapshot_dir, manifest)
     _gc_generations(snapshot_dir, manifest, retain=retain)
+
+
+def snapshot_n_buckets(snapshot_dir: str) -> int | None:
+    """The bucket modulus recorded in the current manifest, or None before
+    the first publish / for a legacy manifest predating the key."""
+    m = _load_manifest(snapshot_dir)
+    return None if m is None else m.get("n_buckets")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    key: str,
+    n_buckets: int,
+    retain: int = 1,
+) -> None:
+    """Re-bucket the snapshot under a new modulus: read every current
+    bucket, rewrite ALL rows into one fresh generation hashed on
+    ``portable_hash60(key) % n_buckets``, publish a manifest recording the
+    new modulus. This is the one deliberately O(|snapshot|) maintenance
+    operation (the Delta ``OPTIMIZE``/re-partition analogue) — the only
+    sanctioned way to change a table's bucket count, because merging under
+    a different modulus than the data was written with would scatter keys
+    across buckets and corrupt every later bucket-pruned read. Retained
+    older versions keep reading their own (pre-compaction) generations."""
+    manifest = _load_manifest(snapshot_dir)
+    if manifest is None:
+        raise ValueError(f"no snapshot at {snapshot_dir} to compact")
+    gen = manifest["gen"] + 1
+    buckets: dict[str, int] = {}
+    cur = read_snapshot(spark, snapshot_dir)
+    if cur is not None:
+        out = os.path.join(snapshot_dir, f"gen-{gen}")
+        cur.withColumn("bucket", _bucket_col(key, n_buckets)).repartition(
+            n_buckets, "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(out)
+        buckets = {
+            name.split("=", 1)[1]: gen
+            for name in os.listdir(out)
+            if name.startswith("bucket=")
+        }
+    new_manifest = {"gen": gen, "buckets": buckets, "n_buckets": n_buckets}
+    _write_manifest(snapshot_dir, new_manifest)
+    _gc_generations(snapshot_dir, new_manifest, retain=retain)
 
 
 def apply_cdc_stream(
@@ -384,7 +453,7 @@ def apply_cdc_stream(
     value_cols: list[str],
     ts_col: str = "ts",
     checkpoint: str | None = None,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     retain: int = 1,
 ):
     """Start the maintenance query: every micro-batch merges into the
@@ -463,12 +532,14 @@ def cdc_apply_batch_face(
 
     snap = scratch_dir("bw_cdc_snap_")
     base, log = _cdc_demo_log(customer, orders, since_year)
+    # n_buckets only on the creating merge; the year merges omit it and run
+    # on the manifest-stored modulus (the documented API contract)
     merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets)
     years = sorted(r._y for r in log.select("_y").distinct().collect())
     for y in years:
         merge_batch(
             spark, log.filter(F.col("_y") == y).drop("_y"), snap,
-            "cust_id", ["bal"], n_buckets=n_buckets,
+            "cust_id", ["bal"],
         )
     out = read_snapshot(spark, snap)
     return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"))
@@ -510,7 +581,6 @@ def agg_delta(
     snapshot_dir: str,
     key: str,
     value_col: str,
-    n_buckets: int = DEFAULT_BUCKETS,
     touched: list[int] | None = None,
 ) -> DataFrame:
     """Per-key aggregate deltas for one COLLAPSED change batch against the
@@ -615,9 +685,12 @@ def ivm_segment_stats_face(
             touched = sorted(
                 r._bucket for r in d.select("_bucket").distinct().collect()
             )
+            # no broadcast hint: seg is corpus-proportional (one row per
+            # customer) while the per-batch delta is the small side — AQE
+            # picks the broadcast direction from runtime sizes
             rows = (
-                agg_delta(spark, d, snap, "cust_id", "bal", n_buckets, touched=touched)
-                .join(F.broadcast(seg), "cust_id")
+                agg_delta(spark, d, snap, "cust_id", "bal", touched=touched)
+                .join(seg, "cust_id")
                 .groupBy("segment")
                 .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
                 .collect()
@@ -678,7 +751,7 @@ def cdc_time_travel_face(
     for y in years:
         merge_batch(
             spark, log.filter(F.col("_y") == y).drop("_y"), snap,
-            "cust_id", ["bal"], n_buckets=n_buckets, retain=retain,
+            "cust_id", ["bal"], retain=retain,
         )
     # version 1 = base, version 1+k = after the k-th year batch; the as-of
     # version is the one covering years [since_year, since_year+as_of_years)
@@ -747,7 +820,7 @@ def cdc_changes_face(
     for y in years:
         merge_batch(
             spark, log.filter(F.col("_y") == y).drop("_y"), snap,
-            "cust_id", ["bal"], n_buckets=n_buckets, retain=retain,
+            "cust_id", ["bal"], retain=retain,
         )
     k = len([y for y in years if y < since_year + as_of_years])
     d = snapshot_diff(

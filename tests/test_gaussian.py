@@ -152,3 +152,25 @@ def test_decode_score_consistency(spark):
         assert all(0 <= s < 4 for s in states)
         assert len(states) == sc[sid].t_len
         assert d.loglik <= sc[sid].loglik + 1e-9
+
+
+def test_forward_backward_underflow_raises_not_nan():
+    """A far-outlier observation with collapsed variances must raise a
+    descriptive error, not silently NaN every downstream alpha/loglik
+    (ADVICE-r8: scale[t] == 0 guard)."""
+    import numpy as np
+
+    from baum_welch_spark.hmm.gaussian import GaussianHMM, forward_backward_gauss
+
+    m = GaussianHMM(
+        pi=np.array([0.5, 0.5]),
+        A=np.array([[0.9, 0.1], [0.1, 0.9]]),
+        mu=np.array([0.0, 1.0]),
+        sigma2=np.array([1e-6, 1e-6]),
+    )
+    # in-range observations still work under the floored variance
+    a, b, s, ll = forward_backward_gauss(m, np.array([0.0, 1.0, 0.0]))
+    assert np.isfinite(ll) and np.isfinite(a).all()
+    # an observation ~1e4 sigma away underflows every state's density
+    with pytest.raises(FloatingPointError, match="zero forward mass"):
+        forward_backward_gauss(m, np.array([0.0, 50.0]))

@@ -108,27 +108,15 @@ def test_driver_window_stays_oracle_dense():
     assert len(qs) == len(set(qs))
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     rows_only_in_window = [q for q in qs[:50] if q not in osql]
-    # r8 window (VERDICT-r7 #4 rotation): rows-only entries are either
-    # training/index-build loops (not SQL-expressible; each pinned by its
-    # own pytest oracle), sketch-based approximations (HLL / KLL have no
-    # DuckDB twin with identical estimator internals), or k-best decoding
-    # (posterior_entropy graduated to a DuckDB-exact recursive-CTE oracle
-    # in r8 and is no longer on this list)
+    # r9 window (VERDICT-r8 #3 rotation): every rotated-in stale face is
+    # DuckDB-exact, so only two rows-only entries remain — both with their
+    # own pytest oracles
     assert set(rows_only_in_window) <= {
-        # k-best list-Viterbi: path sets, pinned vs N^T enumeration pytest
-        "viterbi_topk",
-        # EM loops: semi-supervised (degenerate-ends pytest) and the
-        # Gaussian family fit (1e-8 sequential-NumPy-oracle pytest)
-        "hmm_fit_semisup",
+        # multimodal pipeline: binary payloads have no SQL twin; pinned by
+        # planted-duplicate + hand-filtered-IDAT pytests
+        "asset_neardup",
+        # Gaussian EM loop (1e-8 sequential-NumPy-oracle pytest)
         "ghmm_fit",
-        # serving paths: persisted IVF-PQ index build/append + search
-        "knn_ivfpq_query",
-        "ivfpq_append",
-        # sketches: HLL approx_count_distinct / KLL approx quantiles
-        "approx_distinct_users",
-        "value_approx_quantiles",
-        # k-means-seeded IVF (Lloyd training loop)
-        "knn_ivf_kmeans",
     }, rows_only_in_window
 
 

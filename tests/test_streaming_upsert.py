@@ -458,3 +458,148 @@ def test_ivm_face_equals_snapshot_recompute(spark):
     for seg in ref:
         assert inc[seg][1] == ref[seg][1], seg
         assert inc[seg][0] == pytest.approx(ref[seg][0], abs=0.02), seg
+
+
+def test_n_buckets_manifest_contract(spark, tmp_path):
+    """The bucket modulus is TABLE metadata: stored in the manifest at
+    creation, honored when omitted, and a contradicting explicit value
+    fails fast instead of silently scattering keys."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        merge_batch,
+        read_snapshot,
+        snapshot_n_buckets,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 41)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4)
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
+    assert snapshot_n_buckets(snap) == 4
+
+    # (a) explicit mismatching modulus -> fail fast, snapshot untouched
+    b2 = spark.createDataFrame([(1, 99.0, "upsert", 2)], "k long, v double, op string, ts long")
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        merge_batch(spark, b2, snap, "k", ["v"], n_buckets=16)
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()}[1] == 1.0
+
+    # (b) omitted on an existing snapshot -> the STORED value wins (4, not
+    # DEFAULT_BUCKETS=16): merge succeeds and the key lands in the bucket
+    # hashed under modulus 4 (a wrong modulus would orphan it)
+    merge_batch(spark, b2, snap, "k", ["v"])
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_buckets"] == 4 and all(int(b) < 4 for b in m["buckets"])
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()}[1] == 99.0
+
+    # (c) matching explicit value still accepted
+    b3 = spark.createDataFrame([(2, 50.0, "upsert", 3)], "k long, v double, op string, ts long")
+    merge_batch(spark, b3, snap, "k", ["v"], n_buckets=4)
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()}[2] == 50.0
+
+
+def test_legacy_manifest_without_n_buckets_still_loads(spark, tmp_path):
+    """Manifests written before the n_buckets key: reads work unchanged and
+    a merge with an explicit (correct) modulus proceeds — the guard only
+    fires on a CONTRADICTING stored value."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import merge_batch, read_snapshot
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 21)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4)
+    # strip the key from the current manifest AND its version file,
+    # simulating a pre-r9 table
+    for path in [os.path.join(snap, "_manifest.json"),
+                 os.path.join(snap, "_versions", "v-1.json")]:
+        with open(path) as f:
+            m = json.load(f)
+        m.pop("n_buckets", None)
+        with open(path, "w") as f:
+            json.dump(m, f)
+    assert read_snapshot(spark, snap).count() == 20
+    b2 = spark.createDataFrame([(1, 99.0, "upsert", 2)], "k long, v double, op string, ts long")
+    merge_batch(spark, b2, snap, "k", ["v"], n_buckets=4)  # no raise
+    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
+    assert got[1] == 99.0 and len(got) == 20
+    # and the upgrade is sticky: the new manifest records the modulus
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
+
+
+def test_compact_snapshot_rebuckets(spark, tmp_path):
+    """compact_snapshot rewrites the table under a new modulus: same rows,
+    new manifest records the new n_buckets, subsequent merges omit the
+    argument and land on the new modulus; the old explicit value now
+    fails fast."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        compact_snapshot,
+        merge_batch,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 101)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4)
+    before = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
+    compact_snapshot(spark, snap, "k", n_buckets=8)
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_buckets"] == 8 and len(m["buckets"]) == 8
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == before
+    # merges now run under the new modulus
+    b2 = spark.createDataFrame([(1, 99.0, "upsert", 2)], "k long, v double, op string, ts long")
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        merge_batch(spark, b2, snap, "k", ["v"], n_buckets=4)
+    merge_batch(spark, b2, snap, "k", ["v"])
+    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
+    assert got[1] == 99.0 and len(got) == 100
+    with pytest.raises(ValueError, match="no snapshot"):
+        compact_snapshot(spark, str(tmp_path / "missing"), "k", 8)
+
+
+def test_snapshot_diff_rejects_inverted_range_and_handles_null_values(spark, tmp_path):
+    """v_from > v_to raises; NULL value columns diff correctly (presence is
+    a marker column, not value-null-ness)."""
+    from baum_welch_spark.streaming.upsert import merge_batch, snapshot_diff
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, 10.0, "upsert", 1), (2, None, "upsert", 1)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4, retain=4)
+    b2 = spark.createDataFrame(
+        [(1, None, "upsert", 2), (2, 20.0, "upsert", 2), (3, None, "upsert", 2)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, b2, snap, "k", ["v"], n_buckets=4, retain=4)
+    with pytest.raises(ValueError, match="v_from"):
+        snapshot_diff(spark, snap, v_from=2, v_to=1, key="k", value_cols=["v"])
+    d = snapshot_diff(spark, snap, v_from=1, v_to=2, key="k", value_cols=["v"])
+    got = {r.k: (r.op, r.old_v, r.new_v) for r in d.collect()}
+    # key 1: value went 10.0 -> NULL (update, not a phantom delete);
+    # key 2: NULL -> 20.0 (update, not a phantom insert); key 3: genuine
+    # insert with a NULL value
+    assert got == {
+        1: ("update", 10.0, None),
+        2: ("update", None, 20.0),
+        3: ("insert", None, None),
+    }
