@@ -990,6 +990,17 @@ def _q_cdc_changes(spark, sf):
     return cdc_changes_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_cdc_compact(spark, sf):
+    # DuckDB-exact (r9): compact_snapshot mid-change-log — full re-bucket
+    # 4 -> 8 after the second year batch, later merges omit n_buckets (the
+    # manifest-stored post-compaction modulus must win); final state equals
+    # the same global LWW oracle as cdc_apply_batch, so compaction is
+    # provably invisible to readers
+    from baum_welch_spark.streaming.upsert import cdc_compact_face
+
+    return cdc_compact_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
 def _q_knn_ivfpq_query(spark, sf):
     # rows-only by nature (k-means + residual-PQ training); unlike
     # knn_ivfpq this face PERSISTS the index (codes partitioned by cell)
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_segment_stats": _q_ivm_segment_stats,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_changes": _q_cdc_changes,
+        "cdc_compact": _q_cdc_compact,
         "ghmm_score": _q_ghmm_score,
         "ghmm_fit": _q_ghmm_fit,
         # --- rotated IN: last driver-verified r4 (oldest evidence) ---
@@ -1152,9 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": _q_lineitem_stats,
         "q7_volume_shipping": _q_q7,
         "q8_market_share": _q_q8,
-        "q13_customer_distribution": _q_q13,
-        # ---- driver's 50-entry window ends here (q13 is #50) ----
+        # ---- driver's 50-entry window ends here (q8 is #50) ----
         # r6-vintage leftovers: head of the r10 rotation list
+        "q13_customer_distribution": _q_q13,
         "q15_top_supplier": _q_q15,
         "q17_small_quantity_revenue": _q_q17,
         "q18_large_volume_customers": _q_q18,
@@ -1373,6 +1385,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": merge.MERGE_UPSERT_SQL,
         "scd2_history": merge.SCD2_HISTORY_SQL,
         "cdc_apply_batch": _cdc_apply_batch_sql(),
+        # compaction is invisible to readers: same global-LWW oracle
+        "cdc_compact": _cdc_apply_batch_sql(),
         # time-travel: historical version == year-capped global LWW
         "cdc_time_travel": _cdc_time_travel_sql(),
         # CDF between versions == full-outer diff of two LWW states

@@ -303,17 +303,7 @@ def merge_batch(
     stored value wins). An explicit value that contradicts the stored one
     fails fast — merging under the wrong modulus would scatter keys across
     buckets and silently corrupt every later bucket-pruned read."""
-    manifest = _load_manifest(snapshot_dir)
-    stored = None if manifest is None else manifest.get("n_buckets")
-    if n_buckets is None:
-        n_buckets = stored if stored is not None else DEFAULT_BUCKETS
-    elif stored is not None and stored != n_buckets:
-        raise ValueError(
-            f"snapshot {snapshot_dir} is bucketed with n_buckets={stored}; "
-            f"merge_batch was called with n_buckets={n_buckets}. Omit the "
-            "argument (the manifest value wins) or compact_snapshot() to "
-            "re-bucket."
-        )
+    n_buckets = _resolve_n_buckets(snapshot_dir, n_buckets)
     delta = collapse_batch(batch, key, ts_col).select(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
@@ -402,6 +392,27 @@ def _merge_touched(
     _gc_generations(snapshot_dir, manifest, retain=retain)
 
 
+def _resolve_n_buckets(snapshot_dir: str, n_buckets: int | None) -> int:
+    """The bucket-modulus contract shared by every snapshot writer: the
+    manifest-stored value wins when the argument is omitted; an explicit
+    value that contradicts the stored one fails fast (merging under the
+    wrong modulus scatters keys across buckets and silently corrupts every
+    later bucket-pruned read); None on a fresh snapshot -> DEFAULT_BUCKETS;
+    legacy manifests without the key defer to the caller."""
+    manifest = _load_manifest(snapshot_dir)
+    stored = None if manifest is None else manifest.get("n_buckets")
+    if n_buckets is None:
+        return stored if stored is not None else DEFAULT_BUCKETS
+    if stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"snapshot {snapshot_dir} is bucketed with n_buckets={stored}; "
+            f"the merge was called with n_buckets={n_buckets}. Omit the "
+            "argument (the manifest value wins) or compact_snapshot() to "
+            "re-bucket."
+        )
+    return n_buckets
+
+
 def snapshot_n_buckets(snapshot_dir: str) -> int | None:
     """The bucket modulus recorded in the current manifest, or None before
     the first publish / for a legacy manifest predating the key."""
@@ -475,6 +486,102 @@ def apply_cdc_stream(
     return writer.start()
 
 
+_IVM_STATE = "_ivm_state.json"
+
+
+def read_ivm_state(snapshot_dir: str) -> dict:
+    """The streaming materialized aggregate maintained by
+    :func:`apply_cdc_stream_ivm`: {"epoch": last applied epoch id,
+    "groups": {group: [sum_value, count]}}. Empty-state shape before the
+    first batch."""
+    path = os.path.join(snapshot_dir, _IVM_STATE)
+    if not os.path.exists(path):
+        return {"epoch": -1, "groups": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def apply_cdc_stream_ivm(
+    updates: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    value_col: str,
+    group_map: DataFrame,
+    group_col: str = "group",
+    ts_col: str = "ts",
+    checkpoint: str | None = None,
+    n_buckets: int | None = None,
+    retain: int = 1,
+):
+    """Streaming CDC apply that ALSO maintains a downstream materialized
+    aggregate incrementally — the streaming face of ivm_segment_stats_face:
+    per micro-batch, :func:`agg_delta` computes per-key (d_value, d_count)
+    rows against the pre-merge snapshot reading ONLY touched buckets, the
+    deltas are folded per group (``group_map``: a (key, group_col) dim)
+    into a group-sized JSON state, and then the batch merges into the
+    snapshot. The snapshot is never rescanned to refresh the aggregate.
+
+    Exactly-once under checkpointed replay WITHOUT requiring the fold to
+    be idempotent (it isn't — folding a batch twice double-counts), via
+    epoch fencing ordered around the one non-idempotent step:
+      1. if epoch > state.epoch: fold deltas, write state (atomic replace)
+         recording the epoch;
+      2. ALWAYS merge (merge_batch is an idempotent deterministic function
+         of (snapshot, batch)).
+    Crash before the state write: nothing happened, replay recomputes
+    against the unmerged snapshot. Crash between state write and merge:
+    replay sees the epoch recorded, skips the fold, and re-runs only the
+    idempotent merge. Both replay paths land on the same (state, snapshot)
+    — pinned by the restart pytest.
+
+    Scale: the fold's collect is group-sized (one row per group), the
+    delta/merge IO is O(touched buckets), and ``group_map`` joins the
+    (small) per-batch delta without a forced broadcast — AQE picks the
+    direction from runtime sizes."""
+    spark = updates.sparkSession
+    nb = _resolve_n_buckets(snapshot_dir, n_buckets)
+    state_path = os.path.join(snapshot_dir, _IVM_STATE)
+
+    def apply(batch: DataFrame, epoch: int) -> None:
+        d = collapse_delta(batch, key, [value_col], ts_col=ts_col, n_buckets=nb)
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r._bucket for r in d.select("_bucket").distinct().collect()
+            )
+            if not touched:
+                return
+            st = read_ivm_state(snapshot_dir)
+            if epoch > st["epoch"]:
+                rows = (
+                    agg_delta(spark, d, snapshot_dir, key, value_col, touched=touched)
+                    .join(group_map, key)
+                    .groupBy(group_col)
+                    .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
+                    .collect()
+                )
+                for r in rows:
+                    g = st["groups"].setdefault(r[group_col], [0.0, 0])
+                    g[0] += r.dv
+                    g[1] += int(r.dn)
+                st["epoch"] = epoch
+                os.makedirs(snapshot_dir, exist_ok=True)
+                with open(state_path + ".tmp", "w") as f:
+                    json.dump(st, f, sort_keys=True)
+                os.replace(state_path + ".tmp", state_path)
+            _merge_touched(
+                spark, d, snapshot_dir, key, [value_col], touched, nb,
+                retain=retain,
+            )
+        finally:
+            d.unpersist()
+
+    writer = updates.writeStream.foreachBatch(apply).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def _cdc_demo_log(
     customer: DataFrame, orders: DataFrame, since_year: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -506,7 +613,7 @@ def cdc_apply_batch_face(
     spark: SparkSession,
     customer: DataFrame,
     orders: DataFrame,
-    n_buckets: int = 16,
+    n_buckets: int = 8,
     since_year: int = 1998,
 ) -> DataFrame:
     """Driver-contract face (DuckDB-exact): the batch twin of the CDC
@@ -526,7 +633,10 @@ def cdc_apply_batch_face(
     BOTH sides, face and oracle): each year is one sequential Spark job +
     manifest IO, so the face's wall cost is linear in years — 4 years
     exercises the multi-generation machinery at half the wall of the full
-    1992-1998 log (VERDICT-r7 #6)."""
+    1992-1998 log (VERDICT-r7 #6). ``n_buckets=8`` for the demo (r9,
+    measured ~7 s -> ~6 s at sf0.01): fewer per-generation write tasks,
+    identical machinery — bucket count is a tuning knob, and the
+    untouched-bucket byte-identity is pinned by pytest regardless."""
     from baum_welch_spark.functions.columns import round0
     from baum_welch_spark.session import scratch_dir
 
@@ -537,6 +647,40 @@ def cdc_apply_batch_face(
     merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets)
     years = sorted(r._y for r in log.select("_y").distinct().collect())
     for y in years:
+        merge_batch(
+            spark, log.filter(F.col("_y") == y).drop("_y"), snap,
+            "cust_id", ["bal"],
+        )
+    out = read_snapshot(spark, snap)
+    return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"))
+
+
+def cdc_compact_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    since_year: int = 1998,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): :func:`compact_snapshot` in the
+    middle of a live change-log. Same deterministic per-year apply as
+    cdc_apply_batch_face, except the snapshot starts at n_buckets=4, is
+    COMPACTED to n_buckets=8 after the second year batch (a full
+    re-bucket: one O(|snapshot|) rewrite into a fresh generation recording
+    the new modulus), and the remaining years merge with the argument
+    OMITTED — the manifest-stored post-compaction modulus must win. The
+    final state is modulus-independent, so the oracle is the same global
+    last-writer-wins merge as cdc_apply_batch (CDC_APPLY_BATCH_SQL):
+    compaction must be invisible to readers."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_cmp_snap_")
+    base, log = _cdc_demo_log(customer, orders, since_year)
+    merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=4)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    for k, y in enumerate(years):
+        if k == 2:
+            compact_snapshot(spark, snap, "cust_id", n_buckets=8)
         merge_batch(
             spark, log.filter(F.col("_y") == y).drop("_y"), snap,
             "cust_id", ["bal"],

@@ -49,6 +49,12 @@ SINGLE_RUN = SELF_EXECUTING | {
     "hmm_fit_semisup",
     "ghmm_fit",
     "ivfpq_append",
+    # r9: multi-generation sequential CDC loops (per-year merge jobs +
+    # manifest IO; cdc_compact adds a full-rewrite job mid-log)
+    "ivm_segment_stats",
+    "cdc_time_travel",
+    "cdc_changes",
+    "cdc_compact",
 }
 
 HEADLINE = [

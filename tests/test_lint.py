@@ -50,12 +50,12 @@ ALLOWED = {
     "hmm/select.py": {"collect": 1, "toPandas": 0},
     # CLI select: prints the len(candidates)-row score frame as JSON
     "cli.py": {"collect": 1, "toPandas": 0},
-    # bucketed CDC: touched-bucket ids (<= n_buckets rows, three sites:
-    # merge_batch + agg_delta fallback + the IVM fold), the faces' distinct
-    # order-years (<= #years rows, four sites: apply/IVM/time-travel/CDF),
-    # and the IVM fold's per-segment agg rows (<= #market segments) — all
-    # bounded, never O(data)
-    "streaming/upsert.py": {"collect": 8, "toPandas": 0},
+    # bucketed CDC: touched-bucket ids (<= n_buckets rows, four sites:
+    # merge_batch + agg_delta fallback + the batch-IVM fold + the
+    # stream-IVM fold), the faces' distinct order-years (<= #years rows,
+    # five sites: apply/IVM/time-travel/CDF/compact), and the two IVM
+    # folds' per-group agg rows (<= #groups) — all bounded, never O(data)
+    "streaming/upsert.py": {"collect": 11, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
