@@ -1269,6 +1269,12 @@ def _cdc_apply_batch_sql() -> str:
     return CDC_APPLY_BATCH_SQL
 
 
+def _cdc_compact_sql() -> str:
+    from baum_welch_spark.streaming.upsert import CDC_COMPACT_SQL
+
+    return CDC_COMPACT_SQL
+
+
 def _ivm_segment_stats_sql() -> str:
     from baum_welch_spark.streaming.upsert import IVM_SEGMENT_STATS_SQL
 
@@ -1385,8 +1391,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": merge.MERGE_UPSERT_SQL,
         "scd2_history": merge.SCD2_HISTORY_SQL,
         "cdc_apply_batch": _cdc_apply_batch_sql(),
-        # compaction is invisible to readers: same global-LWW oracle
-        "cdc_compact": _cdc_apply_batch_sql(),
+        # compaction is invisible to readers: same global-LWW oracle shape,
+        # capped to the face's 2-year change-log
+        "cdc_compact": _cdc_compact_sql(),
         # time-travel: historical version == year-capped global LWW
         "cdc_time_travel": _cdc_time_travel_sql(),
         # CDF between versions == full-outer diff of two LWW states

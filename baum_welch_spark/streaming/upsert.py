@@ -659,18 +659,21 @@ def cdc_compact_face(
     spark: SparkSession,
     customer: DataFrame,
     orders: DataFrame,
-    since_year: int = 1998,
+    since_year: int = 2000,
 ) -> DataFrame:
     """Driver-contract face (DuckDB-exact): :func:`compact_snapshot` in the
-    middle of a live change-log. Same deterministic per-year apply as
-    cdc_apply_batch_face, except the snapshot starts at n_buckets=4, is
-    COMPACTED to n_buckets=8 after the second year batch (a full
+    middle of a live change-log. Same deterministic apply shape as
+    cdc_apply_batch_face but over the LAST 2 order-years (each year is one
+    sequential Spark job, and compaction adds a full-rewrite job — the
+    2-year cap keeps the face's wall at 4 jobs while still merging both
+    BEFORE and AFTER the compaction): the snapshot starts at n_buckets=4,
+    is COMPACTED to n_buckets=8 after the first year batch (a full
     re-bucket: one O(|snapshot|) rewrite into a fresh generation recording
-    the new modulus), and the remaining years merge with the argument
+    the new modulus), and the remaining year merges with the argument
     OMITTED — the manifest-stored post-compaction modulus must win. The
     final state is modulus-independent, so the oracle is the same global
-    last-writer-wins merge as cdc_apply_batch (CDC_APPLY_BATCH_SQL):
-    compaction must be invisible to readers."""
+    last-writer-wins merge as cdc_apply_batch with the 2-year cap
+    (CDC_COMPACT_SQL): compaction must be invisible to readers."""
     from baum_welch_spark.functions.columns import round0
     from baum_welch_spark.session import scratch_dir
 
@@ -679,7 +682,7 @@ def cdc_compact_face(
     merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=4)
     years = sorted(r._y for r in log.select("_y").distinct().collect())
     for k, y in enumerate(years):
-        if k == 2:
+        if k == 1:
             compact_snapshot(spark, snap, "cust_id", n_buckets=8)
         merge_batch(
             spark, log.filter(F.col("_y") == y).drop("_y"), snap,
@@ -687,6 +690,32 @@ def cdc_compact_face(
         )
     out = read_snapshot(spark, snap)
     return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"))
+
+
+#: DuckDB oracle for cdc_compact_face: identical to CDC_APPLY_BATCH_SQL
+#: except the change-log cap matches the face's since_year=2000 (the last
+#: 2 order-years) — compaction must not change the readable state.
+CDC_COMPACT_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts
+    FROM orders
+    WHERE year(o_orderdate) >= 2000
+), lww AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+       round(CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END, 2) + 0.0 AS bal
+FROM customer b
+FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
+WHERE l.op IS NULL OR l.op = 'upsert'
+"""
 
 
 #: DuckDB oracle for cdc_apply_batch_face: sequential per-year apply with

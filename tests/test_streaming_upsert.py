@@ -722,3 +722,22 @@ def test_stream_ivm_fold_is_fenced_against_replay(spark, tmp_path):
     got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
     assert got == {1: 10.0, 2: 20.0}
     assert st2["groups"]["g"] == [30.0, 2]
+
+
+def test_cdc_compact_face_matches_uncompacted_apply(spark):
+    """Compaction must be invisible to readers: the compact face (4 -> 8
+    buckets mid-log) lands on exactly the state the plain per-year apply
+    produces over the same 2-year change-log with no compaction."""
+    from baum_welch_spark.streaming.upsert import (
+        cdc_apply_batch_face,
+        cdc_compact_face,
+    )
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    a = {r.cust_id: r.bal for r in cdc_compact_face(spark, customer, orders).collect()}
+    b = {
+        r.cust_id: r.bal
+        for r in cdc_apply_batch_face(spark, customer, orders, since_year=2000).collect()
+    }
+    assert a and a == b
