@@ -1001,6 +1001,17 @@ def _q_cdc_compact(spark, sf):
     return cdc_compact_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_cdc_schema_evolution(spark, sf):
+    # DuckDB-exact (r9): schema evolution + partial updates — the
+    # year-2000 batch widens the snapshot with an okey column, year-2001
+    # updates bal only (okey preserved on matched rows, NULL on inserts,
+    # reset by delete + re-insert); oracle recomputes the per-column-LWW
+    # semantics relationally
+    from baum_welch_spark.streaming.upsert import cdc_schema_evolution_face
+
+    return cdc_schema_evolution_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
 def _q_knn_ivfpq_query(spark, sf):
     # rows-only by nature (k-means + residual-PQ training); unlike
     # knn_ivfpq this face PERSISTS the index (codes partitioned by cell)
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_changes": _q_cdc_changes,
         "cdc_compact": _q_cdc_compact,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "ghmm_score": _q_ghmm_score,
         "ghmm_fit": _q_ghmm_fit,
         # --- rotated IN: last driver-verified r4 (oldest evidence) ---
@@ -1163,9 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q7_volume_shipping": _q_q7,
-        "q8_market_share": _q_q8,
-        # ---- driver's 50-entry window ends here (q8 is #50) ----
+        # ---- driver's 50-entry window ends here (q7 is #50) ----
         # r6-vintage leftovers: head of the r10 rotation list
+        "q8_market_share": _q_q8,
         "q13_customer_distribution": _q_q13,
         "q15_top_supplier": _q_q15,
         "q17_small_quantity_revenue": _q_q17,
@@ -1273,6 +1285,12 @@ def _cdc_compact_sql() -> str:
     from baum_welch_spark.streaming.upsert import CDC_COMPACT_SQL
 
     return CDC_COMPACT_SQL
+
+
+def _cdc_schema_evolution_sql() -> str:
+    from baum_welch_spark.streaming.upsert import CDC_SCHEMA_EVOLUTION_SQL
+
+    return CDC_SCHEMA_EVOLUTION_SQL
 
 
 def _ivm_segment_stats_sql() -> str:
@@ -1394,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         # compaction is invisible to readers: same global-LWW oracle shape,
         # capped to the face's 2-year change-log
         "cdc_compact": _cdc_compact_sql(),
+        "cdc_schema_evolution": _cdc_schema_evolution_sql(),
         # time-travel: historical version == year-capped global LWW
         "cdc_time_travel": _cdc_time_travel_sql(),
         # CDF between versions == full-outer diff of two LWW states

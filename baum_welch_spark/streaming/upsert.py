@@ -137,6 +137,28 @@ def _gc_generations(snapshot_dir: str, manifest: dict, retain: int = 1) -> None:
             shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
+def _read_manifest_buckets(
+    spark: SparkSession, snapshot_dir: str, manifest: dict
+) -> DataFrame:
+    """Read the manifest-pointed bucket files with schema evolution
+    applied: mergeSchema unions per-generation parquet schemas (a widening
+    merge leaves older generations without the new column), columns absent
+    from EVERY pointed file are null-backfilled from the manifest schema,
+    and the output column order follows the manifest (key first). Legacy
+    manifests without schema metadata read as-is."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *_bucket_paths(snapshot_dir, manifest)
+    )
+    cols = manifest.get("value_cols")
+    if cols is None:
+        return df
+    schema = manifest.get("schema") or {}
+    for c in cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(schema[c]))
+    return df.select(manifest["key"], *cols)
+
+
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     """Current snapshot as a DataFrame (union of every bucket's current
     files), or None before the first publish / when every key was deleted.
@@ -144,7 +166,7 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     manifest = _load_manifest(snapshot_dir)
     if manifest is None or not manifest["buckets"]:
         return None
-    return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
+    return _read_manifest_buckets(spark, snapshot_dir, manifest)
 
 
 def read_snapshot_at(
@@ -155,12 +177,14 @@ def read_snapshot_at(
     read from the SAME files the current snapshot points at — versions
     share unchanged generation directories structurally, so retaining k
     versions costs only the touched-bucket deltas between them, not k full
-    copies. Raises ``KeyError`` for a version outside the retained log
-    (GC'd past the ``retain`` horizon or never committed)."""
+    copies. A version committed before a widening merge reads with ITS OWN
+    manifest's narrower column list — schema evolution is versioned too.
+    Raises ``KeyError`` for a version outside the retained log (GC'd past
+    the ``retain`` horizon or never committed)."""
     manifest = _load_version_manifest(snapshot_dir, version)
     if not manifest["buckets"]:
         return None
-    return spark.read.parquet(*_bucket_paths(snapshot_dir, manifest))
+    return _read_manifest_buckets(spark, snapshot_dir, manifest)
 
 
 def _load_version_manifest(snapshot_dir: str, version: int) -> dict:
@@ -215,23 +239,43 @@ def snapshot_diff(
         ]
 
     p_from, p_to = paths_for(m_from), paths_for(m_to)
-    # schema for an empty side comes from real snapshot files (any bucket of
-    # either version), never a hardcoded guess; only a snapshot that has
-    # NEVER held a row falls back to the long-key/double-value default
-    schema_paths = (
-        (p_from or p_to)
-        or _bucket_paths(snapshot_dir, m_to)
-        or _bucket_paths(snapshot_dir, m_from)
+    # column types come from the manifests' schema metadata when present
+    # (which also serves diffs across a widening boundary: a version
+    # committed before the widening simply null-backfills the new column);
+    # legacy manifests derive them from real snapshot files, and only a
+    # snapshot that has NEVER held a row falls back to the
+    # long-key/double-value default
+    types = dict(m_to.get("schema") or m_from.get("schema") or {})
+    if not types:
+        schema_paths = (
+            (p_from or p_to)
+            or _bucket_paths(snapshot_dir, m_to)
+            or _bucket_paths(snapshot_dir, m_from)
+        )
+        if schema_paths:
+            probe = spark.read.option("mergeSchema", "true").parquet(*schema_paths)
+            types = {f.name: f.dataType.simpleString() for f in probe.schema.fields}
+        else:
+            types = {key: "bigint", **{c: "double" for c in value_cols}}
+    missing = [c for c in value_cols if c not in types]
+    if missing:
+        raise ValueError(
+            f"snapshot_diff: value column(s) {missing} are not in the "
+            f"snapshot schema of {snapshot_dir}"
+        )
+    key_type = types.get(key, "bigint")
+    empty_schema = f"{key} {key_type}, " + ", ".join(
+        f"{c} {types[c]}" for c in value_cols
     )
-    if schema_paths:
-        empty_schema = spark.read.parquet(*schema_paths).select(key, *value_cols).schema
-    else:
-        empty_schema = f"{key} long, " + ", ".join(f"{c} double" for c in value_cols)
 
     def side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], empty_schema)
-        return spark.read.parquet(*paths).select(key, *value_cols)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c in value_cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df.select(key, *value_cols)
 
     # presence is carried by an explicit marker column through the
     # full-outer join — NOT inferred from a value column's null-ness, so
@@ -337,26 +381,67 @@ def _merge_touched(
     retain: int = 1,
 ) -> None:
     manifest = _load_manifest(snapshot_dir)
+    # schema evolution (the Delta mergeSchema analogue): value_cols is the
+    # set THIS batch sets. Stored columns the batch omits are PRESERVED on
+    # matched rows and NULL on inserts (partial-column upsert); batch
+    # columns the store lacks WIDEN the table — old buckets simply lack
+    # the column and every reader null-backfills from the manifest schema.
+    # A batch column whose type contradicts the stored type fails fast.
+    batch_types = {
+        f.name[3:]: f.dataType.simpleString()
+        for f in delta.schema.fields
+        if f.name.startswith("_d_")
+    }
+    stored_cols = None if manifest is None else manifest.get("value_cols")
+    stored_schema = {} if manifest is None else dict(manifest.get("schema") or {})
+    if stored_cols is None:
+        all_cols = list(value_cols)
+    else:
+        all_cols = list(stored_cols) + [c for c in value_cols if c not in stored_cols]
+    for c in value_cols:
+        st = stored_schema.get(c)
+        if st is not None and st != batch_types[c]:
+            raise ValueError(
+                f"snapshot {snapshot_dir} column {c!r} has type {st}; the "
+                f"batch carries {batch_types[c]} — cast the batch (schema "
+                "evolution widens with NEW columns, it never retypes)"
+            )
+    schema = {**stored_schema, **batch_types}
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
     )
     if not base_paths:
         merged = delta.filter(F.col("op") == "upsert").select(
             key,
-            *[F.col(f"_d_{c}").alias(c) for c in value_cols],
+            *[
+                F.col(f"_d_{c}").alias(c)
+                if c in set(value_cols)
+                else F.lit(None).cast(schema[c]).alias(c)
+                for c in all_cols
+            ],
         )
     else:
-        base = spark.read.parquet(*base_paths)
+        # mergeSchema: touched buckets may span a widening boundary (some
+        # generations have the new column, some don't); fully-absent
+        # columns are backfilled from the manifest schema
+        base = spark.read.option("mergeSchema", "true").parquet(*base_paths)
+        for c in all_cols:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast(schema[c]))
         j = base.join(delta.drop("_bucket"), key, "full_outer")
+        batch_set = set(value_cols)
         merged = (
             j.filter((F.col("op").isNull()) | (F.col("op") == "upsert"))
             .select(
                 key,
                 *[
-                    F.when(F.col("op") == "upsert", F.col(f"_d_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    for c in value_cols
+                    (
+                        F.when(F.col("op") == "upsert", F.col(f"_d_{c}"))
+                        .otherwise(F.col(c))
+                        if c in batch_set
+                        else F.col(c)  # preserved (matched) / NULL (insert)
+                    ).alias(c)
+                    for c in all_cols
                 ],
             )
         )
@@ -384,10 +469,18 @@ def _merge_touched(
             buckets[str(b)] = gen
         else:
             buckets.pop(str(b), None)
-    # n_buckets is TABLE metadata: recorded in every manifest so later
-    # merge_batch calls can fail-fast on a contradicting modulus (and omit
-    # the argument entirely — the stored value wins)
-    manifest = {"gen": gen, "buckets": buckets, "n_buckets": n_buckets}
+    # table metadata, recorded in every manifest: the bucket modulus (later
+    # merges fail fast on a contradicting value; omitted -> stored wins),
+    # the key column, and the evolved column list + types (readers
+    # null-backfill columns older generations lack)
+    manifest = {
+        "gen": gen,
+        "buckets": buckets,
+        "n_buckets": n_buckets,
+        "key": key,
+        "value_cols": all_cols,
+        "schema": schema,
+    }
     _write_manifest(snapshot_dir, manifest)
     _gc_generations(snapshot_dir, manifest, retain=retain)
 
@@ -453,6 +546,12 @@ def compact_snapshot(
             if name.startswith("bucket=")
         }
     new_manifest = {"gen": gen, "buckets": buckets, "n_buckets": n_buckets}
+    # carry the schema-evolution metadata forward (the compacted rewrite
+    # materializes every evolved column, null-backfilled where older
+    # generations lacked it)
+    for meta_key in ("key", "value_cols", "schema"):
+        if manifest.get(meta_key) is not None:
+            new_manifest[meta_key] = manifest[meta_key]
     _write_manifest(snapshot_dir, new_manifest)
     _gc_generations(snapshot_dir, new_manifest, retain=retain)
 
@@ -718,6 +817,88 @@ WHERE l.op IS NULL OR l.op = 'upsert'
 """
 
 
+def cdc_schema_evolution_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact): schema evolution + partial
+    updates through the live change-log. Base snapshot (customer, bal
+    only); the year-2000 batch WIDENS the table — it sets (bal, okey)
+    where okey = the winning change's order key (= ts % 1e9, recoverable
+    on both engines) — and the year-2001 batch is a PARTIAL update
+    setting bal only. Sequential apply must produce: bal = global
+    last-writer-wins; okey = the year-2000 BATCH WINNER's okey if that
+    winner is an upsert (partial 2001 updates preserve it; a 2001 batch
+    whose winner is a delete removes the row outright), NULL for rows the
+    widening batch never touched. Batch semantics are LWW-COLLAPSED (the
+    module contract): a mid-batch delete followed by a later upsert in
+    the SAME batch never reaches the table, so the oracle collapses per
+    (key, year) first and then sequences the winners — the relational
+    restatement of exactly what foreachBatch + collapse_batch executes."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_sev_snap_")
+    base, log = _cdc_demo_log(customer, orders, since_year=2000)
+    merge_batch(spark, base, snap, "cust_id", ["bal"], n_buckets=n_buckets)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    widen_year = years[0]
+    b_widen = (
+        log.filter(F.col("_y") == widen_year)
+        .drop("_y")
+        .withColumn("okey", (F.col("ts") % 1000000000).cast("long"))
+    )
+    merge_batch(spark, b_widen, snap, "cust_id", ["bal", "okey"])
+    for y in years[1:]:
+        merge_batch(
+            spark, log.filter(F.col("_y") == y).drop("_y"), snap,
+            "cust_id", ["bal"],
+        )
+    out = read_snapshot(spark, snap)
+    return out.select("cust_id", round0(F.col("bal"), 2).alias("bal"), "okey")
+
+
+#: DuckDB oracle for cdc_schema_evolution_face: bal is the usual global
+#: LWW over the 2-year log; okey is PER-COLUMN, PER-BATCH LWW — the
+#: year-2000 batch winner's order key when that winner is an upsert
+#: (later partial updates preserve it; a year-2001 delete winner removes
+#: the whole row, handled by the survival filter), NULL for rows the
+#: widening batch never touched.
+CDC_SCHEMA_EVOLUTION_SQL = """
+WITH log AS (
+    SELECT o_custkey AS cust_id,
+           o_totalprice AS bal,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+           year(o_orderdate) * 1000000000 + o_orderkey AS ts,
+           year(o_orderdate) AS y,
+           o_orderkey AS okey
+    FROM orders
+    WHERE year(o_orderdate) >= 2000
+), lww AS (
+    SELECT cust_id, op, bal FROM (
+        SELECT cust_id, op, bal,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log
+    ) t WHERE rn = 1
+), okey_src AS (
+    SELECT cust_id, okey FROM (
+        SELECT cust_id, op, okey,
+               row_number() OVER (PARTITION BY cust_id ORDER BY ts DESC) AS rn
+        FROM log WHERE y = (SELECT min(y) FROM log)
+    ) t WHERE rn = 1 AND op = 'upsert'
+)
+SELECT COALESCE(b.c_custkey, l.cust_id) AS cust_id,
+       round(CASE WHEN l.op = 'upsert' THEN l.bal ELSE b.c_acctbal END, 2) + 0.0 AS bal,
+       o.okey AS okey
+FROM customer b
+FULL OUTER JOIN lww l ON b.c_custkey = l.cust_id
+LEFT JOIN okey_src o ON o.cust_id = COALESCE(b.c_custkey, l.cust_id)
+WHERE l.op IS NULL OR l.op = 'upsert'
+"""
+
+
 #: DuckDB oracle for cdc_apply_batch_face: sequential per-year apply with
 #: ts-ordered batch boundaries == ONE global last-writer-wins merge. The
 #: year filter mirrors the face's since_year=1998 change-log cap
@@ -787,9 +968,13 @@ def agg_delta(
             dv.alias("d_value"),
             F.lit(1).cast("long").alias("d_count"),
         )
-    base = spark.read.parquet(*base_paths).select(
-        key, F.col(value_col).alias("_old")
-    )
+    base = spark.read.option("mergeSchema", "true").parquet(*base_paths)
+    if value_col not in base.columns:  # widened column: no old values yet
+        manifest_schema = (manifest.get("schema") or {}) if manifest else {}
+        base = base.withColumn(
+            value_col, F.lit(None).cast(manifest_schema.get(value_col, "double"))
+        )
+    base = base.select(key, F.col(value_col).alias("_old"))
     j = delta.join(base, key, "left_outer")
     has_old = F.col("_old").isNotNull()
     return (

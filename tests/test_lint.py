@@ -53,9 +53,10 @@ ALLOWED = {
     # bucketed CDC: touched-bucket ids (<= n_buckets rows, four sites:
     # merge_batch + agg_delta fallback + the batch-IVM fold + the
     # stream-IVM fold), the faces' distinct order-years (<= #years rows,
-    # five sites: apply/IVM/time-travel/CDF/compact), and the two IVM
-    # folds' per-group agg rows (<= #groups) — all bounded, never O(data)
-    "streaming/upsert.py": {"collect": 11, "toPandas": 0},
+    # six sites: apply/IVM/time-travel/CDF/compact/schema-evolution), and
+    # the two IVM folds' per-group agg rows (<= #groups) — all bounded,
+    # never O(data)
+    "streaming/upsert.py": {"collect": 12, "toPandas": 0},
     # plan-audit tool executes the plan to read AQE's finalized physical plan;
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},

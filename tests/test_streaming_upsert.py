@@ -741,3 +741,107 @@ def test_cdc_compact_face_matches_uncompacted_apply(spark):
         for r in cdc_apply_batch_face(spark, customer, orders, since_year=2000).collect()
     }
     assert a and a == b
+
+
+def test_schema_evolution_widen_preserve_and_backfill(spark, tmp_path):
+    """Schema evolution (the Delta mergeSchema analogue): a widening merge
+    adds a column (older generations null-backfill on read), a later
+    PARTIAL merge that omits it preserves it on matched rows and leaves it
+    NULL on inserts, and deletes + re-inserts reset it."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import merge_batch, read_snapshot
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, float(k), "upsert", 1) for k in range(1, 9)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4)
+
+    # widening batch: sets (v, tag) for keys 1-3
+    b2 = spark.createDataFrame(
+        [(1, 10.0, "a", "upsert", 2), (2, 20.0, "b", "upsert", 2), (3, 0.0, "x", "delete", 2)],
+        "k long, v double, tag string, op string, ts long",
+    )
+    merge_batch(spark, b2, snap, "k", ["v", "tag"])
+    with open(os.path.join(snap, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["value_cols"] == ["v", "tag"] and m["schema"]["tag"] == "string"
+    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
+    # widened rows carry tag; untouched rows (old generations) backfill NULL
+    assert got[1] == (10.0, "a") and got[2] == (20.0, "b")
+    assert 3 not in got
+    assert all(got[k] == (float(k), None) for k in range(4, 9))
+
+    # partial batch omits tag: matched rows PRESERVE it, inserts get NULL,
+    # a delete + re-insert of key 2 resets it
+    b3 = spark.createDataFrame(
+        [(1, 11.0, "upsert", 3), (2, 0.0, "delete", 3), (9, 90.0, "upsert", 3)],
+        "k long, v double, op string, ts long",
+    )
+    merge_batch(spark, b3, snap, "k", ["v"])
+    b4 = spark.createDataFrame(
+        [(2, 22.0, "upsert", 4)], "k long, v double, op string, ts long"
+    )
+    merge_batch(spark, b4, snap, "k", ["v"])
+    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
+    assert got[1] == (11.0, "a")      # preserved through the partial update
+    assert got[2] == (22.0, None)     # delete + re-insert reset the tag
+    assert got[9] == (90.0, None)     # fresh insert: NULL for the omitted col
+    # column-order contract: key first, then the evolved list
+    assert read_snapshot(spark, snap).columns == ["k", "v", "tag"]
+
+
+def test_schema_evolution_is_versioned_and_diffable(spark, tmp_path):
+    """Time travel reads a pre-widening version with its own narrower
+    column list; snapshot_diff across the widening boundary null-backfills
+    the new column on the from side."""
+    from baum_welch_spark.streaming.upsert import (
+        merge_batch,
+        read_snapshot_at,
+        snapshot_diff,
+    )
+
+    snap = str(tmp_path / "snap")
+    merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "upsert", 1), (2, 2.0, "upsert", 1)],
+            "k long, v double, op string, ts long",
+        ),
+        snap, "k", ["v"], n_buckets=4, retain=3,
+    )
+    merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.5, "w", "upsert", 2)], "k long, v double, tag string, op string, ts long"
+        ),
+        snap, "k", ["v", "tag"], retain=3,
+    )
+    # version 1 predates the widening: no tag column at all
+    assert read_snapshot_at(spark, snap, 1).columns == ["k", "v"]
+    assert read_snapshot_at(spark, snap, 2).columns == ["k", "v", "tag"]
+    d = snapshot_diff(spark, snap, v_from=1, v_to=2, key="k", value_cols=["v", "tag"])
+    got = {r.k: (r.op, r.old_v, r.new_v, r.old_tag, r.new_tag) for r in d.collect()}
+    assert got == {1: ("update", 1.0, 1.5, None, "w")}
+
+
+def test_schema_evolution_rejects_retyped_column(spark, tmp_path):
+    """Widening adds NEW columns; retyping an existing one fails fast."""
+    from baum_welch_spark.streaming.upsert import merge_batch
+
+    snap = str(tmp_path / "snap")
+    merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "upsert", 1)], "k long, v double, op string, ts long"
+        ),
+        snap, "k", ["v"], n_buckets=4,
+    )
+    bad = spark.createDataFrame(
+        [(1, "oops", "upsert", 2)], "k long, v string, op string, ts long"
+    )
+    with pytest.raises(ValueError, match="never retypes"):
+        merge_batch(spark, bad, snap, "k", ["v"])
