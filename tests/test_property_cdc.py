@@ -1,0 +1,110 @@
+"""Property-based pin for the bucketed CDC merge semantics
+(streaming/upsert.py): for ARBITRARY change-logs — random keys, ops,
+batch boundaries, and per-batch column subsets (partial updates +
+widening) — sequential merge_batch application must equal a pure-Python
+reference implementing the module contract: per-batch last-writer-wins
+collapse, then matched+upsert -> set the batch's columns / preserve the
+rest, matched+delete -> drop, unmatched+upsert -> insert with NULL for
+unset columns. The demo faces pin one deterministic log shape against
+DuckDB; this pins the general semantics the docstrings promise."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# one batch row: (key, op, value-for-v, value-for-w)
+_row = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+    st.integers(min_value=-9, max_value=9),
+    st.integers(min_value=-9, max_value=9),
+)
+# one batch: the column subset it sets + its rows
+_batch = st.tuples(
+    st.sampled_from([("v",), ("w",), ("v", "w")]),
+    st.lists(_row, min_size=1, max_size=5),
+)
+_log = st.lists(_batch, min_size=1, max_size=3)
+
+
+def _apply_reference(batches):
+    """The documented semantics, in plain Python."""
+    all_cols: list[str] = []
+    state: dict[int, dict] = {}
+    ts = 0
+    stamped = []
+    for cols, rows in batches:
+        b = []
+        for k, op, v, w in rows:
+            ts += 1  # globally unique, increasing (the module's ts contract)
+            b.append((k, op, {"v": float(v), "w": float(w)}, ts))
+        stamped.append((cols, b))
+    for cols, rows in stamped:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+        winners: dict[int, tuple] = {}
+        for k, op, vals, t in rows:
+            if k not in winners or t > winners[k][3]:
+                winners[k] = (k, op, vals, t)
+        for k, (_, op, vals, _t) in winners.items():
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                row = state.get(k, {})
+                new = {c: row.get(c) for c in all_cols}
+                for c in cols:
+                    new[c] = vals[c]
+                state[k] = new
+    # the read contract null-backfills every row to the FINAL evolved
+    # column list (rows written before a widening lack the new column)
+    return all_cols, {
+        k: {c: row.get(c) for c in all_cols} for k, row in state.items()
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_log)
+def test_merge_batch_matches_reference_semantics(spark, tmp_path_factory, batches):
+    from baum_welch_spark.streaming.upsert import merge_batch, read_snapshot
+
+    snap = str(tmp_path_factory.mktemp("prop") / "snap")
+    ts = 0
+    for cols, rows in batches:
+        data = []
+        for k, op, v, w in rows:
+            ts += 1
+            vals = {"v": float(v), "w": float(w)}
+            data.append((k, *[vals[c] for c in cols], op, ts))
+        schema = (
+            "k long, "
+            + ", ".join(f"{c} double" for c in cols)
+            + ", op string, ts long"
+        )
+        merge_batch(
+            spark,
+            spark.createDataFrame(data, schema),
+            snap,
+            "k",
+            list(cols),
+            n_buckets=4,
+        )
+    all_cols, expect = _apply_reference(batches)
+    df = read_snapshot(spark, snap)
+    if not expect:
+        assert df is None or df.count() == 0
+        return
+    assert df.columns == ["k", *all_cols]
+    got = {}
+    for r in df.collect():
+        d = r.asDict()
+        got[d.pop("k")] = {
+            c: (None if d[c] is None or (isinstance(d[c], float) and math.isnan(d[c])) else d[c])
+            for c in all_cols
+        }
+    assert got == expect
