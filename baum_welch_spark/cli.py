@@ -519,6 +519,90 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_cdc(args) -> int:
+    """Bucketed CDC snapshot maintenance from the command line — the
+    lakehouse layer (streaming/upsert.py) as a user-facing tool:
+
+      cdc apply    merge a change-log parquet (key, value..., op, ts) into
+                   a snapshot (creates it on first use; widening value
+                   column lists evolve the schema)
+      cdc read     show or export the current (or a historical --version)
+                   snapshot state
+      cdc versions list retained time-travel versions
+      cdc diff     change-data-feed between two retained versions
+      cdc compact  rewrite the whole snapshot under a new bucket modulus
+    """
+    from baum_welch_spark.streaming.upsert import (
+        compact_snapshot,
+        list_versions,
+        merge_batch,
+        read_snapshot,
+        read_snapshot_at,
+        snapshot_diff,
+    )
+
+    required = {
+        "apply": ["changes"],
+        "diff": ["from_version", "to_version"],
+        "compact": ["n_buckets"],
+    }
+    for opt in required.get(args.action, []):
+        if getattr(args, opt) is None:
+            print(
+                f"cdc {args.action}: --{opt.replace('_', '-')} is required",
+                file=sys.stderr,
+            )
+            return 2
+    spark, _own = _session("baum-welch-cdc")
+    try:
+        if args.action == "apply":
+            changes = spark.read.parquet(args.changes)
+            merge_batch(
+                spark, changes, args.snapshot, args.key,
+                args.value_cols.split(","), ts_col=args.ts_col,
+                n_buckets=args.n_buckets, retain=args.retain,
+            )
+            print(json.dumps({
+                "snapshot": args.snapshot,
+                "versions": list_versions(args.snapshot),
+            }))
+        elif args.action == "read":
+            df = (
+                read_snapshot(spark, args.snapshot)
+                if args.version is None
+                else read_snapshot_at(spark, args.snapshot, args.version)
+            )
+            if df is None:
+                print("(empty snapshot)")
+            elif args.output:
+                df.write.mode("overwrite").parquet(args.output)
+                print(f"snapshot written to {args.output}")
+            else:
+                df.show(args.limit, truncate=False)
+        elif args.action == "versions":
+            print(json.dumps(list_versions(args.snapshot)))
+        elif args.action == "diff":
+            d = snapshot_diff(
+                spark, args.snapshot, args.from_version, args.to_version,
+                key=args.key, value_cols=args.value_cols.split(","),
+            )
+            if args.output:
+                d.write.mode("overwrite").parquet(args.output)
+                print(f"changes written to {args.output}")
+            else:
+                d.show(args.limit, truncate=False)
+        else:  # compact
+            compact_snapshot(
+                spark, args.snapshot, args.key, args.n_buckets,
+                retain=args.retain,
+            )
+            print(json.dumps({"snapshot": args.snapshot, "n_buckets": args.n_buckets}))
+    finally:
+        if _own:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="baum_welch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -687,6 +771,35 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--limit", type=int, default=20, help="rows to show without -o")
     sq.add_argument("--explain", action="store_true", help="print the physical plan first")
     sq.set_defaults(fn=cmd_sql)
+
+    c = sub.add_parser(
+        "cdc",
+        help="bucketed CDC snapshot: apply change-logs, read/time-travel, diff versions, compact",
+    )
+    c.add_argument(
+        "action", choices=["apply", "read", "versions", "diff", "compact"]
+    )
+    c.add_argument("--snapshot", required=True, help="snapshot directory")
+    c.add_argument("--changes", help="apply: change-log parquet with (key, value..., op, ts)")
+    c.add_argument("--key", default="k", help="key column name")
+    c.add_argument(
+        "--value-cols", default="v",
+        help="comma-separated value columns this apply/diff touches (a "
+             "superset of the stored list widens the schema)",
+    )
+    c.add_argument("--ts-col", default="ts")
+    c.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="bucket modulus: required semantics — creation sets it, later "
+             "applies omit it (manifest wins); compact requires it",
+    )
+    c.add_argument("--retain", type=int, default=1, help="time-travel versions to keep readable")
+    c.add_argument("--version", type=int, default=None, help="read: historical version")
+    c.add_argument("--from-version", type=int, help="diff: from version")
+    c.add_argument("--to-version", type=int, help="diff: to version")
+    c.add_argument("-o", "--output", default=None, help="write result parquet here instead of showing")
+    c.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    c.set_defaults(fn=cmd_cdc)
 
     zo = sub.add_parser("zorder", help="write a Z-order clustered copy of events")
     zo.add_argument("-i", "--input", required=True)

@@ -268,3 +268,59 @@ def test_cli_gaussian_train_decode_score_chain(spark, tmp_path, capsys):
     assert main(["score", "-i", SF0001, "--model", summary["model_dir"],
                  "--emissions", "gaussian", "-o", sc]) == 0
     assert spark.read.parquet(sc).count() == decoded.count()
+
+
+def test_cli_cdc_lifecycle(spark, tmp_path, capsys):
+    """cdc apply (create -> widen) / versions / read --version / diff /
+    compact chained through the CLI, artifacts verified on disk."""
+    snap = str(tmp_path / "snap")
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    spark.createDataFrame(
+        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1)],
+        "k long, v double, op string, ts long",
+    ).write.parquet(c1)
+    spark.createDataFrame(
+        [(2, 21.0, "hot", "upsert", 2), (3, 30.0, "cold", "upsert", 2)],
+        "k long, v double, tag string, op string, ts long",
+    ).write.parquet(c2)
+
+    assert main([
+        "cdc", "apply", "--snapshot", snap, "--changes", c1,
+        "--key", "k", "--value-cols", "v", "--n-buckets", "4", "--retain", "3",
+    ]) == 0
+    # widening apply omits --n-buckets (manifest value wins)
+    assert main([
+        "cdc", "apply", "--snapshot", snap, "--changes", c2,
+        "--key", "k", "--value-cols", "v,tag", "--retain", "3",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["cdc", "versions", "--snapshot", snap]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == [1, 2]
+
+    hist = str(tmp_path / "hist")
+    assert main([
+        "cdc", "read", "--snapshot", snap, "--version", "1", "-o", hist,
+    ]) == 0
+    h = spark.read.parquet(hist)
+    assert h.columns == ["k", "v"]  # pre-widening schema
+    assert {r.k: r.v for r in h.collect()} == {1: 10.0, 2: 20.0}
+
+    dif = str(tmp_path / "dif")
+    assert main([
+        "cdc", "diff", "--snapshot", snap, "--from-version", "1",
+        "--to-version", "2", "--key", "k", "--value-cols", "v,tag",
+        "-o", dif,
+    ]) == 0
+    d = {r.k: (r.op, r.old_v, r.new_v, r.new_tag) for r in spark.read.parquet(dif).collect()}
+    assert d == {2: ("update", 20.0, 21.0, "hot"), 3: ("insert", None, 30.0, "cold")}
+
+    assert main([
+        "cdc", "compact", "--snapshot", snap, "--key", "k", "--n-buckets", "8",
+    ]) == 0
+    out = str(tmp_path / "cur")
+    assert main(["cdc", "read", "--snapshot", snap, "-o", out]) == 0
+    cur = {r.k: (r.v, r.tag) for r in spark.read.parquet(out).collect()}
+    assert cur == {1: (10.0, None), 2: (21.0, "hot"), 3: (30.0, "cold")}
+    # missing required option -> usage error, not a traceback
+    assert main(["cdc", "compact", "--snapshot", snap, "--key", "k"]) == 2

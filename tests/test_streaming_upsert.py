@@ -845,3 +845,43 @@ def test_schema_evolution_rejects_retyped_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="never retypes"):
         merge_batch(spark, bad, snap, "k", ["v"])
+
+
+def test_stream_restart_with_widened_schema(spark, tmp_path):
+    """Schema evolution through the STREAM: run apply_cdc_stream with one
+    value column, then restart the checkpointed stream with a widened
+    column list over new change files — pre-widening rows null-backfill,
+    widened rows carry the new column, and the checkpoint prevents
+    re-application of the old files under the old schema."""
+    from baum_welch_spark.streaming.upsert import apply_cdc_stream, read_snapshot
+
+    upd1 = str(tmp_path / "upd1")
+    upd2 = str(tmp_path / "upd2")
+    snap = str(tmp_path / "snap")
+
+    spark.createDataFrame(
+        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1)],
+        "k long, v double, op string, ts long",
+    ).coalesce(1).write.mode("append").parquet(upd1)
+    s1 = spark.readStream.schema("k long, v double, op string, ts long").parquet(upd1)
+    apply_cdc_stream(
+        s1, snap, key="k", value_cols=["v"], checkpoint=str(tmp_path / "ck1"),
+        n_buckets=4,
+    ).awaitTermination(300)
+
+    # widened stream: new source dir + checkpoint (a stream's source schema
+    # is fixed at start), SAME snapshot — the merge widens it
+    spark.createDataFrame(
+        [(2, 21.0, "hot", "upsert", 2), (3, 30.0, "cold", "upsert", 2)],
+        "k long, v double, tag string, op string, ts long",
+    ).coalesce(1).write.mode("append").parquet(upd2)
+    s2 = spark.readStream.schema(
+        "k long, v double, tag string, op string, ts long"
+    ).parquet(upd2)
+    apply_cdc_stream(
+        s2, snap, key="k", value_cols=["v", "tag"],
+        checkpoint=str(tmp_path / "ck2"),
+    ).awaitTermination(300)
+
+    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: (10.0, None), 2: (21.0, "hot"), 3: (30.0, "cold")}
