@@ -1001,6 +1001,59 @@ def _q_cdc_compact(spark, sf):
     return cdc_compact_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_asset_frame_plan(spark, sf):
+    # DuckDB-exact (r9): the video frame-sampling PLAN is pure Catalyst
+    # (sequence + explode_outer over meta.duration_ms) and the synthetic
+    # asset table's durations are a closed form (video rows are i % 3 = 2
+    # with duration_ms = 1000 + i), so the oracle reconstructs the exact
+    # expansion with unnest(range()) — the multimodal stack's first
+    # hash-exact driver evidence
+    from baum_welch_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_assets,
+    )
+    from pyspark.sql import functions as F
+
+    assets = synthetic_assets(spark, n=96, seed=42)
+    return frame_sample_plan(assets, every_ms=250).select(
+        "asset_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+ASSET_FRAME_PLAN_SQL = """
+SELECT i AS asset_id, unnest(range(0, 1000 + i + 1, 250)) AS frame_ms
+FROM range(96) r(i) WHERE i % 3 = 2
+"""
+
+
+def _q_ghmm_trace(spark, sf):
+    # rows-only by nature (EM loop): the per-iteration total log-likelihood
+    # trace of the Gaussian-emission fit — oracle-adjacent evidence for the
+    # EM loop beyond the 1e-8 sequential pytest (the monotone-loglik
+    # property is ALSO asserted in-face: a non-monotone trace raises here
+    # rather than silently shipping rows)
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        fit_gaussian,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    res = fit_gaussian(
+        spark,
+        build_value_sequences(events),
+        GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0),
+        max_iter=3,
+    )
+    t = res.loglik_trace
+    if any(b < a - 1e-6 for a, b in zip(t, t[1:])):
+        raise AssertionError(f"non-monotone EM loglik trace: {t}")
+    return spark.createDataFrame(
+        [(i + 1, round(ll, 6)) for i, ll in enumerate(t)],
+        schema="iteration int, loglik double",
+    )
+
+
 def _q_cdc_schema_evolution(spark, sf):
     # DuckDB-exact (r9): schema evolution + partial updates — the
     # year-2000 batch widens the snapshot with an okey column, year-2001
@@ -1121,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline's first driver face (rows-only)
         "em_reestimate": _q_em_reestimate,
         "asset_neardup": _q_asset_neardup,
+        "asset_frame_plan": _q_asset_frame_plan,
+        "ghmm_trace": _q_ghmm_trace,
         # CHANGED: CDC n_buckets-in-manifest contract + snapshot_diff
         # presence markers (VERDICT-r8 #1/#2, ADVICE-r8), IVM broadcast
         # direction fix (VERDICT-r8 #5), Gaussian underflow guard
@@ -1173,10 +1228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "state_occupancy": _q_state_occupancy,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
+        # ---- driver's 50-entry window ends here (time_bucket_interpolate
+        # is #50) ----
+        # r6-vintage leftovers: head of the r10 rotation list
         "lineitem_stats": _q_lineitem_stats,
         "q7_volume_shipping": _q_q7,
-        # ---- driver's 50-entry window ends here (q7 is #50) ----
-        # r6-vintage leftovers: head of the r10 rotation list
         "q8_market_share": _q_q8,
         "q13_customer_distribution": _q_q13,
         "q15_top_supplier": _q_q15,
@@ -1413,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         # capped to the face's 2-year change-log
         "cdc_compact": _cdc_compact_sql(),
         "cdc_schema_evolution": _cdc_schema_evolution_sql(),
+        "asset_frame_plan": ASSET_FRAME_PLAN_SQL,
         # time-travel: historical version == year-capped global LWW
         "cdc_time_travel": _cdc_time_travel_sql(),
         # CDF between versions == full-outer diff of two LWW states
