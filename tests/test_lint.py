@@ -114,9 +114,11 @@ def test_driver_window_stays_oracle_dense():
     # own pytest oracles
     assert set(rows_only_in_window) <= {
         # multimodal pipeline: binary payloads have no SQL twin; pinned by
-        # planted-duplicate + hand-filtered-IDAT pytests (the frame-plan
-        # face IS DuckDB-exact — only the decode path lacks a SQL twin)
+        # planted-duplicate + hand-filtered-IDAT + pixel-resize pytests
+        # (the frame-plan face IS DuckDB-exact — only decode paths lack a
+        # SQL twin)
         "asset_neardup",
+        "asset_resize",
         # Gaussian EM loop (1e-8 sequential-NumPy-oracle pytest) and its
         # per-iteration trace (monotonicity asserted in-face)
         "ghmm_fit",
