@@ -1180,12 +1180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
     # any face whose code changes, and any NEW face, must be inside the
     # window the round it ships. r9 curation (VERDICT-r8 #3): the window is
-    # the 8 faces changed/added this round plus the 42 faces with the
+    # the 13 faces changed/added this round (7 new + 6 whose source
+    # drifted via the CDC/Gaussian edits) plus the 37 faces with the
     # STALEST driver evidence — all 10 last-checked-r4 and all 24
-    # last-checked-r5 faces, plus 8 of the 13 last-checked-r6 faces (the
-    # remaining 5 TPC-H faces head the r10 rotation list). The 50 r8-window
-    # faces and the 40 r7-checked faces dropped below, code-unchanged since
-    # their check (manifest-enforced).
+    # last-checked-r5 faces, plus 3 of the 13 last-checked-r6 faces (the
+    # remaining 10 r6-vintage faces, listed right below the boundary,
+    # head the r10 rotation list). The r8-window and r7-checked faces
+    # dropped below, code-unchanged since their check (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
         # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal

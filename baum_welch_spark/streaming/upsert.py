@@ -137,25 +137,33 @@ def _gc_generations(snapshot_dir: str, manifest: dict, retain: int = 1) -> None:
             shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
 
 
+def _read_backfilled(
+    spark: SparkSession, paths: list[str], types: dict[str, str], cols
+) -> DataFrame:
+    """The one schema-evolution read primitive every snapshot reader
+    shares: mergeSchema unions per-generation parquet schemas (a widening
+    merge leaves older generations without the new column), then columns
+    absent from EVERY read file are null-backfilled with their
+    manifest-recorded type."""
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for c in cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+    return df
+
+
 def _read_manifest_buckets(
     spark: SparkSession, snapshot_dir: str, manifest: dict
 ) -> DataFrame:
     """Read the manifest-pointed bucket files with schema evolution
-    applied: mergeSchema unions per-generation parquet schemas (a widening
-    merge leaves older generations without the new column), columns absent
-    from EVERY pointed file are null-backfilled from the manifest schema,
-    and the output column order follows the manifest (key first). Legacy
-    manifests without schema metadata read as-is."""
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *_bucket_paths(snapshot_dir, manifest)
-    )
+    applied (see :func:`_read_backfilled`); the output column order
+    follows the manifest (key first). Legacy manifests without schema
+    metadata read as-is."""
+    paths = _bucket_paths(snapshot_dir, manifest)
     cols = manifest.get("value_cols")
     if cols is None:
-        return df
-    schema = manifest.get("schema") or {}
-    for c in cols:
-        if c not in df.columns:
-            df = df.withColumn(c, F.lit(None).cast(schema[c]))
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = _read_backfilled(spark, paths, manifest.get("schema") or {}, cols)
     return df.select(manifest["key"], *cols)
 
 
@@ -263,6 +271,8 @@ def snapshot_diff(
             f"snapshot_diff: value column(s) {missing} are not in the "
             f"snapshot schema of {snapshot_dir}"
         )
+    # the manifest schema records the key's type too (since r9); only
+    # legacy no-schema snapshots with zero readable files fall back
     key_type = types.get(key, "bigint")
     empty_schema = f"{key} {key_type}, " + ", ".join(
         f"{c} {types[c]}" for c in value_cols
@@ -271,11 +281,9 @@ def snapshot_diff(
     def side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], empty_schema)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        for c in value_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(types[c]))
-        return df.select(key, *value_cols)
+        return _read_backfilled(spark, paths, types, value_cols).select(
+            key, *value_cols
+        )
 
     # presence is carried by an explicit marker column through the
     # full-outer join — NOT inferred from a value column's null-ness, so
@@ -406,7 +414,13 @@ def _merge_touched(
                 f"batch carries {batch_types[c]} — cast the batch (schema "
                 "evolution widens with NEW columns, it never retypes)"
             )
-    schema = {**stored_schema, **batch_types}
+    # the KEY's type is recorded too: snapshot_diff needs it to build a
+    # correctly-typed empty side (a bigint guess against a string key
+    # would type-coerce the full-outer join)
+    key_type = next(
+        f.dataType.simpleString() for f in delta.schema.fields if f.name == key
+    )
+    schema = {key: key_type, **stored_schema, **batch_types}
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
     )
@@ -421,13 +435,9 @@ def _merge_touched(
             ],
         )
     else:
-        # mergeSchema: touched buckets may span a widening boundary (some
-        # generations have the new column, some don't); fully-absent
-        # columns are backfilled from the manifest schema
-        base = spark.read.option("mergeSchema", "true").parquet(*base_paths)
-        for c in all_cols:
-            if c not in base.columns:
-                base = base.withColumn(c, F.lit(None).cast(schema[c]))
+        # touched buckets may span a widening boundary (some generations
+        # have the new column, some don't) — the shared backfilled read
+        base = _read_backfilled(spark, base_paths, schema, all_cols)
         j = base.join(delta.drop("_bucket"), key, "full_outer")
         batch_set = set(value_cols)
         merged = (
@@ -590,12 +600,14 @@ _IVM_STATE = "_ivm_state.json"
 
 def read_ivm_state(snapshot_dir: str) -> dict:
     """The streaming materialized aggregate maintained by
-    :func:`apply_cdc_stream_ivm`: {"epoch": last applied epoch id,
-    "groups": {group: [sum_value, count]}}. Empty-state shape before the
-    first batch."""
+    :func:`apply_cdc_stream_ivm`: {"applied_gen": highest snapshot
+    generation whose batch has been folded, "groups": {group:
+    [sum_value, count]}}. Group keys are STRINGS (the state is JSON —
+    non-string group columns are coerced with str() at fold time).
+    Empty-state shape before the first batch."""
     path = os.path.join(snapshot_dir, _IVM_STATE)
     if not os.path.exists(path):
-        return {"epoch": -1, "groups": {}}
+        return {"applied_gen": 0, "groups": {}}
     with open(path) as f:
         return json.load(f)
 
@@ -620,18 +632,34 @@ def apply_cdc_stream_ivm(
     into a group-sized JSON state, and then the batch merges into the
     snapshot. The snapshot is never rescanned to refresh the aggregate.
 
-    Exactly-once under checkpointed replay WITHOUT requiring the fold to
-    be idempotent (it isn't — folding a batch twice double-counts), via
-    epoch fencing ordered around the one non-idempotent step:
-      1. if epoch > state.epoch: fold deltas, write state (atomic replace)
-         recording the epoch;
+    Exactly-once under replay WITHOUT requiring the fold to be idempotent
+    (it isn't — folding a batch twice double-counts), by fencing on the
+    SNAPSHOT GENERATION the merge is about to create (each merge advances
+    the manifest gen by exactly one), ordered around the one
+    non-idempotent step:
+      1. let g = current manifest gen; if state.applied_gen == g: fold
+         deltas, write state (atomic replace) recording applied_gen=g+1;
       2. ALWAYS merge (merge_batch is an idempotent deterministic function
-         of (snapshot, batch)).
-    Crash before the state write: nothing happened, replay recomputes
-    against the unmerged snapshot. Crash between state write and merge:
-    replay sees the epoch recorded, skips the fold, and re-runs only the
-    idempotent merge. Both replay paths land on the same (state, snapshot)
-    — pinned by the restart pytest.
+         of (snapshot, batch), and it commits gen g+1).
+    Replay anatomy (a redelivered batch re-runs the whole body):
+      - crash before the state write: nothing happened; replay folds and
+        merges normally.
+      - crash between state write and merge: replay sees
+        applied_gen == g+1, SKIPS the fold (the non-idempotent step ran),
+        and re-runs only the idempotent merge.
+      - crash after the merge but before the stream commits the epoch:
+        both counters advanced together, so replay folds again — but
+        that re-fold computes agg_delta against the ALREADY-MERGED
+        snapshot, where every delta row is a no-op (new == old, presence
+        unchanged), so the aggregate is untouched; the re-merge is
+        idempotent. Self-healing, pinned by the double-apply pytest.
+    Any other applied_gen/gen relationship (a non-IVM writer advanced the
+    snapshot) raises instead of silently diverging. Fencing on the gen
+    rather than the foreachBatch epoch id makes the fence survive a
+    RESTART WITH A FRESH CHECKPOINT (epoch ids reset to 0 there — e.g.
+    the documented schema-widening restart — and an epoch fence would
+    silently skip folds while still merging, permanently diverging the
+    aggregate).
 
     Scale: the fold's collect is group-sized (one row per group), the
     delta/merge IO is O(touched buckets), and ``group_map`` joins the
@@ -639,46 +667,87 @@ def apply_cdc_stream_ivm(
     direction from runtime sizes."""
     spark = updates.sparkSession
     nb = _resolve_n_buckets(snapshot_dir, n_buckets)
-    state_path = os.path.join(snapshot_dir, _IVM_STATE)
 
-    def apply(batch: DataFrame, epoch: int) -> None:
-        d = collapse_delta(batch, key, [value_col], ts_col=ts_col, n_buckets=nb)
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            touched = sorted(
-                r._bucket for r in d.select("_bucket").distinct().collect()
-            )
-            if not touched:
-                return
-            st = read_ivm_state(snapshot_dir)
-            if epoch > st["epoch"]:
-                rows = (
-                    agg_delta(spark, d, snapshot_dir, key, value_col, touched=touched)
-                    .join(group_map, key)
-                    .groupBy(group_col)
-                    .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
-                    .collect()
-                )
-                for r in rows:
-                    g = st["groups"].setdefault(r[group_col], [0.0, 0])
-                    g[0] += r.dv
-                    g[1] += int(r.dn)
-                st["epoch"] = epoch
-                os.makedirs(snapshot_dir, exist_ok=True)
-                with open(state_path + ".tmp", "w") as f:
-                    json.dump(st, f, sort_keys=True)
-                os.replace(state_path + ".tmp", state_path)
-            _merge_touched(
-                spark, d, snapshot_dir, key, [value_col], touched, nb,
-                retain=retain,
-            )
-        finally:
-            d.unpersist()
+    def apply(batch: DataFrame, _epoch: int) -> None:
+        ivm_apply_batch(
+            spark, batch, snapshot_dir, key, value_col, group_map,
+            group_col=group_col, ts_col=ts_col, n_buckets=nb, retain=retain,
+        )
 
     writer = updates.writeStream.foreachBatch(apply).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def ivm_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    value_col: str,
+    group_map: DataFrame,
+    group_col: str = "group",
+    ts_col: str = "ts",
+    n_buckets: int | None = None,
+    retain: int = 1,
+) -> None:
+    """One fold+merge step of the streaming IVM protocol (see
+    :func:`apply_cdc_stream_ivm` for the fencing argument). Exposed as a
+    module function so the replay windows are directly testable."""
+    nb = _resolve_n_buckets(snapshot_dir, n_buckets)
+    state_path = os.path.join(snapshot_dir, _IVM_STATE)
+    d = collapse_delta(batch, key, [value_col], ts_col=ts_col, n_buckets=nb)
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = sorted(
+            r._bucket for r in d.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        manifest = _load_manifest(snapshot_dir)
+        g_cur = 0 if manifest is None else manifest["gen"]
+        st = read_ivm_state(snapshot_dir)
+        if not os.path.exists(state_path):
+            # IVM tracking starts NOW on a possibly pre-existing snapshot:
+            # the aggregate covers deltas from this point, so the fence
+            # anchors at the current generation
+            st["applied_gen"] = g_cur
+        if st["applied_gen"] == g_cur:
+            rows = (
+                agg_delta(spark, d, snapshot_dir, key, value_col, touched=touched)
+                .join(group_map, key)
+                .groupBy(group_col)
+                .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
+                .collect()
+            )
+            for r in rows:
+                # str(): the state is JSON — non-string group keys would
+                # otherwise fork into parallel int/str entries across
+                # save/load cycles
+                g = st["groups"].setdefault(str(r[group_col]), [0.0, 0])
+                g[0] += r.dv
+                g[1] += int(r.dn)
+            st["applied_gen"] = g_cur + 1
+            os.makedirs(snapshot_dir, exist_ok=True)
+            with open(state_path + ".tmp", "w") as f:
+                json.dump(st, f, sort_keys=True)
+            os.replace(state_path + ".tmp", state_path)
+        elif st["applied_gen"] != g_cur + 1:
+            raise RuntimeError(
+                f"IVM state desync at {snapshot_dir}: state applied_gen="
+                f"{st['applied_gen']} vs snapshot gen={g_cur} — a non-IVM "
+                "writer advanced the snapshot; rebuild the aggregate from "
+                "a full recompute"
+            )
+        # applied_gen == g_cur + 1: fold already recorded for the merge
+        # about to (re-)run — the crash-between-state-and-merge replay
+        _merge_touched(
+            spark, d, snapshot_dir, key, [value_col], touched, nb,
+            retain=retain,
+        )
+    finally:
+        d.unpersist()
 
 
 def _cdc_demo_log(
@@ -944,11 +1013,15 @@ def agg_delta(
     reads ONLY the manifest-pointed buckets the batch touches, never the
     full snapshot.
 
-    Per delta row with key k (old = snapshot value if k exists):
-      upsert, old exists:  d_value = new − old, d_count = 0
-      upsert, new key:     d_value = new,       d_count = +1
-      delete, old exists:  d_value = −old,      d_count = −1
-      delete, no old:      no row
+    Per delta row with key k (old = snapshot value if k exists; a NULL
+    value — possible since snapshots store nullable evolved columns —
+    contributes 0 to the sum, matching ``F.sum``'s NULL-skipping in a
+    full recompute; row PRESENCE is carried by an explicit marker, never
+    inferred from value null-ness):
+      upsert, key in base:  d_value = (new ?? 0) − (old ?? 0), d_count = 0
+      upsert, new key:      d_value = (new ?? 0),              d_count = +1
+      delete, key in base:  d_value = −(old ?? 0),             d_count = −1
+      delete, no such key:  no row
     Must be computed BEFORE merge_batch applies the same batch (it reads
     pre-merge state). ``delta`` is collapse_batch output with the
     ``_d_{value_col}``/``op``/``_bucket`` columns (see merge_batch).
@@ -961,28 +1034,28 @@ def agg_delta(
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
     )
-    dv = F.col(f"_d_{value_col}")
+    dv = F.coalesce(F.col(f"_d_{value_col}"), F.lit(0.0))
     if not base_paths:
         return delta.filter(F.col("op") == "upsert").select(
             F.col(key),
             dv.alias("d_value"),
             F.lit(1).cast("long").alias("d_count"),
         )
-    base = spark.read.option("mergeSchema", "true").parquet(*base_paths)
-    if value_col not in base.columns:  # widened column: no old values yet
-        manifest_schema = (manifest.get("schema") or {}) if manifest else {}
-        base = base.withColumn(
-            value_col, F.lit(None).cast(manifest_schema.get(value_col, "double"))
-        )
-    base = base.select(key, F.col(value_col).alias("_old"))
+    vtype = ((manifest.get("schema") or {}) if manifest else {}).get(
+        value_col, "double"
+    )
+    base = _read_backfilled(spark, base_paths, {value_col: vtype}, [value_col]).select(
+        key, F.col(value_col).alias("_old"), F.lit(True).alias("_in_base")
+    )
     j = delta.join(base, key, "left_outer")
-    has_old = F.col("_old").isNotNull()
+    has_old = F.col("_in_base").isNotNull()
+    old0 = F.coalesce(F.col("_old"), F.lit(0.0))
     return (
         j.filter((F.col("op") == "upsert") | has_old)
         .select(
             F.col(key),
-            F.when(F.col("op") == "upsert", dv - F.coalesce(F.col("_old"), F.lit(0.0)))
-            .otherwise(-F.col("_old"))
+            F.when(F.col("op") == "upsert", dv - F.when(has_old, old0).otherwise(F.lit(0.0)))
+            .otherwise(-old0)
             .alias("d_value"),
             F.when(F.col("op") == "upsert", F.when(has_old, 0).otherwise(1))
             .otherwise(-1)

@@ -674,177 +674,166 @@ def test_stream_ivm_matches_recompute_and_survives_restart(spark, tmp_path):
     assert got2 == recompute() == {"odd": (91.0, 3)}
 
 
-def test_stream_ivm_fold_is_fenced_against_replay(spark, tmp_path):
-    """The crash window the epoch fence exists for: a batch whose FOLD
-    completed but whose MERGE did not must, on replay, skip the fold and
-    re-run only the merge — simulated by calling the foreachBatch body
-    twice with the same epoch id."""
+def test_stream_ivm_fence_crash_windows(spark, tmp_path):
+    """The three replay windows of the gen-fenced IVM protocol, driven
+    through the REAL per-batch function (ivm_apply_batch):
+      (a) full double-apply (crash after merge, before epoch commit):
+          the re-fold computes agg_delta against the already-merged
+          snapshot where every delta row is a no-op — self-healing;
+      (b) crash between state write and merge: replay skips the fold and
+          re-runs only the idempotent merge;
+      (c) a non-IVM writer advancing the snapshot raises a desync error
+          instead of silently diverging."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        ivm_apply_batch,
+        merge_batch,
+        read_ivm_state,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    group_map = spark.createDataFrame([(1, "g"), (2, "g"), (3, "g")], "k long, grp string")
+    b1 = spark.createDataFrame(
+        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1)],
+        "k long, v double, op string, ts long",
+    )
+    ivm_apply_batch(spark, b1, snap, "k", "v", group_map, group_col="grp", n_buckets=4)
+    st = read_ivm_state(snap)
+    assert st["applied_gen"] == 1 and st["groups"]["g"] == [30.0, 2]
+
+    # (a) full double-apply of the SAME batch: self-healing no-op fold
+    ivm_apply_batch(spark, b1, snap, "k", "v", group_map, group_col="grp", n_buckets=4)
+    st = read_ivm_state(snap)
+    assert st["groups"]["g"] == [30.0, 2]  # NOT 60.0/4
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {1: 10.0, 2: 20.0}
+
+    # (b) crash between state write and merge: hand-write the post-fold
+    # state for batch2 (applied_gen = gen+1), then replay the protocol —
+    # the fold must be skipped (a second fold would add 30 again), the
+    # merge must still land
+    b2 = spark.createDataFrame(
+        [(3, 30.0, "upsert", 2), (1, 0.0, "delete", 2)],
+        "k long, v double, op string, ts long",
+    )
+    st = read_ivm_state(snap)
+    g_cur = json.load(open(os.path.join(snap, "_manifest.json")))["gen"]
+    st["groups"]["g"] = [st["groups"]["g"][0] + 30.0 - 10.0, st["groups"]["g"][1]]
+    st["applied_gen"] = g_cur + 1
+    with open(os.path.join(snap, "_ivm_state.json"), "w") as f:
+        json.dump(st, f)
+    ivm_apply_batch(spark, b2, snap, "k", "v", group_map, group_col="grp", n_buckets=4)
+    st = read_ivm_state(snap)
+    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
+    assert got == {2: 20.0, 3: 30.0}
+    assert st["groups"]["g"] == [50.0, 2]  # fold not re-applied
+
+    # (c) non-IVM writer advances the snapshot -> desync raises
+    merge_batch(
+        spark,
+        spark.createDataFrame([(9, 90.0, "upsert", 9)], "k long, v double, op string, ts long"),
+        snap, "k", ["v"],
+    )
+    with pytest.raises(RuntimeError, match="desync"):
+        ivm_apply_batch(
+            spark,
+            spark.createDataFrame([(2, 21.0, "upsert", 10)], "k long, v double, op string, ts long"),
+            snap, "k", "v", group_map, group_col="grp", n_buckets=4,
+        )
+
+
+def test_stream_ivm_survives_fresh_checkpoint_and_int_groups(spark, tmp_path):
+    """The two review-found defects as regressions: (1) a restart with a
+    FRESH checkpoint (epoch ids reset to 0 — the documented
+    schema-widening restart pattern) must keep folding new batches (a
+    bare-epoch fence would skip them while still merging); (2) integer
+    group columns must not fork into parallel int/str state entries
+    across JSON save/load cycles."""
     from baum_welch_spark.streaming.upsert import (
         apply_cdc_stream_ivm,
         read_ivm_state,
         read_snapshot,
     )
 
-    upd_dir = str(tmp_path / "updates")
+    upd1 = str(tmp_path / "u1")
+    upd2 = str(tmp_path / "u2")
     snap = str(tmp_path / "snap")
-    group_map = spark.createDataFrame([(1, "g"), (2, "g")], "k long, grp string")
+    group_map = spark.createDataFrame(
+        [(k, k % 2) for k in range(1, 100)], "k long, grp long"  # INT groups
+    )
     spark.createDataFrame(
-        [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 1)],
-        "k long, v double, op string, ts long",
-    ).coalesce(1).write.mode("append").parquet(upd_dir)
+        [(1, 10.0, "upsert", 1)], "k long, v double, op string, ts long"
+    ).coalesce(1).write.mode("append").parquet(upd1)
+    spark.createDataFrame(
+        [(2, 20.0, "upsert", 2)], "k long, v double, op string, ts long"
+    ).coalesce(1).write.mode("append").parquet(upd1)
+    s1 = spark.readStream.schema("k long, v double, op string, ts long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(upd1)
+    apply_cdc_stream_ivm(
+        s1, snap, key="k", value_col="v", group_map=group_map, group_col="grp",
+        checkpoint=str(tmp_path / "ck1"), n_buckets=4,
+    ).awaitTermination(300)
+    st = read_ivm_state(snap)
+    assert st["groups"] == {"1": [10.0, 1], "0": [20.0, 1]}
 
-    stream = (
-        spark.readStream.schema("k long, v double, op string, ts long")
-        .parquet(upd_dir)
+    # fresh checkpoint + new source dir: epochs reset to 0; both new
+    # batches must still fold
+    spark.createDataFrame(
+        [(3, 30.0, "upsert", 3)], "k long, v double, op string, ts long"
+    ).coalesce(1).write.mode("append").parquet(upd2)
+    spark.createDataFrame(
+        [(4, 40.0, "upsert", 4)], "k long, v double, op string, ts long"
+    ).coalesce(1).write.mode("append").parquet(upd2)
+    s2 = spark.readStream.schema("k long, v double, op string, ts long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(upd2)
+    apply_cdc_stream_ivm(
+        s2, snap, key="k", value_col="v", group_map=group_map, group_col="grp",
+        checkpoint=str(tmp_path / "ck2"), n_buckets=4,
+    ).awaitTermination(300)
+    st = read_ivm_state(snap)
+    assert st["groups"] == {"1": [40.0, 2], "0": [60.0, 2]}
+    rows = (
+        read_snapshot(spark, snap).join(group_map, "k").groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
     )
-    q = apply_cdc_stream_ivm(
-        stream, snap, key="k", value_col="v", group_map=group_map,
-        group_col="grp", checkpoint=str(tmp_path / "ckpt"), n_buckets=4,
-    )
-    q.awaitTermination(300)
-    # replay epoch 0 by hand: batch as a plain DataFrame through merge path
-    # — the fold must be skipped (epoch not newer), the merge is idempotent
+    assert {str(r.grp): [float(r.s), r.n] for r in rows} == st["groups"]
+
+
+def test_agg_delta_null_values_and_null_presence(spark, tmp_path):
+    """NULL-value handling (review finding): a NULL upsert over an
+    existing value must contribute -(old), a key whose stored value is
+    NULL must still count as PRESENT (marker, not value-null-ness), and
+    group sums never collect as None."""
     from baum_welch_spark.streaming.upsert import (
-        _merge_touched,
         agg_delta,
         collapse_delta,
-    )
-
-    st1 = read_ivm_state(snap)
-    batch = spark.read.parquet(upd_dir)
-    d = collapse_delta(batch, "k", ["v"], n_buckets=4)
-    touched = sorted(r._bucket for r in d.select("_bucket").distinct().collect())
-    # guard condition from apply_cdc_stream_ivm: epoch 0 is NOT > stored
-    assert not (0 > st1["epoch"]) and st1["epoch"] == 0
-    _merge_touched(spark, d, snap, "k", ["v"], touched, 4)
-    st2 = read_ivm_state(snap)
-    assert st2 == st1  # state untouched by the replayed merge
-    got = {r.k: r.v for r in read_snapshot(spark, snap).collect()}
-    assert got == {1: 10.0, 2: 20.0}
-    assert st2["groups"]["g"] == [30.0, 2]
-
-
-def test_cdc_compact_face_matches_uncompacted_apply(spark):
-    """Compaction must be invisible to readers: the compact face (4 -> 8
-    buckets mid-log) lands on exactly the state the plain per-year apply
-    produces over the same 2-year change-log with no compaction."""
-    from baum_welch_spark.streaming.upsert import (
-        cdc_apply_batch_face,
-        cdc_compact_face,
-    )
-
-    customer = load_table(spark, SF0001, "customer")
-    orders = load_table(spark, SF0001, "orders")
-    a = {r.cust_id: r.bal for r in cdc_compact_face(spark, customer, orders).collect()}
-    b = {
-        r.cust_id: r.bal
-        for r in cdc_apply_batch_face(spark, customer, orders, since_year=2000).collect()
-    }
-    assert a and a == b
-
-
-def test_schema_evolution_widen_preserve_and_backfill(spark, tmp_path):
-    """Schema evolution (the Delta mergeSchema analogue): a widening merge
-    adds a column (older generations null-backfill on read), a later
-    PARTIAL merge that omits it preserves it on matched rows and leaves it
-    NULL on inserts, and deletes + re-inserts reset it."""
-    import json
-    import os
-
-    from baum_welch_spark.streaming.upsert import merge_batch, read_snapshot
-
-    snap = str(tmp_path / "snap")
-    base = spark.createDataFrame(
-        [(k, float(k), "upsert", 1) for k in range(1, 9)],
-        "k long, v double, op string, ts long",
-    )
-    merge_batch(spark, base, snap, "k", ["v"], n_buckets=4)
-
-    # widening batch: sets (v, tag) for keys 1-3
-    b2 = spark.createDataFrame(
-        [(1, 10.0, "a", "upsert", 2), (2, 20.0, "b", "upsert", 2), (3, 0.0, "x", "delete", 2)],
-        "k long, v double, tag string, op string, ts long",
-    )
-    merge_batch(spark, b2, snap, "k", ["v", "tag"])
-    with open(os.path.join(snap, "_manifest.json")) as f:
-        m = json.load(f)
-    assert m["value_cols"] == ["v", "tag"] and m["schema"]["tag"] == "string"
-    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
-    # widened rows carry tag; untouched rows (old generations) backfill NULL
-    assert got[1] == (10.0, "a") and got[2] == (20.0, "b")
-    assert 3 not in got
-    assert all(got[k] == (float(k), None) for k in range(4, 9))
-
-    # partial batch omits tag: matched rows PRESERVE it, inserts get NULL,
-    # a delete + re-insert of key 2 resets it
-    b3 = spark.createDataFrame(
-        [(1, 11.0, "upsert", 3), (2, 0.0, "delete", 3), (9, 90.0, "upsert", 3)],
-        "k long, v double, op string, ts long",
-    )
-    merge_batch(spark, b3, snap, "k", ["v"])
-    b4 = spark.createDataFrame(
-        [(2, 22.0, "upsert", 4)], "k long, v double, op string, ts long"
-    )
-    merge_batch(spark, b4, snap, "k", ["v"])
-    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
-    assert got[1] == (11.0, "a")      # preserved through the partial update
-    assert got[2] == (22.0, None)     # delete + re-insert reset the tag
-    assert got[9] == (90.0, None)     # fresh insert: NULL for the omitted col
-    # column-order contract: key first, then the evolved list
-    assert read_snapshot(spark, snap).columns == ["k", "v", "tag"]
-
-
-def test_schema_evolution_is_versioned_and_diffable(spark, tmp_path):
-    """Time travel reads a pre-widening version with its own narrower
-    column list; snapshot_diff across the widening boundary null-backfills
-    the new column on the from side."""
-    from baum_welch_spark.streaming.upsert import (
         merge_batch,
-        read_snapshot_at,
-        snapshot_diff,
     )
 
     snap = str(tmp_path / "snap")
     merge_batch(
         spark,
         spark.createDataFrame(
-            [(1, 1.0, "upsert", 1), (2, 2.0, "upsert", 1)],
+            [(1, 5.0, "upsert", 1), (2, None, "upsert", 1)],
             "k long, v double, op string, ts long",
-        ),
-        snap, "k", ["v"], n_buckets=4, retain=3,
-    )
-    merge_batch(
-        spark,
-        spark.createDataFrame(
-            [(1, 1.5, "w", "upsert", 2)], "k long, v double, tag string, op string, ts long"
-        ),
-        snap, "k", ["v", "tag"], retain=3,
-    )
-    # version 1 predates the widening: no tag column at all
-    assert read_snapshot_at(spark, snap, 1).columns == ["k", "v"]
-    assert read_snapshot_at(spark, snap, 2).columns == ["k", "v", "tag"]
-    d = snapshot_diff(spark, snap, v_from=1, v_to=2, key="k", value_cols=["v", "tag"])
-    got = {r.k: (r.op, r.old_v, r.new_v, r.old_tag, r.new_tag) for r in d.collect()}
-    assert got == {1: ("update", 1.0, 1.5, None, "w")}
-
-
-def test_schema_evolution_rejects_retyped_column(spark, tmp_path):
-    """Widening adds NEW columns; retyping an existing one fails fast."""
-    from baum_welch_spark.streaming.upsert import merge_batch
-
-    snap = str(tmp_path / "snap")
-    merge_batch(
-        spark,
-        spark.createDataFrame(
-            [(1, 1.0, "upsert", 1)], "k long, v double, op string, ts long"
         ),
         snap, "k", ["v"], n_buckets=4,
     )
-    bad = spark.createDataFrame(
-        [(1, "oops", "upsert", 2)], "k long, v string, op string, ts long"
+    batch = spark.createDataFrame(
+        [
+            (1, None, "upsert", 2),   # value -> NULL: d_value = -5, count 0
+            (2, 7.0, "upsert", 2),    # NULL -> 7: d_value = +7, count 0 (present!)
+            (2, 0.0, "noop", 0),      # ignored by collapse (older ts)
+        ],
+        "k long, v double, op string, ts long",
     )
-    with pytest.raises(ValueError, match="never retypes"):
-        merge_batch(spark, bad, snap, "k", ["v"])
+    d = collapse_delta(batch.filter("op != 'noop'"), "k", ["v"], n_buckets=4)
+    rows = {r.k: (r.d_value, r.d_count) for r in agg_delta(spark, d, snap, "k", "v").collect()}
+    assert rows == {1: (-5.0, 0), 2: (7.0, 0)}
 
 
 def test_stream_restart_with_widened_schema(spark, tmp_path):
