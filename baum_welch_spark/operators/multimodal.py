@@ -268,10 +268,20 @@ def neardup_assets_by_feature(
     from baum_welch_spark.functions.columns import as_double_array, dot, l2_norm
 
     # persist: both self-join sides reference feats — uncached, the decode
-    # mapInPandas stage (the expensive part) would execute twice
+    # mapInPandas stage (the expensive part) would execute twice. The
+    # exact pair stage is the SMALL-TABLE path (corpus scale goes through
+    # LSH — features are just another embedding column once extracted), so
+    # the feature frame is repartition(1)'d for the join: a handful of
+    # 8-float rows spread across the default partitioning makes the
+    # inequality self-join pay N_part^2 near-empty nested-loop tasks
+    # (measured 5.6 s -> ~2 s for the 96-asset face). repartition, NOT
+    # coalesce: the shuffle boundary keeps the decode kernel at its
+    # natural parallelism upstream; coalesce would fold the decode itself
+    # into one task.
     feats = (
         extract_features(assets, decode_stub=decode_stub)
         .select("asset_id", as_double_array(F.col("feature")).alias("v"))
+        .repartition(1)
         .persist()
     )
     a = feats.select(
