@@ -992,7 +992,7 @@ def _q_cdc_changes(spark, sf):
 
 def _q_cdc_compact(spark, sf):
     # DuckDB-exact (r9): compact_snapshot mid-change-log — full re-bucket
-    # 4 -> 8 after the second year batch, later merges omit n_buckets (the
+    # 4 -> 8 after the first year batch, later merges omit n_buckets (the
     # manifest-stored post-compaction modulus must win); final state equals
     # the same global LWW oracle as cdc_apply_batch, so compaction is
     # provably invisible to readers
@@ -1064,7 +1064,10 @@ def _q_ghmm_trace(spark, sf):
         max_iter=3,
     )
     t = res.loglik_trace
-    if any(b < a - 1e-6 for a, b in zip(t, t[1:])):
+    # RELATIVE tolerance: total logliks scale with the corpus (~1e6+ at
+    # sf0.1), where partition-order float-summation noise alone exceeds
+    # any fixed absolute epsilon on a near-plateau iteration
+    if any(b < a - 1e-9 * max(1.0, abs(a)) for a, b in zip(t, t[1:])):
         raise AssertionError(f"non-monotone EM loglik trace: {t}")
     return spark.createDataFrame(
         [(i + 1, round(ll, 6)) for i, ll in enumerate(t)],
@@ -1243,7 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "bigram_lm_score": _q_bigram_lm_score,
-        # --- rotated IN: last driver-verified r6 (8 of 13) ---
+        # --- rotated IN: last driver-verified r6 (3 of 13) ---
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
         "state_occupancy": _q_state_occupancy,

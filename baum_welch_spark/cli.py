@@ -567,11 +567,16 @@ def cmd_cdc(args) -> int:
                 "versions": list_versions(args.snapshot),
             }))
         elif args.action == "read":
-            df = (
-                read_snapshot(spark, args.snapshot)
-                if args.version is None
-                else read_snapshot_at(spark, args.snapshot, args.version)
-            )
+            try:
+                df = (
+                    read_snapshot(spark, args.snapshot)
+                    if args.version is None
+                    else read_snapshot_at(spark, args.snapshot, args.version)
+                )
+            except KeyError as e:
+                # GC'd / never-committed version: a usage error, not a crash
+                print(f"cdc read: {e.args[0]}", file=sys.stderr)
+                return 2
             if df is None:
                 print("(empty snapshot)")
             elif args.output:
@@ -582,10 +587,14 @@ def cmd_cdc(args) -> int:
         elif args.action == "versions":
             print(json.dumps(list_versions(args.snapshot)))
         elif args.action == "diff":
-            d = snapshot_diff(
-                spark, args.snapshot, args.from_version, args.to_version,
-                key=args.key, value_cols=args.value_cols.split(","),
-            )
+            try:
+                d = snapshot_diff(
+                    spark, args.snapshot, args.from_version, args.to_version,
+                    key=args.key, value_cols=args.value_cols.split(","),
+                )
+            except KeyError as e:
+                print(f"cdc diff: {e.args[0]}", file=sys.stderr)
+                return 2
             if args.output:
                 d.write.mode("overwrite").parquet(args.output)
                 print(f"changes written to {args.output}")

@@ -342,7 +342,12 @@ def em_reestimate(
     dense random model), so plain round needs no signed-zero guard."""
     bc = spark.sparkContext.broadcast((model.pi, model.A, model.B))
     counts = expected_counts(sequences, bc)
-    return normalize_counts(counts).select(
+    # weight > 0: the E-step UDF emits the DENSE N x (N+M) accumulator
+    # including exactly-zero cells (a symbol absent from the corpus, or a
+    # fully-underflowed state); the oracle's GROUP BYs only produce rows
+    # for observed events, so zero-weight cells must be absent on both
+    # sides (the same sparse-output contract as viterbi_reestimate)
+    return normalize_counts(counts.filter(F.col("weight") > 0)).select(
         "kind", "i", "j", F.round(F.col("prob"), 6).alias("prob")
     )
 
@@ -372,18 +377,21 @@ def em_reestimate_oracle_sql(model: HMM) -> str:
         for i in j1
         for j in j1
     )
+    # HAVING > 0 on every branch: the Spark face drops exactly-zero count
+    # cells (sparse-output contract), so the oracle must too — an initial/
+    # transition branch with no WHERE would otherwise always emit a row
     init_branches = "\n  UNION ALL\n".join(
-        f"  SELECT '{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0"
+        f"  SELECT '{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0 HAVING sum(g{j}) > 0"
         for j in j1
     )
     trans_branches = "\n  UNION ALL\n".join(
-        f"  SELECT '{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi"
+        f"  SELECT '{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi HAVING sum(x{i}_{j}) > 0"
         for i in j1
         for j in j1
     )
     emit_branches = "\n  UNION ALL\n".join(
         f"  SELECT '{KIND_EMISSION}', {j - 1}, c.sym, sum(g.g{j})"
-        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t GROUP BY c.sym"
+        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t GROUP BY c.sym HAVING sum(g.g{j}) > 0"
         for j in j1
     )
     return (

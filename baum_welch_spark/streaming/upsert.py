@@ -138,13 +138,24 @@ def _gc_generations(snapshot_dir: str, manifest: dict, retain: int = 1) -> None:
 
 
 def _read_backfilled(
-    spark: SparkSession, paths: list[str], types: dict[str, str], cols
+    spark: SparkSession,
+    paths: list[str],
+    types: dict[str, str],
+    cols,
+    key: str | None = None,
 ) -> DataFrame:
     """The one schema-evolution read primitive every snapshot reader
-    shares: mergeSchema unions per-generation parquet schemas (a widening
-    merge leaves older generations without the new column), then columns
-    absent from EVERY read file are null-backfilled with their
-    manifest-recorded type."""
+    shares. When the manifest records every requested column's type
+    (key included — any r9+ snapshot), the read passes an EXPLICIT
+    schema: the parquet reader null-fills requested-but-absent columns
+    per file for free, with a single footer read instead of
+    mergeSchema's reconcile-every-footer job per query — the 100 TB
+    read path. Legacy manifests without full type metadata fall back to
+    mergeSchema + per-column null backfill (semantics identical)."""
+    wanted = ([key] if key is not None else []) + [c for c in cols if c != key]
+    if key is not None and all(c in types for c in wanted):
+        ddl = ", ".join(f"`{c}` {types[c]}" for c in wanted)
+        return spark.read.schema(ddl).parquet(*paths)
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     for c in cols:
         if c not in df.columns:
@@ -163,7 +174,9 @@ def _read_manifest_buckets(
     cols = manifest.get("value_cols")
     if cols is None:
         return spark.read.option("mergeSchema", "true").parquet(*paths)
-    df = _read_backfilled(spark, paths, manifest.get("schema") or {}, cols)
+    df = _read_backfilled(
+        spark, paths, manifest.get("schema") or {}, cols, key=manifest["key"]
+    )
     return df.select(manifest["key"], *cols)
 
 
@@ -233,6 +246,7 @@ def snapshot_diff(
         )
     m_from = _load_version_manifest(snapshot_dir, v_from)
     m_to = _load_version_manifest(snapshot_dir, v_to)
+    _check_key(m_to, key, snapshot_dir)
     all_b = set(m_from["buckets"]) | set(m_to["buckets"])
     changed = sorted(
         int(b) for b in all_b
@@ -281,7 +295,7 @@ def snapshot_diff(
     def side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], empty_schema)
-        return _read_backfilled(spark, paths, types, value_cols).select(
+        return _read_backfilled(spark, paths, types, value_cols, key=key).select(
             key, *value_cols
         )
 
@@ -389,6 +403,7 @@ def _merge_touched(
     retain: int = 1,
 ) -> None:
     manifest = _load_manifest(snapshot_dir)
+    _check_key(manifest, key, snapshot_dir)
     # schema evolution (the Delta mergeSchema analogue): value_cols is the
     # set THIS batch sets. Stored columns the batch omits are PRESERVED on
     # matched rows and NULL on inserts (partial-column upsert); batch
@@ -437,7 +452,7 @@ def _merge_touched(
     else:
         # touched buckets may span a widening boundary (some generations
         # have the new column, some don't) — the shared backfilled read
-        base = _read_backfilled(spark, base_paths, schema, all_cols)
+        base = _read_backfilled(spark, base_paths, schema, all_cols, key=key)
         j = base.join(delta.drop("_bucket"), key, "full_outer")
         batch_set = set(value_cols)
         merged = (
@@ -523,12 +538,25 @@ def snapshot_n_buckets(snapshot_dir: str) -> int | None:
     return None if m is None else m.get("n_buckets")
 
 
+def _check_key(manifest: dict | None, key: str, snapshot_dir: str) -> None:
+    """Fail fast when the caller's key column contradicts the
+    manifest-recorded one — hashing/joining under the wrong key scatters
+    rows across buckets exactly like a wrong modulus would (the class of
+    corruption _resolve_n_buckets guards against on the bucket side)."""
+    stored = None if manifest is None else manifest.get("key")
+    if stored is not None and stored != key:
+        raise ValueError(
+            f"snapshot {snapshot_dir} is keyed on {stored!r}; the call "
+            f"passed key={key!r}"
+        )
+
+
 def compact_snapshot(
     spark: SparkSession,
     snapshot_dir: str,
     key: str,
     n_buckets: int,
-    retain: int = 1,
+    retain: int | None = None,
 ) -> None:
     """Re-bucket the snapshot under a new modulus: read every current
     bucket, rewrite ALL rows into one fresh generation hashed on
@@ -538,10 +566,19 @@ def compact_snapshot(
     sanctioned way to change a table's bucket count, because merging under
     a different modulus than the data was written with would scatter keys
     across buckets and corrupt every later bucket-pruned read. Retained
-    older versions keep reading their own (pre-compaction) generations."""
+    older versions keep reading their own (pre-compaction) generations.
+
+    ``retain=None`` (default) PRESERVES the current retention horizon
+    (everything readable before the compaction stays readable, plus the
+    new version) — the maintenance command must not silently garbage-
+    collect a user's time-travel history; pass an explicit value to
+    shrink it."""
     manifest = _load_manifest(snapshot_dir)
     if manifest is None:
         raise ValueError(f"no snapshot at {snapshot_dir} to compact")
+    _check_key(manifest, key, snapshot_dir)
+    if retain is None:
+        retain = len(list_versions(snapshot_dir)) + 1
     gen = manifest["gen"] + 1
     buckets: dict[str, int] = {}
     cur = read_snapshot(spark, snapshot_dir)
@@ -601,10 +638,12 @@ _IVM_STATE = "_ivm_state.json"
 def read_ivm_state(snapshot_dir: str) -> dict:
     """The streaming materialized aggregate maintained by
     :func:`apply_cdc_stream_ivm`: {"applied_gen": highest snapshot
-    generation whose batch has been folded, "groups": {group:
-    [sum_value, count]}}. Group keys are STRINGS (the state is JSON —
-    non-string group columns are coerced with str() at fold time).
-    Empty-state shape before the first batch."""
+    generation whose batch has been folded, "pending_fp": content
+    fingerprint of the batch whose fold that generation records (the
+    skip-fold replay path verifies the redelivered batch against it),
+    "groups": {group: [sum_value, count]}}. Group keys are STRINGS (the
+    state is JSON — non-string group columns are coerced with str() at
+    fold time). Empty-state shape before the first batch."""
     path = os.path.join(snapshot_dir, _IVM_STATE)
     if not os.path.exists(path):
         return {"applied_gen": 0, "groups": {}}
@@ -645,8 +684,12 @@ def apply_cdc_stream_ivm(
       - crash before the state write: nothing happened; replay folds and
         merges normally.
       - crash between state write and merge: replay sees
-        applied_gen == g+1, SKIPS the fold (the non-idempotent step ran),
-        and re-runs only the idempotent merge.
+        applied_gen == g+1 AND a matching batch fingerprint, SKIPS the
+        fold (the non-idempotent step ran), and re-runs only the
+        idempotent merge. A DIFFERENT batch arriving in that window (a
+        fresh-checkpoint restart whose first micro-batch no longer equals
+        the crashed one) fails the fingerprint check and raises instead
+        of silently skipping its fold.
       - crash after the merge but before the stream commits the epoch:
         both counters advanced together, so replay folds again — but
         that re-fold computes agg_delta against the ALREADY-MERGED
@@ -713,6 +756,16 @@ def ivm_apply_batch(
             # the aggregate covers deltas from this point, so the fence
             # anchors at the current generation
             st["applied_gen"] = g_cur
+        # order-insensitive content fingerprint of the collapsed batch:
+        # the gen fence alone cannot distinguish "replay of the batch
+        # whose fold was recorded" from "a DIFFERENT batch arriving after
+        # a crash + fresh-checkpoint restart" — skipping the fold for the
+        # latter would silently diverge the aggregate, so the skip path
+        # verifies the batch is the same one the pending fold recorded
+        fp_row = d.select(
+            F.xxhash64(F.col(key), F.col("op"), F.col(f"_d_{value_col}")).alias("h")
+        ).agg(F.expr("bit_xor(h)").alias("x")).first()
+        fp = int(fp_row.x) if fp_row.x is not None else 0
         if st["applied_gen"] == g_cur:
             rows = (
                 agg_delta(spark, d, snapshot_dir, key, value_col, touched=touched)
@@ -729,6 +782,7 @@ def ivm_apply_batch(
                 g[0] += r.dv
                 g[1] += int(r.dn)
             st["applied_gen"] = g_cur + 1
+            st["pending_fp"] = fp
             os.makedirs(snapshot_dir, exist_ok=True)
             with open(state_path + ".tmp", "w") as f:
                 json.dump(st, f, sort_keys=True)
@@ -740,8 +794,17 @@ def ivm_apply_batch(
                 "writer advanced the snapshot; rebuild the aggregate from "
                 "a full recompute"
             )
-        # applied_gen == g_cur + 1: fold already recorded for the merge
-        # about to (re-)run — the crash-between-state-and-merge replay
+        elif st.get("pending_fp") is not None and st["pending_fp"] != fp:
+            raise RuntimeError(
+                f"IVM state desync at {snapshot_dir}: a fold is recorded "
+                "for a batch whose merge never committed, and the arriving "
+                "batch differs from it (crash + fresh-checkpoint restart "
+                "with changed source composition); re-deliver the original "
+                "batch or rebuild the aggregate from a full recompute"
+            )
+        # applied_gen == g_cur + 1 AND same fingerprint: fold already
+        # recorded for the merge about to (re-)run — the
+        # crash-between-state-and-merge replay
         _merge_touched(
             spark, d, snapshot_dir, key, [value_col], touched, nb,
             retain=retain,
@@ -1027,6 +1090,7 @@ def agg_delta(
     ``_d_{value_col}``/``op``/``_bucket`` columns (see merge_batch).
     """
     manifest = _load_manifest(snapshot_dir)
+    _check_key(manifest, key, snapshot_dir)
     if touched is None:
         touched = sorted(
             r._bucket for r in delta.select("_bucket").distinct().collect()
@@ -1041,20 +1105,21 @@ def agg_delta(
             dv.alias("d_value"),
             F.lit(1).cast("long").alias("d_count"),
         )
-    vtype = ((manifest.get("schema") or {}) if manifest else {}).get(
-        value_col, "double"
-    )
-    base = _read_backfilled(spark, base_paths, {value_col: vtype}, [value_col]).select(
-        key, F.col(value_col).alias("_old"), F.lit(True).alias("_in_base")
-    )
+    types = dict((manifest.get("schema") or {}) if manifest else {})
+    types.setdefault(value_col, "double")
+    base = _read_backfilled(
+        spark, base_paths, types, [value_col], key=key
+    ).select(key, F.col(value_col).alias("_old"), F.lit(True).alias("_in_base"))
     j = delta.join(base, key, "left_outer")
     has_old = F.col("_in_base").isNotNull()
+    # _old is NULL exactly when the key is absent OR its stored value is
+    # NULL — both contribute 0 to the sum, so one coalesce covers both
     old0 = F.coalesce(F.col("_old"), F.lit(0.0))
     return (
         j.filter((F.col("op") == "upsert") | has_old)
         .select(
             F.col(key),
-            F.when(F.col("op") == "upsert", dv - F.when(has_old, old0).otherwise(F.lit(0.0)))
+            F.when(F.col("op") == "upsert", dv - old0)
             .otherwise(-old0)
             .alias("d_value"),
             F.when(F.col("op") == "upsert", F.when(has_old, 0).otherwise(1))
@@ -1067,10 +1132,24 @@ def agg_delta(
 
 def collapse_delta(
     batch: DataFrame, key: str, value_cols: list[str], ts_col: str = "ts",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None, snapshot_dir: str | None = None,
 ) -> DataFrame:
     """collapse_batch + the merge_batch column convention, exposed so IVM
-    callers can share one collapsed frame between agg_delta and the merge."""
+    callers can share one collapsed frame between agg_delta and the merge.
+
+    The ``_bucket`` column must be computed under the SNAPSHOT's modulus
+    or every downstream bucket-pruned read silently prunes wrong — so
+    either pass ``snapshot_dir`` (the manifest-stored modulus wins, an
+    explicit contradiction fails fast, exactly merge_batch's contract) or
+    an explicit ``n_buckets`` the caller already resolved."""
+    if snapshot_dir is not None:
+        n_buckets = _resolve_n_buckets(snapshot_dir, n_buckets)
+    elif n_buckets is None:
+        raise ValueError(
+            "collapse_delta: pass snapshot_dir (the manifest modulus wins) "
+            "or an explicit, already-resolved n_buckets — a guessed default "
+            "would bucket-prune wrongly on any differently-bucketed snapshot"
+        )
     d = collapse_batch(batch, key, ts_col).select(
         F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
     )
@@ -1110,7 +1189,9 @@ def ivm_segment_stats_face(
         # one collapse per batch, shared by the agg fold AND the merge
         # (merge_batch would re-collapse; _merge_touched takes the
         # collapsed delta directly)
-        d = collapse_delta(batch, "cust_id", ["bal"], n_buckets=n_buckets)
+        d = collapse_delta(
+            batch, "cust_id", ["bal"], n_buckets=n_buckets, snapshot_dir=snap
+        )
         d = d.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             touched = sorted(

@@ -410,7 +410,7 @@ def test_agg_delta_four_cases(spark, tmp_path):
         ],
         "k long, v double, op string, ts long",
     )
-    d = collapse_delta(batch, "k", ["v"])
+    d = collapse_delta(batch, "k", ["v"], snapshot_dir=snap)
     rows = {r.k: (r.d_value, r.d_count) for r in agg_delta(spark, d, snap, "k", "v").collect()}
     assert rows == {1: (5.0, 0), 3: (7.0, 1), 2: (-20.0, -1)}
     # fold == recompute after applying the batch
@@ -711,9 +711,12 @@ def test_stream_ivm_fence_crash_windows(spark, tmp_path):
     assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {1: 10.0, 2: 20.0}
 
     # (b) crash between state write and merge: hand-write the post-fold
-    # state for batch2 (applied_gen = gen+1), then replay the protocol —
-    # the fold must be skipped (a second fold would add 30 again), the
-    # merge must still land
+    # state for batch2 (applied_gen = gen+1 AND batch2's content
+    # fingerprint, exactly as the real fold records), then replay the
+    # protocol — the fold must be skipped (a second fold would add 30
+    # again), the merge must still land
+    from baum_welch_spark.streaming.upsert import collapse_delta
+
     b2 = spark.createDataFrame(
         [(3, 30.0, "upsert", 2), (1, 0.0, "delete", 2)],
         "k long, v double, op string, ts long",
@@ -722,6 +725,11 @@ def test_stream_ivm_fence_crash_windows(spark, tmp_path):
     g_cur = json.load(open(os.path.join(snap, "_manifest.json")))["gen"]
     st["groups"]["g"] = [st["groups"]["g"][0] + 30.0 - 10.0, st["groups"]["g"][1]]
     st["applied_gen"] = g_cur + 1
+    d2 = collapse_delta(b2, "k", ["v"], snapshot_dir=snap)
+    st["pending_fp"] = int(
+        d2.select(F.xxhash64(F.col("k"), F.col("op"), F.col("_d_v")).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("x")).first().x
+    )
     with open(os.path.join(snap, "_ivm_state.json"), "w") as f:
         json.dump(st, f)
     ivm_apply_batch(spark, b2, snap, "k", "v", group_map, group_col="grp", n_buckets=4)
@@ -874,3 +882,95 @@ def test_stream_restart_with_widened_schema(spark, tmp_path):
 
     got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, snap).collect()}
     assert got == {1: (10.0, None), 2: (21.0, "hot"), 3: (30.0, "cold")}
+
+
+def test_key_and_modulus_guards(spark, tmp_path):
+    """Review-found guard gaps as regressions: (1) merging/compacting/
+    diffing under a key column that contradicts the manifest-recorded one
+    fails fast; (2) collapse_delta refuses to guess a bucket modulus —
+    snapshot_dir resolves it from the manifest, a contradicting explicit
+    value raises; (3) compact_snapshot preserves the retention horizon by
+    default instead of GC'ing retained versions."""
+    from baum_welch_spark.streaming.upsert import (
+        collapse_delta,
+        compact_snapshot,
+        list_versions,
+        merge_batch,
+        read_snapshot_at,
+        snapshot_diff,
+    )
+
+    snap = str(tmp_path / "snap")
+    merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "upsert", 1), (2, 2.0, "upsert", 1)],
+            "k long, v double, op string, ts long",
+        ),
+        snap, "k", ["v"], n_buckets=4, retain=4,
+    )
+    merge_batch(
+        spark,
+        spark.createDataFrame([(1, 1.5, "upsert", 2)], "k long, v double, op string, ts long"),
+        snap, "k", ["v"], retain=4,
+    )
+    b = spark.createDataFrame([(9, 9.0, "upsert", 3)], "k long, v double, op string, ts long")
+    # (1) wrong key fails fast everywhere
+    with pytest.raises(ValueError, match="keyed on 'k'"):
+        merge_batch(spark, b.withColumnRenamed("k", "kk"), snap, "kk", ["v"])
+    with pytest.raises(ValueError, match="keyed on 'k'"):
+        compact_snapshot(spark, snap, "v", n_buckets=8)
+    with pytest.raises(ValueError, match="keyed on 'k'"):
+        snapshot_diff(spark, snap, 1, 2, key="kk", value_cols=["v"])
+    # (2) collapse_delta: no guessing; manifest wins; contradiction raises
+    with pytest.raises(ValueError, match="collapse_delta"):
+        collapse_delta(b, "k", ["v"])
+    d = collapse_delta(b, "k", ["v"], snapshot_dir=snap)
+    assert d.select("_bucket").first()._bucket < 4
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        collapse_delta(b, "k", ["v"], n_buckets=16, snapshot_dir=snap)
+    # (3) compact with default retain keeps every retained version readable
+    assert list_versions(snap) == [1, 2]
+    compact_snapshot(spark, snap, "k", n_buckets=8)
+    assert list_versions(snap) == [1, 2, 3]
+    assert {r.k: r.v for r in read_snapshot_at(spark, snap, 1).collect()} == {1: 1.0, 2: 2.0}
+    # explicit retain still shrinks
+    compact_snapshot(spark, snap, "k", n_buckets=8, retain=1)
+    assert list_versions(snap) == [4]
+
+
+def test_stream_ivm_fingerprint_guards_changed_batch(spark, tmp_path):
+    """The fence's batch fingerprint: a fold recorded for a batch whose
+    merge never committed must REJECT a different arriving batch (crash +
+    fresh-checkpoint restart with changed source composition) instead of
+    silently skipping its fold — and still accept the original batch."""
+    import json
+    import os
+
+    from baum_welch_spark.streaming.upsert import (
+        ivm_apply_batch,
+        read_ivm_state,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    gm = spark.createDataFrame([(k, "g") for k in range(1, 10)], "k long, grp string")
+    b1 = spark.createDataFrame(
+        [(1, 10.0, "upsert", 1)], "k long, v double, op string, ts long"
+    )
+    ivm_apply_batch(spark, b1, snap, "k", "v", gm, group_col="grp", n_buckets=4)
+    # simulate the crash window for b2: fold recorded (applied_gen bumped,
+    # fingerprint stored), merge missing — write a WRONG fingerprint so a
+    # differing replacement batch is detectable
+    st = read_ivm_state(snap)
+    st["applied_gen"] = 2
+    st["pending_fp"] = 123456789  # not b3's fingerprint
+    with open(os.path.join(snap, "_ivm_state.json"), "w") as f:
+        json.dump(st, f)
+    b3 = spark.createDataFrame(
+        [(2, 20.0, "upsert", 2)], "k long, v double, op string, ts long"
+    )
+    with pytest.raises(RuntimeError, match="differs"):
+        ivm_apply_batch(spark, b3, snap, "k", "v", gm, group_col="grp", n_buckets=4)
+    # the snapshot was not merged by the failed call
+    assert {r.k: r.v for r in read_snapshot(spark, snap).collect()} == {1: 10.0}
