@@ -108,3 +108,109 @@ def test_merge_batch_matches_reference_semantics(spark, tmp_path_factory, batche
             for c in all_cols
         }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_log)
+def test_versioned_reads_and_diff_match_reference(spark, tmp_path_factory, batches):
+    """Time travel + CDF over ARBITRARY logs: read_snapshot_at(k) equals
+    the reference state after k batches under version-k's (possibly
+    narrower) column list, and snapshot_diff(v1, v2) equals a brute-force
+    diff of the two versioned reads — including across widening
+    boundaries, where the from side null-backfills."""
+    from baum_welch_spark.streaming.upsert import (
+        merge_batch,
+        read_snapshot_at,
+        snapshot_diff,
+    )
+
+    snap = str(tmp_path_factory.mktemp("prop") / "snap")
+    n = len(batches)
+    ts = 0
+    for cols, rows in batches:
+        data = []
+        for k, op, v, w in rows:
+            ts += 1
+            vals = {"v": float(v), "w": float(w)}
+            data.append((k, *[vals[c] for c in cols], op, ts))
+        schema = (
+            "k long, "
+            + ", ".join(f"{c} double" for c in cols)
+            + ", op string, ts long"
+        )
+        merge_batch(
+            spark, spark.createDataFrame(data, schema), snap, "k",
+            list(cols), n_buckets=4, retain=n + 1,
+        )
+
+    # reference states per version, under that version's column list
+    def ref_states():
+        out = []
+        all_cols: list[str] = []
+        state: dict[int, dict] = {}
+        t = 0
+        for cols, rows in batches:
+            for c in cols:
+                if c not in all_cols:
+                    all_cols.append(c)
+            winners = {}
+            for k, op, v, w in rows:
+                t += 1
+                winners[k] = (op, {"v": float(v), "w": float(w)}, t)
+            for k, (op, vals, _t) in winners.items():
+                if op == "delete":
+                    state.pop(k, None)
+                else:
+                    row = state.get(k, {})
+                    new = {c: row.get(c) for c in all_cols}
+                    for c in cols:
+                        new[c] = vals[c]
+                    state[k] = new
+            out.append((
+                list(all_cols),
+                {k: {c: r.get(c) for c in all_cols} for k, r in state.items()},
+            ))
+        return out
+
+    refs = ref_states()
+    for ver in range(1, n + 1):
+        cols_v, want = refs[ver - 1]
+        df = read_snapshot_at(spark, snap, ver)
+        if not want:
+            assert df is None or df.count() == 0
+            continue
+        assert df.columns == ["k", *cols_v]
+        got = {
+            r["k"]: {c: r[c] for c in cols_v}
+            for r in (x.asDict() for x in df.collect())
+        }
+        assert got == want, f"version {ver}"
+
+    # CDF v1 -> vN against a brute-force diff of the two reference states
+    if n >= 2:
+        cols_to = refs[-1][0]
+        a, b = refs[0][1], refs[-1][1]
+
+        def at(state, k, c):
+            return state[k].get(c) if k in state else None
+
+        expect = {}
+        for k in set(a) | set(b):
+            if k in a and k not in b:
+                expect[k] = ("delete",)
+            elif k not in a and k in b:
+                expect[k] = ("insert",)
+            elif any(at(a, k, c) != at(b, k, c) for c in cols_to):
+                expect[k] = ("update",)
+        d = snapshot_diff(spark, snap, 1, n, key="k", value_cols=cols_to)
+        got = {}
+        for r in (x.asDict() for x in d.collect()):
+            got[r["k"]] = (r["op"],)
+            for c in cols_to:
+                assert r[f"old_{c}"] == at(a, r["k"], c), (r, c)
+                assert r[f"new_{c}"] == at(b, r["k"], c), (r, c)
+        assert got == expect
