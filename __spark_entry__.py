@@ -524,24 +524,44 @@ def _q_asset_neardup(spark, sf):
     # assets -> REAL in-container decode (stdlib wave / NumPy PPM; video
     # rows use the deterministic digest stub) -> band features ->
     # feature-cosine near-dup pairs. pytest pins planted-duplicate recall
-    # (tests/test_operators.py multimodal block)
+    # (tests/test_operators.py multimodal block).
+    #
+    # r9: asset count is WIRED TO SF (documents_count // 5, floor 96) and
+    # generation is distributed (mapInPandas encode, per-row seed), so
+    # tools/scale10x.py measures a real ladder point; the pair stage flips
+    # from the all-pairs demo path to LSH once the table outgrows it.
     from baum_welch_spark.operators.multimodal import (
-        extract_features,
         neardup_assets_by_feature,
         synthetic_assets,
     )
     from pyspark.sql import functions as F
 
-    assets = synthetic_assets(spark, n=96, seed=42)
+    (docs,) = _tables(spark, sf, "documents")
+    n = max(96, docs.count() // 5)
+    # persist: three modality branches each scan the asset table — uncached
+    # the mapInPandas generation (payload encode, the expensive stage at
+    # corpus n) would run three times
+    assets = synthetic_assets(spark, n=n, seed=42).persist()
     # near-dup WITHIN each modality (cross-modality cosine on all-positive
     # band features is meaningless): WAV + PPM decode for real; video
     # payloads are opaque (no in-container mp4 codec — the honest stub
     # boundary), so video near-dups via the digest-stub features
+    # exact all-pairs up to ~680/modality (sub-second single-task verify);
+    # past that the face flips to the blocked GEMM path — distributed
+    # exact pairs, ~1 s for 5.5M pairs/modality, vs ~10 s of fixed LSH
+    # plan overhead at the same size. (pair_strategy="lsh" is the pinned
+    # past-1e5-features path; see neardup_assets_by_feature's docstring
+    # for the positive-feature bucket-skew caveat.)
+    strategy = "exact" if n < 2048 else "blocked"
     parts = [
+        # 0.995: the synthetic corpus plants ~n/10 true near-dups at cos >=
+        # 0.999 and keeps independent profiles' cross-cosine tail ~1e-5 at
+        # this bar, so output (and the ladder) stays LINEAR in n
         neardup_assets_by_feature(
             assets.filter(F.col("modality") == m),
-            threshold=0.98,
+            threshold=0.995,
             decode_stub=(m == "video"),
+            pair_strategy=strategy,
         ).withColumn("modality", F.lit(m))
         for m in ("image", "audio", "video")
     ]

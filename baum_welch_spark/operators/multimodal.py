@@ -140,37 +140,73 @@ def _image_features(payload: bytes, dim: int) -> np.ndarray:
     )
 
 
+def _synthesize_asset(i: int, seed: int) -> tuple:
+    """One deterministic asset row. Randomness is seeded per-row
+    (``default_rng([seed, i])``), so the output is independent of which
+    partition/batch generates row ``i`` — the property that lets generation
+    run distributed (and lets a driver-side loop produce identical bytes).
+
+    Corpus design (r9): every asset gets an INDEPENDENT random band profile
+    (audio: per-band amplitude envelope; image: per-band luminance), so
+    unrelated assets' band features are well-spread (mean cross-cosine
+    ~0.8, P(cos >= 0.98) ~ 0) — and every ``i % 10 == 9`` asset is a
+    PLANTED near-duplicate of asset ``i - 9`` (same modality; 9 ≡ 0 mod 3):
+    audio/image re-use the base's profile under fresh low-amplitude noise,
+    video copies the payload byte-for-byte (the digest stub needs identical
+    bytes). True near-dup pairs are therefore ~n/10 — LINEAR in corpus
+    size — which is what makes the near-dup face's 10x scale ladder measure
+    plan behavior instead of quadratic output volume (the pre-r9 corpus
+    gave every audio asset an identical flat band-RMS profile, so the
+    0.98-cosine pair count was quadratic by construction)."""
+    base = i - 9 if (i % 10 == 9 and i >= 9) else i
+    rng_base = np.random.default_rng([seed, base])
+    rng_i = np.random.default_rng([seed, i])
+    modality = ["image", "audio", "video"][i % 3]
+    if modality == "audio":
+        t = np.arange(1600) / 8000.0
+        # log-uniform per-band amplitudes (25x ratio spread): a LINEAR-
+        # uniform envelope left independent profiles with a fat cosine tail
+        # (~0.16% of cross pairs past 0.98 — quadratic pollution at scale)
+        env = np.repeat(np.exp(rng_base.uniform(np.log(0.02), np.log(0.5), 8)), 200)
+        samples = env * np.sin(2 * np.pi * (200 + 25 * base) * t) + 0.002 * rng_i.standard_normal(1600)
+        payload = encode_wav(samples)
+        meta = {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200}
+    elif modality == "image":
+        bands = np.repeat(np.exp(rng_base.uniform(np.log(8.0), np.log(235.0), 8)), 2)[:, None]
+        px = np.stack(
+            [np.clip(bands + rng_i.integers(-4, 5, (16, 16)), 0, 255) for _ in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        payload = encode_ppm(px)
+        meta = {"mime": "image/x-portable-pixmap", "width": 16, "height": 16, "duration_ms": None}
+    else:
+        payload = rng_base.integers(0, 256, size=128 + (base % 5) * 64, dtype=np.uint8).tobytes()
+        meta = {"mime": "video/mp4", "width": 64, "height": 64, "duration_ms": 1000 + i}
+    return (i, modality, payload, meta)
+
+
 def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic asset table with REAL payloads where the container can
     encode them: audio rows are genuine 16-bit WAV (sine + seeded noise),
     image rows are genuine binary PPM (seeded gradient); video rows are
-    opaque bytes (no in-container mp4 encoder)."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    for i in range(n):
-        modality = ["image", "audio", "video"][i % 3]
-        if modality == "audio":
-            t = np.arange(1600) / 8000.0
-            samples = 0.5 * np.sin(2 * np.pi * (200 + 25 * i) * t) + 0.01 * rng.standard_normal(1600)
-            payload = encode_wav(samples)
-            meta = {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200}
-        elif modality == "image":
-            gx = np.linspace(0, 255, 16)[None, :] + (i * 7) % 64
-            px = np.stack(
-                [
-                    np.clip(gx + rng.integers(0, 8, (16, 16)), 0, 255),
-                    np.full((16, 16), (i * 13) % 256),
-                    np.clip(gx.T + rng.integers(0, 8, (16, 16)), 0, 255),
-                ],
-                axis=2,
-            ).astype(np.uint8)
-            payload = encode_ppm(px)
-            meta = {"mime": "image/x-portable-pixmap", "width": 16, "height": 16, "duration_ms": None}
-        else:
-            payload = rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8).tobytes()
-            meta = {"mime": "video/mp4", "width": 64, "height": 64, "duration_ms": 1000 + i}
-        rows.append((i, modality, payload, meta))
-    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    opaque bytes (no in-container mp4 encoder).
+
+    Generation is DISTRIBUTED (``spark.range(n)`` + mapInPandas encoding
+    executor-side): the driver never materializes payload bytes, so the
+    table scales to corpus-sized ``n`` — payload bytes live only inside one
+    Arrow batch per task. Per-row seeding makes the result identical under
+    any partitioning (r9: replaced a driver-side ``createDataFrame`` loop
+    whose sequential rng made rows order-dependent and the driver the
+    bottleneck)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_synthesize_asset(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "payload", "meta"])
+
+    # 32 slices regardless of n: matches local[32]; at corpus n each slice
+    # is still one narrow generate-encode task with no shuffle anywhere.
+    return spark.range(0, n, numPartitions=min(n, 32)).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -254,17 +290,58 @@ def dedup_assets_exact(assets: DataFrame) -> DataFrame:
 
 
 def neardup_assets_by_feature(
-    assets: DataFrame, threshold: float = 0.98, decode_stub: bool = True
+    assets: DataFrame,
+    threshold: float = 0.98,
+    decode_stub: bool = True,
+    pair_strategy: str = "exact",
 ) -> DataFrame:
     """Near-duplicate assets by feature-vector cosine — the multimodal twin
     of document near-dup: decode (stub) -> feature vector -> exact cosine
-    pairs over the (small) feature table.
+    pairs over the feature table.
 
     Composition: extract_features (narrow mapInPandas) feeds the same
-    pair-verify shape as similarity.cosine_neardup. At corpus scale the
-    pair stage swaps to the LSH candidate path — features are just another
-    embedding column once extracted.
+    pair-verify shape as similarity.cosine_neardup. ``pair_strategy``:
+
+    - ``"exact"`` — all-pairs inequality self-join; the SMALL-TABLE path
+      (demo/validation sizes), repartition(1)'d below.
+    - ``"blocked"`` — delegates the pair stage to
+      :func:`similarity.cosine_neardup` (block-matrix GEMM join, exact,
+      fully distributed): the mid-scale path. Still O(n^2 d) work, but as
+      n_blocks^2 parallel GEMMs with nothing driver-resident — measured
+      5.5M pairs/modality in ~1 s, vs ~10 s of fixed LSH plan overhead at
+      the same size.
+    - ``"lsh"`` — delegates to :func:`similarity.cosine_neardup_lsh`
+      (random-hyperplane sign buckets, id-only candidate shuffle, exact
+      verify): the corpus-scale path past ~1e5 features, where quadratic
+      verify stops being free — features are just another embedding column
+      once extracted. NOTE: band features are all-positive, which skews
+      sign buckets (an unbalanced ±1 plane barely splits positive data) —
+      effective bits are lower than nominal, so give it more ``bits`` than
+      the embedding default when the corpus gets there.
     """
+    if pair_strategy in ("lsh", "blocked"):
+        from baum_welch_spark.operators.similarity import cosine_neardup, cosine_neardup_lsh
+
+        feats = (
+            extract_features(assets, decode_stub=decode_stub)
+            .select(F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding"))
+            # persist: the pair plan references the feature frame more than
+            # once — uncached, the decode mapInPandas (the expensive stage)
+            # would run per reference.
+            .persist()
+        )
+        pairs = (
+            cosine_neardup_lsh(feats, threshold=threshold)
+            if pair_strategy == "lsh"
+            else cosine_neardup(feats, threshold=threshold)
+        )
+        return pairs.select(
+            F.col("vec_a").alias("asset_a"), F.col("vec_b").alias("asset_b"), "cos"
+        )
+    if pair_strategy != "exact":
+        raise ValueError(
+            f"pair_strategy must be 'exact', 'blocked', or 'lsh', got {pair_strategy!r}"
+        )
     from baum_welch_spark.functions.columns import as_double_array, dot, l2_norm
 
     # persist: both self-join sides reference feats — uncached, the decode

@@ -424,6 +424,31 @@ def test_dedup_clusters_cover_all_paired_docs(spark, documents):
     assert all(r.n_docs >= 2 for r in clusters)  # singletons never form edges
 
 
+def test_synthetic_corpus_plants_linear_neardups_and_strategies_agree(spark):
+    """The r9 synthetic corpus contract: every i % 10 == 9 asset is a
+    near-dup of asset i-9 (same modality), independent profiles stay under
+    the 0.995 bar, and the blocked-GEMM pair strategy returns exactly the
+    all-pairs result (both are exact; only the physical plan differs)."""
+    assets = multimodal.synthetic_assets(spark, n=120, seed=42).persist()
+    planted = {(i - 9, i) for i in range(9, 120) if i % 10 == 9}
+    got = {}
+    for m, stub in (("image", False), ("audio", False), ("video", True)):
+        sub = assets.filter(F.col("modality") == m)
+        for strat in ("exact", "blocked"):
+            got[(m, strat)] = {
+                (r.asset_a, r.asset_b)
+                for r in multimodal.neardup_assets_by_feature(
+                    sub, threshold=0.995, decode_stub=stub, pair_strategy=strat
+                ).collect()
+            }
+        assert got[(m, "exact")] == got[(m, "blocked")]
+    found = set().union(*got.values())
+    assert planted <= found  # 100% planted recall
+    # independent profiles: at n=120 (~2000 cross pairs/modality, tail
+    # ~1e-5) any spurious mass means the profile spread regressed
+    assert len(found - planted) <= 2
+
+
 def test_multimodal_neardup_finds_planted_payload_dups(spark):
     """Identical payloads -> identical stub features -> cos == 1.0 pairs."""
     assets = multimodal.synthetic_assets(spark, n=16)
