@@ -553,12 +553,15 @@ def cmd_cdc(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    # "a,b" -> composite key (order significant); a bare name stays a
+    # plain single-column key
+    key = args.key.split(",") if "," in args.key else args.key
     spark, _own = _session("baum-welch-cdc")
     try:
         if args.action == "apply":
             changes = spark.read.parquet(args.changes)
             merge_batch(
-                spark, changes, args.snapshot, args.key,
+                spark, changes, args.snapshot, key,
                 args.value_cols.split(","), ts_col=args.ts_col,
                 n_buckets=args.n_buckets, retain=args.retain,
             )
@@ -590,7 +593,7 @@ def cmd_cdc(args) -> int:
             try:
                 d = snapshot_diff(
                     spark, args.snapshot, args.from_version, args.to_version,
-                    key=args.key, value_cols=args.value_cols.split(","),
+                    key=key, value_cols=args.value_cols.split(","),
                 )
             except KeyError as e:
                 print(f"cdc diff: {e.args[0]}", file=sys.stderr)
@@ -602,7 +605,7 @@ def cmd_cdc(args) -> int:
                 d.show(args.limit, truncate=False)
         else:  # compact
             compact_snapshot(
-                spark, args.snapshot, args.key, args.n_buckets,
+                spark, args.snapshot, key, args.n_buckets,
                 retain=args.retain,
             )
             print(json.dumps({"snapshot": args.snapshot, "n_buckets": args.n_buckets}))
@@ -790,7 +793,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--snapshot", required=True, help="snapshot directory")
     c.add_argument("--changes", help="apply: change-log parquet with (key, value..., op, ts)")
-    c.add_argument("--key", default="k", help="key column name")
+    c.add_argument(
+        "--key", default="k",
+        help="key column name; comma-separate for a composite key "
+             "(order significant — it is the table contract)",
+    )
     c.add_argument(
         "--value-cols", default="v",
         help="comma-separated value columns this apply/diff touches (a "

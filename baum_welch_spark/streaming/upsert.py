@@ -32,6 +32,14 @@ collapsed batch is small -> AQE broadcasts it).
 foreachBatch is exactly-once per epoch under checkpointing: replayed
 batches re-merge idempotently because last-writer-wins collapse plus
 key-join are deterministic functions of (snapshot, batch).
+
+Keys may be COMPOSITE (r9): every entry point taking ``key`` accepts a
+single column name or an ordered list of names. Collapse, bucketing
+(hash of the unit-separated canonical tuple rendering), the merge join,
+time travel, diff, and agg_delta all operate on the full tuple; the
+manifest records the composite (single keys keep the bare-string
+encoding, so pre-composite manifests read unchanged) and later calls
+under a different tuple — including a PREFIX — fail fast.
 """
 
 from __future__ import annotations
@@ -142,7 +150,7 @@ def _read_backfilled(
     paths: list[str],
     types: dict[str, str],
     cols,
-    key: str | None = None,
+    key=None,
 ) -> DataFrame:
     """The one schema-evolution read primitive every snapshot reader
     shares. When the manifest records every requested column's type
@@ -152,8 +160,9 @@ def _read_backfilled(
     mergeSchema's reconcile-every-footer job per query — the 100 TB
     read path. Legacy manifests without full type metadata fall back to
     mergeSchema + per-column null backfill (semantics identical)."""
-    wanted = ([key] if key is not None else []) + [c for c in cols if c != key]
-    if key is not None and all(c in types for c in wanted):
+    keys = [] if key is None else _key_list(key)
+    wanted = keys + [c for c in cols if c not in keys]
+    if keys and all(c in types for c in wanted):
         ddl = ", ".join(f"`{c}` {types[c]}" for c in wanted)
         return spark.read.schema(ddl).parquet(*paths)
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -177,7 +186,7 @@ def _read_manifest_buckets(
     df = _read_backfilled(
         spark, paths, manifest.get("schema") or {}, cols, key=manifest["key"]
     )
-    return df.select(manifest["key"], *cols)
+    return df.select(*_key_list(manifest["key"]), *cols)
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
@@ -224,7 +233,7 @@ def snapshot_diff(
     snapshot_dir: str,
     v_from: int,
     v_to: int,
-    key: str,
+    key: str | list[str],
     value_cols: list[str],
 ) -> DataFrame:
     """Change-data-feed between two retained versions (the Delta
@@ -285,34 +294,34 @@ def snapshot_diff(
             f"snapshot_diff: value column(s) {missing} are not in the "
             f"snapshot schema of {snapshot_dir}"
         )
-    # the manifest schema records the key's type too (since r9); only
-    # legacy no-schema snapshots with zero readable files fall back
-    key_type = types.get(key, "bigint")
-    empty_schema = f"{key} {key_type}, " + ", ".join(
-        f"{c} {types[c]}" for c in value_cols
-    )
+    # the manifest schema records the key columns' types too (since r9);
+    # only legacy no-schema snapshots with zero readable files fall back
+    ks = _key_list(key)
+    empty_schema = ", ".join(
+        f"{k} {types.get(k, 'bigint')}" for k in ks
+    ) + ", " + ", ".join(f"{c} {types[c]}" for c in value_cols)
 
     def side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], empty_schema)
         return _read_backfilled(spark, paths, types, value_cols, key=key).select(
-            key, *value_cols
+            *ks, *value_cols
         )
 
     # presence is carried by an explicit marker column through the
     # full-outer join — NOT inferred from a value column's null-ness, so
     # nullable value columns diff correctly
     old = side(p_from).select(
-        key,
+        *ks,
         F.lit(True).alias("_in_old"),
         *[F.col(c).alias(f"old_{c}") for c in value_cols],
     )
     new = side(p_to).select(
-        key,
+        *ks,
         F.lit(True).alias("_in_new"),
         *[F.col(c).alias(f"new_{c}") for c in value_cols],
     )
-    j = old.join(new, key, "full_outer")
+    j = old.join(new, ks, "full_outer")
     in_old = F.col("_in_old").isNotNull()
     in_new = F.col("_in_new").isNotNull()
     differs = F.lit(False)
@@ -326,21 +335,54 @@ def snapshot_diff(
     return (
         j.withColumn("op", op)
         .filter((F.col("op") != "update") | differs)
-        .select(key, "op", *[f"old_{c}" for c in value_cols], *[f"new_{c}" for c in value_cols])
+        .select(*ks, "op", *[f"old_{c}" for c in value_cols], *[f"new_{c}" for c in value_cols])
     )
 
 
-def _bucket_col(key: str, n_buckets: int):
+def _key_list(key) -> list[str]:
+    """Normalize the ``key`` argument every public CDC entry point takes:
+    a single column name or a non-empty list of column names (COMPOSITE
+    key, r9). Order is significant — it is part of the table contract
+    recorded in the manifest."""
+    if isinstance(key, str):
+        return [key]
+    ks = list(key)
+    if not ks or not all(isinstance(k, str) for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError(
+            f"key must be a column name or a non-empty list of distinct "
+            f"column names, got {key!r}"
+        )
+    return ks
+
+
+def _key_meta(key):
+    """The manifest encoding of a key: the bare string for a single column
+    (byte-stable with every pre-composite manifest), the list for a
+    composite key."""
+    ks = _key_list(key)
+    return ks[0] if len(ks) == 1 else ks
+
+
+def _bucket_col(key, n_buckets: int):
     from baum_welch_spark.functions.columns import portable_hash60
 
-    return (portable_hash60(F.col(key)) % n_buckets).cast("int")
+    ks = _key_list(key)
+    if len(ks) == 1:
+        return (portable_hash60(F.col(ks[0])) % n_buckets).cast("int")
+    # composite: hash the unit-separated canonical rendering of the parts —
+    # as engine-portable as the single-column form (DuckDB:
+    # md5(concat_ws(chr(31), ...))), and any part-boundary ambiguity would
+    # only cost a bucket collision, never correctness (joins use the real
+    # columns)
+    parts = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in ks])
+    return (portable_hash60(parts) % n_buckets).cast("int")
 
 
-def collapse_batch(batch: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+def collapse_batch(batch: DataFrame, key, ts_col: str = "ts") -> DataFrame:
     """Last-writer-wins per key: keep the row with max ts (ties: 'delete'
     beats 'upsert', then op name desc — any deterministic total order keeps
     replays convergent)."""
-    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc("op"))
+    w = Window.partitionBy(*_key_list(key)).orderBy(F.desc(ts_col), F.desc("op"))
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -352,7 +394,7 @@ def merge_batch(
     spark: SparkSession,
     batch: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_cols: list[str],
     ts_col: str = "ts",
     n_buckets: int | None = None,
@@ -368,10 +410,18 @@ def merge_batch(
     snapshot (None -> DEFAULT_BUCKETS), omit it on an existing one (the
     stored value wins). An explicit value that contradicts the stored one
     fails fast — merging under the wrong modulus would scatter keys across
-    buckets and silently corrupt every later bucket-pruned read."""
+    buckets and silently corrupt every later bucket-pruned read.
+
+    ``key`` may be a single column name or a LIST of column names
+    (composite key, r9): last-writer-wins, bucketing, and the merge join
+    all operate on the full tuple, and the manifest records the composite
+    so later calls under a different key (or a prefix of it) fail fast."""
     n_buckets = _resolve_n_buckets(snapshot_dir, n_buckets)
+    ks = _key_list(key)
     delta = collapse_batch(batch, key, ts_col).select(
-        F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
+        *[F.col(k) for k in ks],
+        F.col("op"),
+        *[F.col(c).alias(f"_d_{c}") for c in value_cols],
     )
     delta = delta.withColumn("_bucket", _bucket_col(key, n_buckets))
     # persist: the collapsed delta is consumed twice (touched-bucket collect
@@ -396,7 +446,7 @@ def _merge_touched(
     spark: SparkSession,
     delta: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_cols: list[str],
     touched: list[int],
     n_buckets: int,
@@ -429,19 +479,19 @@ def _merge_touched(
                 f"batch carries {batch_types[c]} — cast the batch (schema "
                 "evolution widens with NEW columns, it never retypes)"
             )
-    # the KEY's type is recorded too: snapshot_diff needs it to build a
-    # correctly-typed empty side (a bigint guess against a string key
-    # would type-coerce the full-outer join)
-    key_type = next(
-        f.dataType.simpleString() for f in delta.schema.fields if f.name == key
-    )
-    schema = {key: key_type, **stored_schema, **batch_types}
+    # the KEY columns' types are recorded too: snapshot_diff needs them to
+    # build a correctly-typed empty side (a bigint guess against a string
+    # key would type-coerce the full-outer join)
+    ks = _key_list(key)
+    field_types = {f.name: f.dataType.simpleString() for f in delta.schema.fields}
+    key_types = {k: field_types[k] for k in ks}
+    schema = {**key_types, **stored_schema, **batch_types}
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
     )
     if not base_paths:
         merged = delta.filter(F.col("op") == "upsert").select(
-            key,
+            *ks,
             *[
                 F.col(f"_d_{c}").alias(c)
                 if c in set(value_cols)
@@ -453,12 +503,12 @@ def _merge_touched(
         # touched buckets may span a widening boundary (some generations
         # have the new column, some don't) — the shared backfilled read
         base = _read_backfilled(spark, base_paths, schema, all_cols, key=key)
-        j = base.join(delta.drop("_bucket"), key, "full_outer")
+        j = base.join(delta.drop("_bucket"), ks, "full_outer")
         batch_set = set(value_cols)
         merged = (
             j.filter((F.col("op").isNull()) | (F.col("op") == "upsert"))
             .select(
-                key,
+                *ks,
                 *[
                     (
                         F.when(F.col("op") == "upsert", F.col(f"_d_{c}"))
@@ -502,7 +552,7 @@ def _merge_touched(
         "gen": gen,
         "buckets": buckets,
         "n_buckets": n_buckets,
-        "key": key,
+        "key": _key_meta(key),
         "value_cols": all_cols,
         "schema": schema,
     }
@@ -538,13 +588,15 @@ def snapshot_n_buckets(snapshot_dir: str) -> int | None:
     return None if m is None else m.get("n_buckets")
 
 
-def _check_key(manifest: dict | None, key: str, snapshot_dir: str) -> None:
-    """Fail fast when the caller's key column contradicts the
-    manifest-recorded one — hashing/joining under the wrong key scatters
-    rows across buckets exactly like a wrong modulus would (the class of
-    corruption _resolve_n_buckets guards against on the bucket side)."""
+def _check_key(manifest: dict | None, key, snapshot_dir: str) -> None:
+    """Fail fast when the caller's key column(s) contradict the
+    manifest-recorded one — hashing/joining under the wrong key (or a
+    PREFIX of a composite key) scatters rows across buckets exactly like a
+    wrong modulus would (the class of corruption _resolve_n_buckets guards
+    against on the bucket side). Comparison is order-sensitive: the key
+    tuple is the table contract."""
     stored = None if manifest is None else manifest.get("key")
-    if stored is not None and stored != key:
+    if stored is not None and _key_list(stored) != _key_list(key):
         raise ValueError(
             f"snapshot {snapshot_dir} is keyed on {stored!r}; the call "
             f"passed key={key!r}"
@@ -554,7 +606,7 @@ def _check_key(manifest: dict | None, key: str, snapshot_dir: str) -> None:
 def compact_snapshot(
     spark: SparkSession,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int,
     retain: int | None = None,
 ) -> None:
@@ -606,7 +658,7 @@ def compact_snapshot(
 def apply_cdc_stream(
     updates: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_cols: list[str],
     ts_col: str = "ts",
     checkpoint: str | None = None,
@@ -654,7 +706,7 @@ def read_ivm_state(snapshot_dir: str) -> dict:
 def apply_cdc_stream_ivm(
     updates: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_col: str,
     group_map: DataFrame,
     group_col: str = "group",
@@ -727,7 +779,7 @@ def ivm_apply_batch(
     spark: SparkSession,
     batch: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_col: str,
     group_map: DataFrame,
     group_col: str = "group",
@@ -763,13 +815,17 @@ def ivm_apply_batch(
         # latter would silently diverge the aggregate, so the skip path
         # verifies the batch is the same one the pending fold recorded
         fp_row = d.select(
-            F.xxhash64(F.col(key), F.col("op"), F.col(f"_d_{value_col}")).alias("h")
+            F.xxhash64(
+                *[F.col(k) for k in _key_list(key)],
+                F.col("op"),
+                F.col(f"_d_{value_col}"),
+            ).alias("h")
         ).agg(F.expr("bit_xor(h)").alias("x")).first()
         fp = int(fp_row.x) if fp_row.x is not None else 0
         if st["applied_gen"] == g_cur:
             rows = (
                 agg_delta(spark, d, snapshot_dir, key, value_col, touched=touched)
-                .join(group_map, key)
+                .join(group_map, _key_list(key))
                 .groupBy(group_col)
                 .agg(F.sum("d_value").alias("dv"), F.sum("d_count").alias("dn"))
                 .collect()
@@ -1065,7 +1121,7 @@ def agg_delta(
     spark: SparkSession,
     delta: DataFrame,
     snapshot_dir: str,
-    key: str,
+    key: str | list[str],
     value_col: str,
     touched: list[int] | None = None,
 ) -> DataFrame:
@@ -1098,10 +1154,11 @@ def agg_delta(
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)
     )
+    ks = _key_list(key)
     dv = F.coalesce(F.col(f"_d_{value_col}"), F.lit(0.0))
     if not base_paths:
         return delta.filter(F.col("op") == "upsert").select(
-            F.col(key),
+            *ks,
             dv.alias("d_value"),
             F.lit(1).cast("long").alias("d_count"),
         )
@@ -1109,8 +1166,8 @@ def agg_delta(
     types.setdefault(value_col, "double")
     base = _read_backfilled(
         spark, base_paths, types, [value_col], key=key
-    ).select(key, F.col(value_col).alias("_old"), F.lit(True).alias("_in_base"))
-    j = delta.join(base, key, "left_outer")
+    ).select(*ks, F.col(value_col).alias("_old"), F.lit(True).alias("_in_base"))
+    j = delta.join(base, ks, "left_outer")
     has_old = F.col("_in_base").isNotNull()
     # _old is NULL exactly when the key is absent OR its stored value is
     # NULL — both contribute 0 to the sum, so one coalesce covers both
@@ -1118,7 +1175,7 @@ def agg_delta(
     return (
         j.filter((F.col("op") == "upsert") | has_old)
         .select(
-            F.col(key),
+            *ks,
             F.when(F.col("op") == "upsert", dv - old0)
             .otherwise(-old0)
             .alias("d_value"),
@@ -1131,7 +1188,7 @@ def agg_delta(
 
 
 def collapse_delta(
-    batch: DataFrame, key: str, value_cols: list[str], ts_col: str = "ts",
+    batch: DataFrame, key: str | list[str], value_cols: list[str], ts_col: str = "ts",
     n_buckets: int | None = None, snapshot_dir: str | None = None,
 ) -> DataFrame:
     """collapse_batch + the merge_batch column convention, exposed so IVM
@@ -1151,7 +1208,9 @@ def collapse_delta(
             "would bucket-prune wrongly on any differently-bucketed snapshot"
         )
     d = collapse_batch(batch, key, ts_col).select(
-        F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in value_cols]
+        *[F.col(k) for k in _key_list(key)],
+        F.col("op"),
+        *[F.col(c).alias(f"_d_{c}") for c in value_cols],
     )
     return d.withColumn("_bucket", _bucket_col(key, n_buckets))
 

@@ -324,3 +324,28 @@ def test_cli_cdc_lifecycle(spark, tmp_path, capsys):
     assert cur == {1: (10.0, None), 2: (21.0, "hot"), 3: (30.0, "cold")}
     # missing required option -> usage error, not a traceback
     assert main(["cdc", "compact", "--snapshot", snap, "--key", "k"]) == 2
+
+
+def test_cli_cdc_composite_key(spark, tmp_path):
+    """--key a,b drives the composite-key path end-to-end: same sku under
+    different stores stays independent, and the recorded key guards later
+    calls under a different tuple."""
+    snap = str(tmp_path / "snap")
+    c1 = str(tmp_path / "c1")
+    spark.createDataFrame(
+        [(0, "x", 1.0, "upsert", 1), (1, "x", 2.0, "upsert", 1)],
+        "store long, sku string, qty double, op string, ts long",
+    ).write.parquet(c1)
+    assert main([
+        "cdc", "apply", "--snapshot", snap, "--changes", c1,
+        "--key", "store,sku", "--value-cols", "qty", "--n-buckets", "4",
+    ]) == 0
+    out = str(tmp_path / "cur")
+    assert main(["cdc", "read", "--snapshot", snap, "-o", out]) == 0
+    got = {(r.store, r.sku): r.qty for r in spark.read.parquet(out).collect()}
+    assert got == {(0, "x"): 1.0, (1, "x"): 2.0}
+    with pytest.raises(ValueError, match="keyed on"):
+        main([
+            "cdc", "apply", "--snapshot", snap, "--changes", c1,
+            "--key", "store", "--value-cols", "qty",
+        ])
