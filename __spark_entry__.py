@@ -529,7 +529,8 @@ def _q_asset_neardup(spark, sf):
     # r9: asset count is WIRED TO SF (documents_count // 5, floor 96) and
     # generation is distributed (mapInPandas encode, per-row seed), so
     # tools/scale10x.py measures a real ladder point; the pair stage flips
-    # from the all-pairs demo path to LSH once the table outgrows it.
+    # from the all-pairs demo path to the blocked GEMM once the table
+    # outgrows it (LSH measured and rejected at this size — SURVEY §8.3f).
     from baum_welch_spark.operators.multimodal import (
         neardup_assets_by_feature,
         synthetic_assets,

@@ -320,21 +320,40 @@ def neardup_assets_by_feature(
       the embedding default when the corpus gets there.
     """
     if pair_strategy in ("lsh", "blocked"):
+        from baum_welch_spark.functions.columns import as_double_array, l2_norm
         from baum_welch_spark.operators.similarity import cosine_neardup, cosine_neardup_lsh
 
         feats = (
             extract_features(assets, decode_stub=decode_stub)
             .select(F.col("asset_id").alias("vec_id"), F.col("feature").alias("embedding"))
             # persist: the pair plan references the feature frame more than
-            # once — uncached, the decode mapInPandas (the expensive stage)
-            # would run per reference.
+            # once (zero/nonzero-norm split below, plus the delegate's own
+            # multiple references) — uncached, the decode mapInPandas (the
+            # expensive stage) would run per reference.
             .persist()
         )
+        # the delegates drop zero-norm rows (division by a zero norm ->
+        # NULL/zero, never paired), but the exact path defines both-zero
+        # pairs as cos 1.0 (byte-identical silent assets MUST pair in a
+        # near-dup op) — split them out and pair the (tiny) zero-norm set
+        # directly so every strategy returns the identical result.
+        # (zero-vs-nonzero is cos 0.0 in the exact path: below any sane
+        # threshold, so only the within-zero pairs need emitting.)
+        nrm = l2_norm(as_double_array(F.col("embedding")))
+        nonzero = feats.filter(nrm != 0)
+        zero_ids = feats.filter(nrm == 0).select("vec_id")
         pairs = (
-            cosine_neardup_lsh(feats, threshold=threshold)
+            cosine_neardup_lsh(nonzero, threshold=threshold)
             if pair_strategy == "lsh"
-            else cosine_neardup(feats, threshold=threshold)
+            else cosine_neardup(nonzero, threshold=threshold)
         )
+        if threshold <= 1.0:
+            za = zero_ids.select(F.col("vec_id").alias("vec_a"))
+            zb = zero_ids.select(F.col("vec_id").alias("vec_b"))
+            zero_pairs = za.join(zb, F.col("vec_a") < F.col("vec_b")).withColumn(
+                "cos", F.lit(1.0)
+            )
+            pairs = pairs.unionByName(zero_pairs)
         return pairs.select(
             F.col("vec_a").alias("asset_a"), F.col("vec_b").alias("asset_b"), "cos"
         )

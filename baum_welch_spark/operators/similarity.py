@@ -174,7 +174,12 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35, n_blocks: int
         ids = pdf["vec_id"].to_numpy()
         blks = pdf["blk"].to_numpy()
         M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        # zero-norm rows: normalize to the zero vector (cos 0 with
+        # everything -> never paired), matching the SQL oracle's NULL-drop
+        # on division by a zero norm, instead of NaN-poisoning the GEMM
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = np.inf
+        U = M / nrm
         if p == q:
             cos = np.round(U @ U.T, 6)
             mask = (cos >= threshold) & (ids[:, None] < ids[None, :])

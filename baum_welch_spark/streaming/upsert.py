@@ -253,6 +253,7 @@ def snapshot_diff(
             f"snapshot_diff: v_from={v_from} > v_to={v_to} (an inverted "
             "range would report inserts as deletes; swap the arguments)"
         )
+    ks = _key_list(key)
     m_from = _load_version_manifest(snapshot_dir, v_from)
     m_to = _load_version_manifest(snapshot_dir, v_to)
     _check_key(m_to, key, snapshot_dir)
@@ -287,7 +288,7 @@ def snapshot_diff(
             probe = spark.read.option("mergeSchema", "true").parquet(*schema_paths)
             types = {f.name: f.dataType.simpleString() for f in probe.schema.fields}
         else:
-            types = {key: "bigint", **{c: "double" for c in value_cols}}
+            types = {**{k: "bigint" for k in ks}, **{c: "double" for c in value_cols}}
     missing = [c for c in value_cols if c not in types]
     if missing:
         raise ValueError(
@@ -296,7 +297,6 @@ def snapshot_diff(
         )
     # the manifest schema records the key columns' types too (since r9);
     # only legacy no-schema snapshots with zero readable files fall back
-    ks = _key_list(key)
     empty_schema = ", ".join(
         f"{k} {types.get(k, 'bigint')}" for k in ks
     ) + ", " + ", ".join(f"{c} {types[c]}" for c in value_cols)
@@ -347,10 +347,16 @@ def _key_list(key) -> list[str]:
     if isinstance(key, str):
         return [key]
     ks = list(key)
-    if not ks or not all(isinstance(k, str) for k in ks) or len(set(ks)) != len(ks):
+    ok = (
+        bool(ks)
+        and all(isinstance(k, str) and k and k == k.strip() for k in ks)
+        and len(set(ks)) == len(ks)
+    )
+    if not ok:
         raise ValueError(
-            f"key must be a column name or a non-empty list of distinct "
-            f"column names, got {key!r}"
+            f"key must be a column name or a non-empty list of distinct, "
+            f"non-empty, unpadded column names, got {key!r} (a stray comma "
+            "or space in a CLI --key a,b list is the usual cause)"
         )
     return ks
 
@@ -379,9 +385,9 @@ def _bucket_col(key, n_buckets: int):
 
 
 def collapse_batch(batch: DataFrame, key, ts_col: str = "ts") -> DataFrame:
-    """Last-writer-wins per key: keep the row with max ts (ties: 'delete'
-    beats 'upsert', then op name desc — any deterministic total order keeps
-    replays convergent)."""
+    """Last-writer-wins per key: keep the row with max ts (ties: 'upsert'
+    beats 'delete' — op name descending — any deterministic total order
+    keeps replays convergent)."""
     w = Window.partitionBy(*_key_list(key)).orderBy(F.desc(ts_col), F.desc("op"))
     return (
         batch.withColumn("_rn", F.row_number().over(w))

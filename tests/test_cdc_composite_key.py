@@ -34,8 +34,8 @@ def _state(spark, snap):
 
 
 def _apply_ref(ref, rows):
-    # reference last-writer-wins fold (max ts wins; delete beats upsert on
-    # ties — mirrors collapse_batch's ordering)
+    # reference last-writer-wins fold (max ts wins; upsert beats delete on
+    # ties via descending op name — mirrors collapse_batch's ordering)
     best = {}
     for store, sku, qty, op, ts in rows:
         k = (store, sku)

@@ -449,6 +449,28 @@ def test_synthetic_corpus_plants_linear_neardups_and_strategies_agree(spark):
     assert len(found - planted) <= 2
 
 
+def test_neardup_strategies_agree_on_zero_norm_features(spark):
+    """Byte-identical SILENT assets (all-zero band-RMS features) must pair
+    at cos 1.0 under every pair strategy: the blocked/LSH delegates drop
+    zero-norm rows, so the wrapper splits them out and pairs them directly
+    (review finding, r9)."""
+    silent = multimodal.encode_wav(np.zeros(1600))
+    tone = multimodal.encode_wav(0.3 * np.sin(2 * np.pi * 300 * np.arange(1600) / 8000.0))
+    rows = [
+        (i, "audio", p, {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200})
+        for i, p in enumerate([silent, silent, tone])
+    ]
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    for strat in ("exact", "blocked", "lsh"):
+        pairs = {
+            (r.asset_a, r.asset_b): r.cos
+            for r in multimodal.neardup_assets_by_feature(
+                assets, threshold=0.995, decode_stub=False, pair_strategy=strat
+            ).collect()
+        }
+        assert pairs == {(0, 1): 1.0}, strat
+
+
 def test_multimodal_neardup_finds_planted_payload_dups(spark):
     """Identical payloads -> identical stub features -> cos == 1.0 pairs."""
     assets = multimodal.synthetic_assets(spark, n=16)
