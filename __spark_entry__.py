@@ -505,6 +505,33 @@ def _q_viterbi_reestimate(spark, sf):
     return viterbi_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_triangle_docs(spark, sf):
+    # DuckDB-exact (late r9): per-doc triangle counts on the near-dup
+    # similarity graph — the duplicate-FAMILY signal (a k-family is a
+    # k-clique) a pair count can't separate from hub-and-spokes template
+    # matches. Spark runs the degree-oriented compact-forward plan; the
+    # oracle enumerates the same triangle set id-ordered (both are total
+    # orders over the same undirected graph). pytest pins the kernel
+    # against a brute-force adjacency oracle + a planted-clique/hub case.
+    from baum_welch_spark.operators.graph import triangle_docs
+
+    return triangle_docs(*_tables(spark, sf, "documents"))
+
+
+def _q_neardup_incremental(spark, sf):
+    # DuckDB-exact (late r9): the incremental crawl-dedup shape — dedup an
+    # incoming batch (10% hash split) against the existing corpus (the
+    # other 90%) via cross-corpus MinHash-LSH band collisions + exact
+    # verify of candidates only. The base side's banded signatures are the
+    # storable index at 100 TB; no corpus self-join anywhere.
+    from baum_welch_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from baum_welch_spark.operators.sampling import hash_split
+
+    (docs,) = _tables(spark, sf, "documents")
+    new_docs, base_docs = hash_split(docs, "doc_id", [0.1, 0.9], seed=11)
+    return minhash_lsh_pairs_incremental(new_docs, base_docs)
+
+
 def _q_em_reestimate(spark, sf):
     # DuckDB-exact (r9): ONE soft-EM re-estimation step from a fixed model
     # — pins the distributed E-step's γ/ξ aggregation + window normalize
@@ -1213,6 +1240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dropped below, code-unchanged since their check (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
+        # NEW (late r9): triangle counting on the near-dup graph +
+        # cross-corpus incremental MinHash dedup, both DuckDB-exact (they
+        # displace merge_upsert/scd2_history below the boundary — those
+        # keep their r6-green evidence and head the r10 rotation list)
+        "triangle_docs": _q_triangle_docs,
+        "neardup_incremental": _q_neardup_incremental,
         # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal
         # pipeline's first driver face (rows-only)
         "em_reestimate": _q_em_reestimate,
@@ -1267,13 +1300,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "bigram_lm_score": _q_bigram_lm_score,
-        # --- rotated IN: last driver-verified r6 (3 of 13) ---
-        "merge_upsert": _q_merge_upsert,
-        "scd2_history": _q_scd2_history,
+        # --- rotated IN: last driver-verified r6 (1 of 13) ---
         "state_occupancy": _q_state_occupancy,
         # ---- driver's 50-entry window ends here (state_occupancy is
         # #50) ----
-        # r6-vintage leftovers: head of the r10 rotation list
+        # r6-vintage leftovers: head of the r10 rotation list (merge_upsert
+        # and scd2_history were displaced below the boundary by the two
+        # late-r9 faces — code-unchanged, manifest-enforced)
+        "merge_upsert": _q_merge_upsert,
+        "scd2_history": _q_scd2_history,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
         "lineitem_stats": _q_lineitem_stats,
         "q7_volume_shipping": _q_q7,
@@ -1520,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes": _cdc_changes_sql(),
         # fixed-count power iteration unrolled into plain CTE stages
         "pagerank_docs": graph.pagerank_docs_sql(),
+        "triangle_docs": graph.triangle_docs_sql(),
+        "neardup_incremental": dedup.MINHASH_INCREMENTAL_SQL,
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,

@@ -850,3 +850,135 @@ SELECT component, node AS keep_doc_id, quality_score, n_docs
 FROM members WHERE rk = 1 ORDER BY component
 """
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dups of an INCOMING document batch against an EXISTING corpus —
+    the incremental crawl-dedup shape (r9): every recurring ingestion
+    pipeline dedups each new crawl against everything already kept, and
+    re-running the full-corpus self-join per batch is the one thing that
+    cannot scale. Per-batch cost here is O(|new|) signature work plus a
+    band-bucket equi-join against the base's banded signatures; the base
+    side is derived in-plan at demo scale, but at 100 TB it is the
+    PRECOMPUTED, stored signature index (``minhash_signatures`` +
+    ``band_key_structs`` give exactly the frame to persist) — the new
+    batch never touches base text except for the few verify candidates.
+
+    Same exact-over-candidates recipe as :func:`minhash_lsh_pairs`,
+    restricted to cross-corpus pairs: candidates collide in at least one
+    band bucket with one side in each corpus; exact trigram Jaccard is
+    computed for candidates only. Output: (doc_new, doc_base, jaccard)
+    with jaccard >= ``verify_threshold``. Corpora with overlapping ids are
+    fine (same-id pairs are excluded; they are re-ingestions, not
+    near-dups).
+    """
+    band_cols = band_key_structs(num_hashes, bands)
+
+    def banded(docs: DataFrame) -> DataFrame:
+        sig = _minhash_signatures_from(_shingles(docs), num_hashes)
+        return sig.select("doc_id", F.explode(band_cols).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+
+    a = banded(new_docs).alias("a")
+    b = banded(base_docs).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_base"))
+        .distinct()
+    )
+
+    def cand_sets(docs: DataFrame, ids: DataFrame) -> DataFrame:
+        # prune to candidates BEFORE re-shingling: the verify path touches
+        # only candidate docs' text (id-only join side; AQE broadcasts it
+        # while small) — same policy as minhash_lsh_pairs
+        return (
+            _shingles(docs.join(ids.distinct(), "doc_id"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("s").alias("shingles"))
+        )
+
+    sets_new = cand_sets(new_docs, candidates.select(F.col("doc_new").alias("doc_id")))
+    sets_base = cand_sets(base_docs, candidates.select(F.col("doc_base").alias("doc_id")))
+    return (
+        candidates.join(
+            sets_new.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n")),
+            "doc_new",
+        )
+        .join(
+            sets_base.select(F.col("doc_id").alias("doc_base"), F.col("shingles").alias("sh_b")),
+            "doc_base",
+        )
+        .withColumn("c", F.size(F.array_intersect("sh_n", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.size("sh_n") + F.size("sh_b") - F.col("c")), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_new", "doc_base", "jaccard")
+    )
+
+
+# DuckDB oracle for the driver face: new = hash_split(documents, "doc_id",
+# [0.1, 0.9], seed=11)[0] (sampling._keyed_hash convention: portable MD5 of
+# "id:seed" mod 1e6 under 100000), base = the rest; then the exact mirror of
+# MINHASH_LSH_SQL with per-side shingle/signature/band CTEs and candidates
+# requiring one side in each corpus.
+MINHASH_INCREMENTAL_SQL = """
+WITH tagged AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+           % 1000000 < 100000 AS is_new
+  FROM documents
+),
+words AS (
+  SELECT doc_id, is_new, string_split(text, ' ') AS ws FROM tagged
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, is_new, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+hashed AS (
+  SELECT doc_id, is_new, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+mins AS (
+  SELECT doc_id, is_new, k, min((h * (2*k + 1) + k*k + 7) % 2147483647) AS mh
+  FROM hashed, unnest(generate_series(0, 31)) AS t(k)
+  GROUP BY doc_id, is_new, k
+),
+bands AS (
+  SELECT doc_id, is_new, (k // 4) AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY k) AS bkey
+  FROM mins GROUP BY doc_id, is_new, (k // 4)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_base
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.is_new AND NOT b.is_new
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_new, c.doc_base, count(*) AS c
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_new
+  JOIN sh y ON y.doc_id = c.doc_base AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_new, i.doc_base, round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_new = sa.doc_id
+JOIN sizes sb ON i.doc_base = sb.doc_id
+WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.2
+"""

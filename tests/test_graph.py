@@ -130,3 +130,57 @@ def test_pagerank_docs_face(spark):
     # descending order with deterministic tiebreak
     vals = [(-r.rank, r.doc_id) for r in ranked]
     assert vals == sorted(vals)
+
+
+# -- triangle counting ------------------------------------------------------
+
+
+def _brute_triangles(edge_list):
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    for v in (x, y, z):
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce_random_graph(spark):
+    from baum_welch_spark.operators.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edge_list = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(300, 2))
+        if a != b
+    ]
+    # duplicates + both orientations included on purpose: triangle_counts
+    # must canonicalize
+    edge_list += [(b, a) for a, b in edge_list[:50]]
+    edges = spark.createDataFrame(edge_list, schema="src bigint, dst bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == _brute_triangles(edge_list)
+
+
+def test_triangle_counts_planted_clique_and_hub(spark):
+    """A k-clique member sits in C(k-1, 2) triangles; a pure hub (star
+    center) sits in none — the distinction the operator exists to make."""
+    from baum_welch_spark.operators.graph import triangle_counts
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5
+    star = [(100, 200 + i) for i in range(6)]  # no closing edges
+    edges = spark.createDataFrame(clique + star, schema="src bigint, dst bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {v: 6 for v in range(5)}  # C(4,2) = 6 each
+    assert 100 not in got  # the hub closes nothing
