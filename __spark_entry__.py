@@ -505,6 +505,17 @@ def _q_viterbi_reestimate(spark, sf):
     return viterbi_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_mad_outliers(spark, sf):
+    # DuckDB-exact (late r9): robust per-event-type outlier flagging —
+    # |value - median| > 3.5 robust sigmas (1.4826 * MAD). Spark exact
+    # percentile and DuckDB quantile_cont interpolate identically, so
+    # med/mad/score match bit-for-bit. approx_percentile is the documented
+    # 100 TB swap-in (same plan shape, sketch-bounded memory).
+    from baum_welch_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(*_tables(spark, sf, "events"))
+
+
 def _q_triangle_docs(spark, sf):
     # DuckDB-exact (late r9): per-doc triangle counts on the near-dup
     # similarity graph — the duplicate-FAMILY signal (a k-family is a
@@ -1246,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep their r6-green evidence and head the r10 rotation list)
         "triangle_docs": _q_triangle_docs,
         "neardup_incremental": _q_neardup_incremental,
+        "mad_outliers": _q_mad_outliers,
         # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal
         # pipeline's first driver face (rows-only)
         "em_reestimate": _q_em_reestimate,
@@ -1300,13 +1312,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
         "bigram_lm_score": _q_bigram_lm_score,
-        # --- rotated IN: last driver-verified r6 (1 of 13) ---
-        "state_occupancy": _q_state_occupancy,
-        # ---- driver's 50-entry window ends here (state_occupancy is
+        # ---- driver's 50-entry window ends here (bigram_lm_score is
         # #50) ----
-        # r6-vintage leftovers: head of the r10 rotation list (merge_upsert
-        # and scd2_history were displaced below the boundary by the two
-        # late-r9 faces — code-unchanged, manifest-enforced)
+        # r6-vintage leftovers: head of the r10 rotation list (merge_upsert,
+        # scd2_history, and state_occupancy were displaced below the
+        # boundary by the three late-r9 faces — code-unchanged,
+        # manifest-enforced)
+        "state_occupancy": _q_state_occupancy,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
         "time_bucket_interpolate": _q_time_bucket_interpolate,
@@ -1448,6 +1460,7 @@ def _cdc_changes_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from baum_welch_spark.operators import (
+        anomaly,
         asof,
         corpus,
         dedup,
@@ -1557,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_docs": graph.pagerank_docs_sql(),
         "triangle_docs": graph.triangle_docs_sql(),
         "neardup_incremental": dedup.MINHASH_INCREMENTAL_SQL,
+        "mad_outliers": anomaly.MAD_OUTLIERS_SQL,
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,
