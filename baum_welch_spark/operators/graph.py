@@ -293,10 +293,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # persist: the oriented edge list (two longs per row) is referenced
+    # three times (both wedge sides + the closing join) — Spark plans are
+    # trees, so without the cache the whole canonicalize+degree+attach
+    # chain would be re-planned and re-executed per reference
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).persist()
     o1 = oriented.select("u", F.col("v").alias("v1"))
     o2 = oriented.select("u", F.col("v").alias("v2"))
     # both (y, z) and (z, y) wedges are generated; only the one matching the
@@ -306,10 +310,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
         ["v1", "v2"],
     )
-    members = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v1").alias("node")))
-        .unionAll(tri.select(F.col("v2").alias("node")))
+    # one row per (triangle, member) via explode — NOT a 3-way unionAll of
+    # tri, which would plan (and run) the wedge+closing joins three times
+    members = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
     )
     return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 

@@ -184,3 +184,27 @@ def test_triangle_counts_planted_clique_and_hub(spark):
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {v: 6 for v in range(5)}  # C(4,2) = 6 each
     assert 100 not in got  # the hub closes nothing
+
+
+def test_triangle_counts_plan_no_cartesian_and_cache_reuse(spark):
+    """Scale-posture pin for the triangle kernel: the wedge and closing
+    joins must plan as equi-joins (no BroadcastNestedLoop/cartesian — the
+    failure mode if the orientation predicate leaks into a join
+    condition), and every one of the oriented edge list's three references
+    must read the persisted frame (InMemoryTableScan) instead of
+    re-running the canonicalize+degree+attach chain per reference — plans
+    are trees, so without the cache that chain executes three times.
+    (A raw Exchange count over the plan STRING is meaningless here: the
+    cached subtree is printed once per reference.)"""
+    from baum_welch_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        schema="src bigint, dst bigint",
+    )
+    df = triangle_counts(edges)
+    df.collect()  # materialize the cache so the executed plan is final
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert executed.count("InMemoryTableScan") >= 3, executed
