@@ -293,14 +293,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # persist: the oriented edge list (two longs per row) is referenced
-    # three times (both wedge sides + the closing join) — Spark plans are
-    # trees, so without the cache the whole canonicalize+degree+attach
-    # chain would be re-planned and re-executed per reference
+    # localCheckpoint: the oriented edge list (two longs per row) is
+    # referenced three times (both wedge sides + the closing join) — Spark
+    # plans are trees, so each reference would re-plan AND re-execute the
+    # whole canonicalize+degree+attach chain (and re-print it in every
+    # audit). Cutting lineage materializes the edge-sized frame once and
+    # keeps the downstream plan three scans + two joins — the same
+    # truncation the pagerank loop uses, with the same documented trade
+    # (executor loss recomputes from the checkpoint, not the source).
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).persist()
+    ).localCheckpoint()
     o1 = oriented.select("u", F.col("v").alias("v1"))
     o2 = oriented.select("u", F.col("v").alias("v2"))
     # both (y, z) and (z, y) wedges are generated; only the one matching the

@@ -186,25 +186,24 @@ def test_triangle_counts_planted_clique_and_hub(spark):
     assert 100 not in got  # the hub closes nothing
 
 
-def test_triangle_counts_plan_no_cartesian_and_cache_reuse(spark):
+def test_triangle_counts_plan_no_cartesian_and_bounded_shuffles(spark):
     """Scale-posture pin for the triangle kernel: the wedge and closing
     joins must plan as equi-joins (no BroadcastNestedLoop/cartesian — the
     failure mode if the orientation predicate leaks into a join
-    condition), and every one of the oriented edge list's three references
-    must read the persisted frame (InMemoryTableScan) instead of
-    re-running the canonicalize+degree+attach chain per reference — plans
-    are trees, so without the cache that chain executes three times.
-    (A raw Exchange count over the plan STRING is meaningless here: the
-    cached subtree is printed once per reference.)"""
+    condition), and the plan downstream of the lineage-cut oriented edge
+    list stays within its shuffle budget — without the localCheckpoint,
+    the canonicalize+degree+attach chain re-plans and re-executes once per
+    reference (three times) because Spark plans are trees."""
     from baum_welch_spark.operators.graph import triangle_counts
 
     edges = spark.createDataFrame(
         [(a, b) for a in range(8) for b in range(a + 1, 8)],
         schema="src bigint, dst bigint",
     )
-    df = triangle_counts(edges)
-    df.collect()  # materialize the cache so the executed plan is final
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in executed
-    assert "BroadcastNestedLoopJoin" not in executed
-    assert executed.count("InMemoryTableScan") >= 3, executed
+    plan = explain_str(triangle_counts(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # downstream of the checkpoint: wedge join, closing join, member count
+    # (+ AQE reads); the pin catches the lineage cut being dropped, which
+    # would put the ~80-exchange duplicated chain back into the plan
+    assert _shuffle_count(plan) <= 8, plan
