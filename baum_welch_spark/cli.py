@@ -301,6 +301,25 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_outliers(args) -> int:
+    """Robust MAD outlier scan over the events table (operators/anomaly.py):
+    rows more than --k robust sigmas (1.4826 * MAD) from their group's
+    median, grouped by --group-col."""
+    from baum_welch_spark.operators.anomaly import mad_outliers
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-outliers")
+    events = load_table(spark, args.input, "events")
+    out = mad_outliers(events, group_col=args.group_col, value_col=args.value_col, k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_select(args) -> int:
     """BIC/AIC order-selection sweep over candidate hidden-state counts."""
     from baum_welch_spark.hmm.select import select_n_hidden
@@ -710,6 +729,15 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.4)
     dd.add_argument("-o", "--output")
     dd.set_defaults(fn=cmd_dedup)
+
+    ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
+    ol.add_argument("-i", "--input", required=True)
+    ol.add_argument("--group-col", default="event_type")
+    ol.add_argument("--value-col", default="value")
+    ol.add_argument("-k", type=float, default=3.5, help="robust-sigma cutoff")
+    ol.add_argument("-o", "--output")
+    ol.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    ol.set_defaults(fn=cmd_outliers)
 
     km = sub.add_parser("kmeans", help="distributed k-means over embeddings")
     km.add_argument("-i", "--input", required=True)

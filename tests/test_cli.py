@@ -349,3 +349,14 @@ def test_cli_cdc_composite_key(spark, tmp_path):
             "cdc", "apply", "--snapshot", snap, "--changes", c1,
             "--key", "store", "--value-cols", "qty",
         ])
+
+
+def test_cli_outliers(spark, tmp_path):
+    out = str(tmp_path / "outliers")
+    assert main([
+        "outliers", "-i", SF0001, "-k", "3.5", "-o", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"event_id", "grp", "value", "med", "mad", "score"}
+    # every flagged row really clears the cutoff it was flagged under
+    assert got.filter("score <= 3.5").count() == 0
