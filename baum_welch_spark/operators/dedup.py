@@ -852,12 +852,28 @@ FROM members WHERE rk = 1 ORDER BY component
     )
 
 
+def banded_signatures(
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """The (doc_id, band, bkey) banded MinHash frame — THE index to persist
+    for incremental dedup: write it partitioned however the corpus is
+    organized, append each ingested batch's rows, and every later batch
+    dedups against it without touching base text (except the few verify
+    candidates). One definition shared by the batch self-join operator,
+    the streaming index, and the incremental cross-corpus path."""
+    sig = _minhash_signatures_from(_shingles(documents), num_hashes)
+    return sig.select(
+        "doc_id", F.explode(band_key_structs(num_hashes, bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     base_docs: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.2,
+    base_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of an INCOMING document batch against an EXISTING corpus —
     the incremental crawl-dedup shape (r9): every recurring ingestion
@@ -877,17 +893,17 @@ def minhash_lsh_pairs_incremental(
     with jaccard >= ``verify_threshold``. Corpora with overlapping ids are
     fine (same-id pairs are excluded; they are re-ingestions, not
     near-dups).
+
+    ``base_index``: a previously persisted :func:`banded_signatures` frame
+    for the base corpus (same num_hashes/bands) — pass it to skip deriving
+    the base's signatures in-plan, which is the point at scale: the index
+    is computed once per ingested batch, never per query. ``base_docs`` is
+    still required (candidate verification reads the candidates' text).
     """
-    band_cols = band_key_structs(num_hashes, bands)
-
-    def banded(docs: DataFrame) -> DataFrame:
-        sig = _minhash_signatures_from(_shingles(docs), num_hashes)
-        return sig.select("doc_id", F.explode(band_cols).alias("bk")).select(
-            "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-        )
-
-    a = banded(new_docs).alias("a")
-    b = banded(base_docs).alias("b")
+    a = banded_signatures(new_docs, num_hashes, bands).alias("a")
+    b = (
+        base_index if base_index is not None else banded_signatures(base_docs, num_hashes, bands)
+    ).alias("b")
     candidates = (
         a.join(
             b,

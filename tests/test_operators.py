@@ -967,3 +967,31 @@ def test_png_planted_duplicate_neardup(spark):
     for r in resized:
         assert bytes(r.payload)[:8] == multimodal._PNG_SIG
         assert multimodal.decode_png(bytes(r.payload)).shape == (4, 4, 3)
+
+
+def test_incremental_neardup_stored_index_matches_inplan(spark, tmp_path, documents):
+    """The storable-index contract: persisting banded_signatures to parquet
+    and handing it back as base_index must give the identical result to
+    deriving the base's signatures in-plan — the write/read cycle is the
+    100 TB usage (index computed once per ingested batch, never per query)."""
+    from baum_welch_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+    from baum_welch_spark.operators.sampling import hash_split
+
+    new_docs, base_docs = hash_split(documents, "doc_id", [0.2, 0.8], seed=11)
+    idx_path = str(tmp_path / "band_index")
+    banded_signatures(base_docs).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    inplan = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in minhash_lsh_pairs_incremental(new_docs, base_docs).collect()
+    }
+    via_index = {
+        (r.doc_new, r.doc_base): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            new_docs, base_docs, base_index=stored
+        ).collect()
+    }
+    assert inplan == via_index and inplan
