@@ -1242,13 +1242,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
     # any face whose code changes, and any NEW face, must be inside the
     # window the round it ships. r9 curation (VERDICT-r8 #3): the window is
-    # the 13 faces changed/added this round (7 new + 6 whose source
-    # drifted via the CDC/Gaussian edits) plus the 37 faces with the
-    # STALEST driver evidence — all 10 last-checked-r4 and all 24
-    # last-checked-r5 faces, plus 3 of the 13 last-checked-r6 faces (the
-    # remaining 10 r6-vintage faces, listed right below the boundary,
-    # head the r10 rotation list). The r8-window and r7-checked faces
-    # dropped below, code-unchanged since their check (manifest-enforced).
+    # the 16 faces changed/added this round (10 new + 6 whose source
+    # drifted via the CDC/Gaussian/composite-key edits) plus the 34 faces
+    # with the STALEST driver evidence — all 10 last-checked-r4 and all 24
+    # last-checked-r5 faces (the 13 r6-vintage faces, listed right below
+    # the boundary, head the r10 rotation list). The r8-window and
+    # r7-checked faces dropped below, code-unchanged since their check
+    # (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
         # NEW (late r9): triangle counting on the near-dup graph +
