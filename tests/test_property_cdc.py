@@ -214,3 +214,57 @@ def test_versioned_reads_and_diff_match_reference(spark, tmp_path_factory, batch
                 assert r[f"old_{c}"] == at(a, r["k"], c), (r, c)
                 assert r[f"new_{c}"] == at(b, r["k"], c), (r, c)
         assert got == expect
+
+
+# one composite-key batch row: ((k1, k2), op, value)
+_crow = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["x", "y"]),
+    st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+    st.integers(min_value=-9, max_value=9),
+)
+_clog = st.lists(st.lists(_crow, min_size=1, max_size=5), min_size=1, max_size=3)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_clog)
+def test_merge_batch_composite_key_matches_reference(spark, tmp_path_factory, batches):
+    """The r9 composite-key contract under ARBITRARY logs: last-writer-wins
+    and the merge operate on the full (k1, k2) tuple — (0, 'x') and
+    (0, 'y') are independent rows, which is exactly what a single-column
+    key cannot express."""
+    from baum_welch_spark.streaming.upsert import merge_batch, read_snapshot
+
+    snap = str(tmp_path_factory.mktemp("propc") / "snap")
+    state: dict[tuple, float] = {}
+    ts = 0
+    for rows in batches:
+        data, winners = [], {}
+        for k1, k2, op, v in rows:
+            ts += 1
+            data.append((k1, k2, float(v), op, ts))
+            kk = (k1, k2)
+            if kk not in winners or ts > winners[kk][2]:
+                winners[kk] = (op, float(v), ts)
+        merge_batch(
+            spark,
+            spark.createDataFrame(
+                data, "k1 long, k2 string, v double, op string, ts long"
+            ),
+            snap,
+            ["k1", "k2"],
+            ["v"],
+            n_buckets=4,
+        )
+        for kk, (op, v, _t) in winners.items():
+            if op == "delete":
+                state.pop(kk, None)
+            else:
+                state[kk] = v
+    df = read_snapshot(spark, snap)
+    got = {} if df is None else {(r.k1, r.k2): r.v for r in df.collect()}
+    assert got == state
