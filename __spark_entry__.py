@@ -505,6 +505,20 @@ def _q_viterbi_reestimate(spark, sf):
     return viterbi_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_kmeans_parity(spark, sf):
+    # DuckDB-exact (late r9): fixed-iteration Lloyd k-means UNROLLED into
+    # one generated SQL text whose two dialects differ only in array
+    # indexing / cast / md5 idioms — the clustering analogue of
+    # pagerank_docs' CTE unroll. Distances are a generated left-assoc IEEE
+    # chain (bitwise equal across engines); the M-step mean is rounded to
+    # 9 per iteration (the published contract that absorbs summation-order
+    # ulps). The numpy kmeans_fit stays the throughput path; pytest pins
+    # this twin against an independent numpy replica of the same spec.
+    from baum_welch_spark.operators.clustering import kmeans_parity
+
+    return kmeans_parity(spark, *_tables(spark, sf, "embeddings"))
+
+
 def _q_mad_outliers(spark, sf):
     # DuckDB-exact (late r9): robust per-event-type outlier flagging —
     # |value - median| > 3.5 robust sigmas (1.4826 * MAD). Spark exact
@@ -1258,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_docs": _q_triangle_docs,
         "neardup_incremental": _q_neardup_incremental,
         "mad_outliers": _q_mad_outliers,
+        "kmeans_parity": _q_kmeans_parity,
         # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal
         # pipeline's first driver face (rows-only)
         "em_reestimate": _q_em_reestimate,
@@ -1311,13 +1326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
-        "bigram_lm_score": _q_bigram_lm_score,
-        # ---- driver's 50-entry window ends here (bigram_lm_score is
-        # #50) ----
+        # ---- driver's 50-entry window ends here
+        # (time_bucket_gapfill is #50) ----
         # r6-vintage leftovers: head of the r10 rotation list (merge_upsert,
-        # scd2_history, and state_occupancy were displaced below the
-        # boundary by the three late-r9 faces — code-unchanged,
+        # scd2_history, state_occupancy, and bigram_lm_score were displaced
+        # below the boundary by the four late-r9 faces — code-unchanged,
         # manifest-enforced)
+        "bigram_lm_score": _q_bigram_lm_score,
         "state_occupancy": _q_state_occupancy,
         "merge_upsert": _q_merge_upsert,
         "scd2_history": _q_scd2_history,
@@ -1462,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
     from baum_welch_spark.operators import (
         anomaly,
         asof,
+        clustering,
         corpus,
         dedup,
         graph,
@@ -1571,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_docs": graph.triangle_docs_sql(),
         "neardup_incremental": dedup.MINHASH_INCREMENTAL_SQL,
         "mad_outliers": anomaly.MAD_OUTLIERS_SQL,
+        "kmeans_parity": clustering.kmeans_parity_sql("duckdb"),
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,

@@ -198,3 +198,104 @@ def knn_ivf_kmeans(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos", "rk")
     )
+
+
+def kmeans_parity_sql(
+    dialect: str,
+    k: int = 4,
+    iters: int = 3,
+    seed: int = 11,
+    d: int = 64,
+    centroid_round: int = 9,
+) -> str:
+    """Generate the SAME unrolled Lloyd k-means for both engines — the
+    clustering analogue of ``graph.pagerank_docs_sql``'s fixed-iteration
+    CTE unroll, pinning assignment (argmin with a deterministic
+    cluster-asc tie-break), the M-step mean, empty-cluster carry-forward,
+    and the inertia readout end-to-end DuckDB-exact.
+
+    Why it CAN be exact, term by term:
+
+    - init: the k vectors with the smallest portable hash of
+      "vec_id:seed" (sampling._keyed_hash convention) — integer order,
+      engine-independent;
+    - distances: one generated left-associated chain
+      ``(x1-c1)*(x1-c1) + ...`` — both engines parse ``a+b+c`` left-assoc
+      and run the identical IEEE double ops on the identical literals, so
+      d2 is BITWISE equal (no engine-private GEMM reorderings — this
+      parity twin deliberately avoids the numpy kernel);
+    - argmin: ROW_NUMBER ordered by (d2, cluster) — bitwise-equal keys
+      make the pick deterministic on both sides;
+    - M-step: per-dimension AVG — the one place summation ORDER differs
+      between engines (shuffle order vs scan order), absorbed by rounding
+      every centroid coordinate to ``centroid_round`` decimals each
+      iteration (1e-9 against ~1e-17 ulp noise; the rounding IS the
+      published contract of this parity variant, not a fudge);
+    - readout: per-cluster count + avg d2 rounded to 6.
+
+    ``dialect``: 'spark' or 'duckdb' — the only splits are array indexing
+    (0- vs 1-based), float->double cast spelling, and the md5 hash idiom.
+    Everything downstream of the ``vecs`` CTE is byte-identical SQL.
+    """
+    if dialect == "spark":
+        xcols = ", ".join(
+            f"CAST(embedding[{i - 1}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
+        )
+        h = "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), ':" + str(seed) + "')), 1, 15), 16, 10) AS BIGINT)"
+    elif dialect == "duckdb":
+        xcols = ", ".join(f"embedding[{i}]::DOUBLE AS x{i}" for i in range(1, d + 1))
+        h = "('0x' || substr(md5(vec_id::VARCHAR || ':" + str(seed) + "'), 1, 15))::BIGINT"
+    else:
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
+
+    d2 = " + ".join(f"(x{i} - c{i}) * (x{i} - c{i})" for i in range(1, d + 1))
+    c0_cols = ", ".join(f"x{i} AS c{i}" for i in range(1, d + 1))
+    stages = [
+        f"""vecs AS (SELECT vec_id, {xcols} FROM embeddings),
+hashed AS (SELECT vec_id, {h} AS hh FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cluster, {c0_cols}
+  FROM vecs JOIN hashed USING (vec_id)
+  ORDER BY hh, vec_id LIMIT {k}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        mean_cols = ", ".join(
+            f"round(avg(x{i}), {centroid_round}) AS c{i}" for i in range(1, d + 1)
+        )
+        carry_cols = ", ".join(
+            f"coalesce(m.c{i}, p.c{i}) AS c{i}" for i in range(1, d + 1)
+        )
+        stages.append(f"""a{t} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT v.vec_id, c.cluster, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM vecs v CROSS JOIN c{t - 1} c
+  ) ranked WHERE rn = 1
+)""")
+        if t < iters:
+            stages.append(f"""m{t} AS (
+  SELECT cluster, {mean_cols}
+  FROM a{t} JOIN vecs USING (vec_id) GROUP BY cluster
+),
+c{t} AS (
+  SELECT p.cluster, {carry_cols}
+  FROM c{t - 1} p LEFT JOIN m{t} m ON m.cluster = p.cluster
+)""")
+    unrolled = ",\n".join(stages)
+    return f"""
+WITH {unrolled}
+SELECT cluster, count(*) AS n, round(avg(d2), 6) AS avg_d2
+FROM a{iters}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+def kmeans_parity(spark, embeddings: DataFrame, **kw) -> DataFrame:
+    """Run the Spark dialect of :func:`kmeans_parity_sql` over the given
+    embeddings frame (registered as the ``embeddings`` temp view). The
+    numpy-kernel :func:`kmeans_fit` stays the throughput path; this twin
+    exists to pin Lloyd's SEMANTICS against DuckDB exactly."""
+    embeddings.createOrReplaceTempView("embeddings")
+    return spark.sql(kmeans_parity_sql("spark", **kw))

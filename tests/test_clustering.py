@@ -81,3 +81,41 @@ def test_knn_ivf_kmeans_recall_vs_brute(spark, embeddings):
     for r in knn_ivf_kmeans(embeddings, n_queries=5, k=5, n_clusters=16, n_probe=4).collect():
         if (r.q_id, r.c_id) in bcos:
             assert abs(r.cos - bcos[(r.q_id, r.c_id)]) < 1e-9
+
+
+def test_kmeans_parity_matches_independent_numpy_replica(spark, embeddings):
+    """The DuckDB-exact parity twin (kmeans_parity_sql) against a THIRD
+    implementation: a numpy replica of the same spec — portable-hash init,
+    full-expansion squared distances, cluster-asc tie-break, per-iteration
+    centroid rounding to 9. Engine-vs-engine equality is the driver's
+    check; this pins the SQL against independent arithmetic."""
+    import hashlib
+
+    from baum_welch_spark.operators.clustering import kmeans_parity
+
+    k, iters, seed = 4, 3, 11
+    ids, M = _matrix(embeddings)
+
+    def phash(i):
+        return int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(len(ids)), key=lambda j: (phash(ids[j]), ids[j]))
+    C = M[order[:k]].copy()
+    for t in range(iters):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # numpy argmin ties -> lowest index = cluster asc
+        if t < iters - 1:
+            for c in range(k):
+                if (a == c).any():
+                    C[c] = np.round(M[a == c].mean(axis=0), 9)
+    got = {r.cluster: (r.n, r.avg_d2) for r in kmeans_parity(spark, embeddings).collect()}
+    expect = {
+        c: ((a == c).sum(), round(float(d2[a == c, c].mean()), 6))
+        for c in range(k)
+        if (a == c).any()
+    }
+    assert {c: n for c, (n, _) in got.items()} == {c: n for c, (n, _) in expect.items()}
+    for c in expect:
+        # numpy's vectorized sums reassociate, so compare the readout at
+        # the spec's rounding minus one guard digit
+        assert abs(got[c][1] - expect[c][1]) < 1e-5, (c, got[c], expect[c])
