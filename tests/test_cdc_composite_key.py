@@ -121,3 +121,29 @@ def test_composite_key_agg_delta_and_compact(spark, tmp_path):
     assert m["n_buckets"] == 2 and m["key"] == KEY
     with pytest.raises(ValueError, match="n_buckets"):
         merge_batch(spark, _batch(spark, b1), snap, KEY, ["qty"], n_buckets=4)
+
+
+def test_composite_key_streaming_apply(spark, tmp_path):
+    """apply_cdc_stream with a composite key: the foreachBatch merge path
+    threads the tuple through collapse/bucket/join exactly like the batch
+    entry point (micro-batched by maxFilesPerTrigger to force >1 epoch)."""
+    from baum_welch_spark.streaming.upsert import apply_cdc_stream, read_snapshot
+
+    upd = str(tmp_path / "upd")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(0, "x", 1.0, "upsert", 1), (1, "x", 2.0, "upsert", 1), (0, "y", 3.0, "upsert", 1)]
+    b2 = [(0, "x", 9.0, "upsert", 2), (1, "x", 0.0, "delete", 2)]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(upd)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd)
+    )
+    q = apply_cdc_stream(stream, snap, KEY, ["qty"], checkpoint=ckpt, n_buckets=4)
+    q.awaitTermination(300)
+    got = {(r.store_id, r.sku): r.qty for r in read_snapshot(spark, snap).collect()}
+    assert got == {(0, "x"): 9.0, (0, "y"): 3.0}
