@@ -147,3 +147,51 @@ def test_composite_key_streaming_apply(spark, tmp_path):
     q.awaitTermination(300)
     got = {(r.store_id, r.sku): r.qty for r in read_snapshot(spark, snap).collect()}
     assert got == {(0, "x"): 9.0, (0, "y"): 3.0}
+
+
+def test_crashed_merge_leaves_readers_on_old_version_and_replay_converges(spark, tmp_path):
+    """The write-audit-publish crash window for the MERGE itself: a
+    generation directory fully written but the manifest never flipped
+    (crash between the parquet write and _write_manifest) must be
+    invisible to every reader — read_snapshot, time travel, diff — and a
+    replay of the same batch (the foreachBatch redelivery contract) must
+    converge to the state one clean merge produces, orphan dir and all."""
+    import os
+    import shutil
+
+    from baum_welch_spark.streaming.upsert import (
+        merge_batch,
+        read_snapshot,
+        read_snapshot_at,
+    )
+
+    snap = str(tmp_path / "snap")
+    b1 = [(s, f"sku-{i}", float(i), "upsert", 1) for s in range(2) for i in range(3)]
+    merge_batch(spark, _batch(spark, b1), snap, KEY, ["qty"], n_buckets=4, retain=3)
+    before_manifest = open(os.path.join(snap, "_manifest.json")).read()
+    before_state = _state(spark, snap)
+
+    # simulate the crash: run the merge against a SCRATCH COPY to obtain a
+    # real gen-2 directory, transplant it into the live snapshot, and do
+    # NOT flip the manifest
+    scratch = str(tmp_path / "scratch")
+    shutil.copytree(snap, scratch)
+    b2 = [(0, "sku-0", 99.0, "upsert", 2), (1, "sku-1", 0.0, "delete", 2)]
+    merge_batch(spark, _batch(spark, b2), scratch, KEY, ["qty"])
+    shutil.copytree(
+        os.path.join(scratch, "gen-2"), os.path.join(snap, "gen-2")
+    )
+
+    # readers never see the orphan generation
+    assert open(os.path.join(snap, "_manifest.json")).read() == before_manifest
+    assert _state(spark, snap) == before_state
+    assert {
+        (r.store_id, r.sku): r.qty for r in read_snapshot_at(spark, snap, 1).collect()
+    } == before_state
+
+    # redelivery: the same batch merges over the orphan and converges to
+    # the clean-merge state (gen numbering continues from the MANIFEST,
+    # so the replay overwrites the orphan dir rather than skipping a gen)
+    merge_batch(spark, _batch(spark, b2), snap, KEY, ["qty"])
+    assert _state(spark, snap) == _state(spark, scratch)
+    assert read_snapshot(spark, snap).count() == 5  # 6 rows - 1 delete
