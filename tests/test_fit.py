@@ -249,3 +249,23 @@ def test_random_masked_rejects_dead_rows():
     mask[0] = True
     with pytest.raises(ValueError, match="allowed transition"):
         HMM.random_masked(3, 2, mask, seed=1)
+
+
+def test_fit_resume_from_checkpoint_equals_straight_run(spark, sequences_df, tmp_path):
+    """Checkpoint/restart equivalence — the property a long cluster job
+    actually needs from the per-iteration model sinks (S4): train 2
+    iterations, persist, reload, train 2 more == train 4 straight, to the
+    last bit (EM is a deterministic map of (model, corpus); the parquet
+    roundtrip is exact on doubles)."""
+    init = HMM.random(N_HIDDEN, N_OBSERVED, seed=5)
+    straight = fit(spark, sequences_df, init, max_iter=4).model
+
+    fit(spark, sequences_df, init, max_iter=2, model_out=str(tmp_path / "m"))
+    # fit writes {model_out}/model-{it} per iteration (0-indexed); the
+    # CLI's model-final alias is a layer above
+    reloaded = HMM.read(spark, str(tmp_path / "m" / "model-1"))
+    resumed = fit(spark, sequences_df, reloaded, max_iter=2).model
+
+    np.testing.assert_array_equal(resumed.pi, straight.pi)
+    np.testing.assert_array_equal(resumed.A, straight.A)
+    np.testing.assert_array_equal(resumed.B, straight.B)
