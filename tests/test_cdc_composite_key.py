@@ -195,3 +195,33 @@ def test_crashed_merge_leaves_readers_on_old_version_and_replay_converges(spark,
     merge_batch(spark, _batch(spark, b2), snap, KEY, ["qty"])
     assert _state(spark, snap) == _state(spark, scratch)
     assert read_snapshot(spark, snap).count() == 5  # 6 rows - 1 delete
+
+
+def test_composite_key_ivm_fold(spark, tmp_path):
+    """ivm_apply_batch under a composite key: the delta fingerprint, the
+    group-map join, and the fold all operate on the tuple. Two batches
+    fold into per-group (sum, count) equal to a full recompute."""
+    from baum_welch_spark.streaming.upsert import ivm_apply_batch, read_ivm_state
+
+    snap = str(tmp_path / "snap")
+    gm = spark.createDataFrame(
+        [(s, f"sku-{i}", "hot" if i == 0 else "cold") for s in range(2) for i in range(3)],
+        "store_id bigint, sku string, seg string",
+    )
+    b1 = [(s, f"sku-{i}", float(10 * s + i), "upsert", 1) for s in range(2) for i in range(3)]
+    b2 = [(0, "sku-0", 50.0, "upsert", 2), (1, "sku-2", 0.0, "delete", 2)]
+    ref = {}
+    for rows in (b1, b2):
+        ivm_apply_batch(
+            spark, _batch(spark, rows), snap, KEY, "qty", gm,
+            group_col="seg", n_buckets=4,
+        )
+        ref = _apply_ref(ref, rows)
+    seg_of = {(r.store_id, r.sku): r.seg for r in gm.collect()}
+    expect = {}
+    for kk, qty in ref.items():
+        g = expect.setdefault(seg_of[kk], [0.0, 0])
+        g[0] += qty
+        g[1] += 1
+    got = {g: (v[0], v[1]) for g, v in read_ivm_state(snap)["groups"].items()}
+    assert got == {g: (v[0], v[1]) for g, v in expect.items()}
