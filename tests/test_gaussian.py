@@ -174,3 +174,24 @@ def test_forward_backward_underflow_raises_not_nan():
     # an observation ~1e4 sigma away underflows every state's density
     with pytest.raises(FloatingPointError, match="zero forward mass"):
         forward_backward_gauss(m, np.array([0.0, 50.0]))
+
+
+def test_fit_gaussian_resume_from_parquet_equals_straight_run(spark, tmp_path):
+    """Checkpoint/restart equivalence for the Gaussian family (the twin of
+    the discrete pin in test_fit.py): fit 2 + parquet roundtrip + fit 2 ==
+    fit 4, bit-exact — EM is deterministic in (model, corpus) and the
+    model roundtrip is exact on doubles."""
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events).cache()
+    init = GaussianHMM.random(3, seed=42, lo=0.0, hi=500.0)
+    straight = fit_gaussian(spark, seqs, init, max_iter=4).model
+
+    half = fit_gaussian(spark, seqs, init, max_iter=2).model
+    half.write(spark, str(tmp_path / "gm"))
+    reloaded = GaussianHMM.read(spark, str(tmp_path / "gm"))
+    resumed = fit_gaussian(spark, seqs, reloaded, max_iter=2).model
+
+    np.testing.assert_array_equal(resumed.pi, straight.pi)
+    np.testing.assert_array_equal(resumed.A, straight.A)
+    np.testing.assert_array_equal(resumed.mu, straight.mu)
+    np.testing.assert_array_equal(resumed.sigma2, straight.sigma2)

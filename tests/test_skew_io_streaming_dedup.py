@@ -114,3 +114,25 @@ def test_stream_dedup_drops_duplicated_stream(spark, tmp_path):
     n_batch = load_table(spark, SF0001, "events").count()
     assert len(got) == n_batch  # 2x input rows -> exactly one per event_id
     assert len({r.event_id for r in got}) == n_batch
+
+
+def test_streaming_reference_index_equals_batch_banded_signatures(spark):
+    """The shared-banding claim made concrete: the streaming reference
+    index (streaming.neardup.build_reference_index) must be row-identical
+    to the batch banded_signatures frame — a drift between the two would
+    make streamed docs silently stop colliding with batch-built buckets."""
+    from baum_welch_spark.operators.dedup import banded_signatures
+    from baum_welch_spark.sources.io import load_table
+    from baum_welch_spark.streaming.neardup import build_reference_index
+
+    from conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    band_index, _sets = build_reference_index(docs)
+    streaming_rows = {
+        (r.ref_id, r.band, r.bkey) for r in band_index.collect()
+    }
+    batch_rows = {
+        (r.doc_id, r.band, r.bkey) for r in banded_signatures(docs).collect()
+    }
+    assert streaming_rows == batch_rows and streaming_rows
