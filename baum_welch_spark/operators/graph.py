@@ -401,3 +401,44 @@ SELECT doc_id, count(*) AS n_triangles
 FROM members GROUP BY doc_id
 ORDER BY n_triangles DESC, doc_id ASC
 """
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: cc = 2*tri / (deg*(deg-1))
+    — how close a node's neighborhood is to a clique (1.0 inside a
+    duplicate family, 0.0 at a template hub), the per-node normalization
+    of :func:`triangle_counts`. Degree-1 nodes have undefined cc and are
+    emitted with cc = 0.0 (the common convention; they close nothing).
+
+    Plan: the triangle kernel plus one degree aggregation and an id-keyed
+    left join — nothing beyond what triangle_counts already shuffles.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )

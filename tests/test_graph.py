@@ -207,3 +207,23 @@ def test_triangle_counts_plan_no_cartesian_and_bounded_shuffles(spark):
     # (+ AQE reads); the pin catches the lineage cut being dropped, which
     # would put the ~80-exchange duplicated chain back into the plan
     assert _shuffle_count(plan) <= 8, plan
+
+
+def test_clustering_coefficient_clique_hub_and_bridge(spark):
+    """cc = 1.0 inside a clique, 0.0 at a star hub (and its leaves), and
+    the textbook in-between value on a clique member with one extra
+    non-closing edge."""
+    from baum_welch_spark.operators.graph import clustering_coefficient
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]  # K4
+    star = [(100, 200 + i) for i in range(5)]
+    bridge = [(0, 50)]  # node 0: deg 4, still 3 triangles -> cc = 0.5
+    edges = spark.createDataFrame(
+        clique + star + bridge, schema="src bigint, dst bigint"
+    )
+    got = {r.node: (r.deg, r.n_triangles, r.cc) for r in clustering_coefficient(edges).collect()}
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
+    assert got[0] == (4, 3, 0.5)
+    assert got[100] == (5, 0, 0.0)
+    assert got[200] == (1, 0, 0.0)  # degree-1 convention
+    assert got[50] == (1, 0, 0.0)
