@@ -301,6 +301,39 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Doc-similarity graph analytics (operators/graph.py): build near-dup
+    edges over the documents table and compute --metric pagerank (rank
+    desc), triangles (per-doc triangle counts), or cc (local clustering
+    coefficient)."""
+    from baum_welch_spark.operators.dedup import neardup_jaccard
+    from baum_welch_spark.operators.graph import (
+        clustering_coefficient,
+        pagerank_docs,
+        triangle_counts,
+        triangle_docs,
+    )
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-graph")
+    docs = load_table(spark, args.input, "documents")
+    if args.metric == "pagerank":
+        out = pagerank_docs(docs, threshold=args.threshold)
+    elif args.metric == "triangles":
+        out = triangle_docs(docs, threshold=args.threshold)
+    else:  # cc
+        pairs = neardup_jaccard(docs, threshold=args.threshold)
+        edges = pairs.select("doc_a", "doc_b").toDF("src", "dst")
+        out = clustering_coefficient(edges).withColumnRenamed("node", "doc_id")
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_outliers(args) -> int:
     """Robust MAD outlier scan over the events table (operators/anomaly.py):
     rows more than --k robust sigmas (1.4826 * MAD) from their group's
@@ -729,6 +762,14 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.4)
     dd.add_argument("-o", "--output")
     dd.set_defaults(fn=cmd_dedup)
+
+    gr = sub.add_parser("graph", help="doc-similarity graph analytics: pagerank, triangles, clustering coefficient")
+    gr.add_argument("-i", "--input", required=True)
+    gr.add_argument("--metric", choices=["pagerank", "triangles", "cc"], default="pagerank")
+    gr.add_argument("--threshold", type=float, default=0.4, help="near-dup jaccard edge threshold")
+    gr.add_argument("-o", "--output")
+    gr.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    gr.set_defaults(fn=cmd_graph)
 
     ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
     ol.add_argument("-i", "--input", required=True)

@@ -360,3 +360,15 @@ def test_cli_outliers(spark, tmp_path):
     assert set(got.columns) == {"event_id", "grp", "value", "med", "mad", "score"}
     # every flagged row really clears the cutoff it was flagged under
     assert got.filter("score <= 3.5").count() == 0
+
+
+def test_cli_graph_metrics(spark, tmp_path):
+    for metric, cols in (
+        ("pagerank", {"doc_id", "rank"}),
+        ("triangles", {"doc_id", "n_triangles"}),
+        ("cc", {"doc_id", "deg", "n_triangles", "cc"}),
+    ):
+        out = str(tmp_path / metric)
+        assert main(["graph", "-i", SF0001, "--metric", metric, "-o", out]) == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == cols and got.count() > 0
