@@ -310,7 +310,6 @@ def cmd_graph(args) -> int:
     from baum_welch_spark.operators.graph import (
         clustering_coefficient,
         pagerank_docs,
-        triangle_counts,
         triangle_docs,
     )
     from baum_welch_spark.sources.io import load_table

@@ -853,15 +853,20 @@ FROM members WHERE rk = 1 ORDER BY component
 
 
 def banded_signatures(
-    documents: DataFrame, num_hashes: int = 32, bands: int = 8
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8, k: int = 3
 ) -> DataFrame:
     """The (doc_id, band, bkey) banded MinHash frame — THE index to persist
     for incremental dedup: write it partitioned however the corpus is
     organized, append each ingested batch's rows, and every later batch
     dedups against it without touching base text (except the few verify
-    candidates). One definition shared by the batch self-join operator,
-    the streaming index, and the incremental cross-corpus path."""
-    sig = _minhash_signatures_from(_shingles(documents), num_hashes)
+    candidates). Shared by the streaming reference index
+    (streaming.neardup.build_reference_index calls this) and the
+    incremental cross-corpus path; the batch self-join operator
+    (minhash_lsh_pairs) keeps its pre-existing inline spelling — its face
+    hash is pinned below the driver window — with row-identity between
+    the two enforced by
+    tests/test_skew_io_streaming_dedup.py::test_streaming_reference_index_equals_batch_banded_signatures."""
+    sig = _minhash_signatures_from(_shingles(documents, k=k), num_hashes)
     return sig.select(
         "doc_id", F.explode(band_key_structs(num_hashes, bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
@@ -899,7 +904,22 @@ def minhash_lsh_pairs_incremental(
     the base's signatures in-plan, which is the point at scale: the index
     is computed once per ingested batch, never per query. ``base_docs`` is
     still required (candidate verification reads the candidates' text).
+    A supplied index is VALIDATED against the banding parameters (distinct
+    band count must equal ``bands`` — one aggregate over the index, the
+    same data the candidate join scans anyway): an index built under a
+    different banding would otherwise produce few or no collisions and
+    silently declare the batch duplicate-free, the exact hazard the
+    streaming reference index documents.
     """
+    if base_index is not None:
+        seen = base_index.select(F.countDistinct("band").alias("nb")).first().nb
+        if seen != bands:
+            raise ValueError(
+                f"base_index carries {seen} distinct bands but the banding "
+                f"parameters say bands={bands} — it was built under a "
+                "different (num_hashes, bands); rebuild it with "
+                "banded_signatures(base_docs, num_hashes, bands)"
+            )
     a = banded_signatures(new_docs, num_hashes, bands).alias("a")
     b = (
         base_index if base_index is not None else banded_signatures(base_docs, num_hashes, bands)

@@ -252,6 +252,28 @@ FROM r{max_iter}
 """
 
 
+def _canonical_und_deg(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared canonicalization for the triangle family: undirected deduped
+    (a < b) pairs and per-node degrees — computed ONCE and reused by both
+    triangle_counts and clustering_coefficient (each used to rebuild its
+    own copy; plans are trees, so that re-executed the canonicalize +
+    degree shuffles per caller)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return und, deg
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the standard
     graph-quality/cohesion metric next to PageRank (beyond-reference; the
@@ -274,19 +296,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     columns travel. Output: (node, n_triangles), nodes in no triangle
     absent.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    und, deg = _canonical_und_deg(edges)
+    return _triangle_counts_from(und, deg)
+
+
+def _triangle_counts_from(und: DataFrame, deg: DataFrame) -> DataFrame:
     e = und.join(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
     ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
@@ -299,8 +313,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # whole canonicalize+degree+attach chain (and re-print it in every
     # audit). Cutting lineage materializes the edge-sized frame once and
     # keeps the downstream plan three scans + two joins — the same
-    # truncation the pagerank loop uses, with the same documented trade
-    # (executor loss recomputes from the checkpoint, not the source).
+    # truncation the pagerank loop uses, with the same trade: local
+    # checkpoints live in EXECUTOR storage, so losing an executor mid-job
+    # loses those partitions and fails the job (rerun from source) — the
+    # price of dropping the lineage, not a durability feature.
     oriented = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -410,23 +426,12 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     of :func:`triangle_counts`. Degree-1 nodes have undefined cc and are
     emitted with cc = 0.0 (the common convention; they close nothing).
 
-    Plan: the triangle kernel plus one degree aggregation and an id-keyed
-    left join — nothing beyond what triangle_counts already shuffles.
+    Plan: the triangle kernel plus an id-keyed left join — the
+    canonicalize + degree chain is computed once and shared with the
+    kernel (_canonical_und_deg), not rebuilt per caller.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_counts(edges)
+    und, deg = _canonical_und_deg(edges)
+    tri = _triangle_counts_from(und, deg)
     return deg.join(tri, "node", "left").select(
         "node",
         "deg",

@@ -64,11 +64,13 @@ def build_reference_index(
     :func:`neardup_stream` — a mismatched shingle size or banding probes
     buckets that were never built and silently returns no pairs.
     """
-    sig = _minhash_signatures_from(_shingles(reference, k=k), num_hashes)
-    band_cols = band_key_structs(num_hashes, bands)
-    band_index = (
-        sig.select("doc_id", F.explode(band_cols).alias("bk"))
-        .select(F.col("doc_id").alias("ref_id"), F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    from baum_welch_spark.operators.dedup import banded_signatures
+
+    # the ONE banding definition (dedup.banded_signatures) — a private
+    # spelling here could drift and make streamed docs silently stop
+    # colliding with batch-built buckets
+    band_index = banded_signatures(reference, num_hashes, bands, k=k).select(
+        F.col("doc_id").alias("ref_id"), "band", "bkey"
     )
     sets = (
         _shingles(reference, k=k)

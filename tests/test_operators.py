@@ -995,3 +995,18 @@ def test_incremental_neardup_stored_index_matches_inplan(spark, tmp_path, docume
         ).collect()
     }
     assert inplan == via_index and inplan
+
+
+def test_incremental_neardup_rejects_mismatched_index(spark, documents):
+    """A stored band index built under a different banding must fail fast,
+    not silently return no collisions."""
+    from baum_welch_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+    from baum_welch_spark.operators.sampling import hash_split
+
+    new_docs, base_docs = hash_split(documents, "doc_id", [0.2, 0.8], seed=11)
+    wrong = banded_signatures(base_docs, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="distinct bands"):
+        minhash_lsh_pairs_incremental(new_docs, base_docs, base_index=wrong)
