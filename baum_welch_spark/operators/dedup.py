@@ -863,9 +863,10 @@ def banded_signatures(
     (streaming.neardup.build_reference_index calls this) and the
     incremental cross-corpus path; the batch self-join operator
     (minhash_lsh_pairs) keeps its pre-existing inline spelling — its face
-    hash is pinned below the driver window — with row-identity between
-    the two enforced by
-    tests/test_skew_io_streaming_dedup.py::test_streaming_reference_index_equals_batch_banded_signatures."""
+    hash is pinned below the driver window — with equivalence enforced by
+    tests/test_operators.py::test_minhash_batch_operator_banding_matches_banded_signatures
+    (candidates from these buckets, exactly verified, must equal the
+    operator's output)."""
     sig = _minhash_signatures_from(_shingles(documents, k=k), num_hashes)
     return sig.select(
         "doc_id", F.explode(band_key_structs(num_hashes, bands)).alias("bk")

@@ -1010,3 +1010,38 @@ def test_incremental_neardup_rejects_mismatched_index(spark, documents):
     wrong = banded_signatures(base_docs, num_hashes=64, bands=16)
     with pytest.raises(ValueError, match="distinct bands"):
         minhash_lsh_pairs_incremental(new_docs, base_docs, base_index=wrong)
+
+
+def test_minhash_batch_operator_banding_matches_banded_signatures(spark, documents):
+    """minhash_lsh_pairs keeps an inline banding spelling (its face hash is
+    pinned below the driver window), so its equivalence to the canonical
+    banded_signatures frame must be TEST-enforced: candidates generated
+    from banded_signatures buckets, verified with the same exact Jaccard,
+    must equal the operator's output exactly."""
+    from baum_welch_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+        neardup_jaccard,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(documents, verify_threshold=0.4).collect()
+    }
+    b = banded_signatures(documents)
+    a2 = b.toDF("doc_a", "band", "bkey")
+    b2 = b.toDF("doc_b", "band", "bkey")
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in a2.join(b2, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup_jaccard(documents, threshold=0.4).collect()
+    }
+    expect = {(a, c, exact[(a, c)]) for (a, c) in cand if (a, c) in exact}
+    assert got == expect and got
