@@ -614,7 +614,8 @@ def cmd_cdc(args) -> int:
             merge_batch(
                 spark, changes, args.snapshot, key,
                 args.value_cols.split(","), ts_col=args.ts_col,
-                n_buckets=args.n_buckets, retain=args.retain,
+                n_buckets=args.n_buckets,
+                retain=1 if args.retain is None else args.retain,
             )
             print(json.dumps({
                 "snapshot": args.snapshot,
@@ -877,7 +878,12 @@ def main(argv: list[str] | None = None) -> int:
         help="bucket modulus: required semantics — creation sets it, later "
              "applies omit it (manifest wins); compact requires it",
     )
-    c.add_argument("--retain", type=int, default=1, help="time-travel versions to keep readable")
+    c.add_argument(
+        "--retain", type=int, default=None,
+        help="time-travel versions to keep readable (apply default: 1; "
+             "compact default: preserve the current retention horizon — "
+             "compaction must not silently GC history)",
+    )
     c.add_argument("--version", type=int, default=None, help="read: historical version")
     c.add_argument("--from-version", type=int, help="diff: from version")
     c.add_argument("--to-version", type=int, help="diff: to version")

@@ -905,18 +905,22 @@ def minhash_lsh_pairs_incremental(
     the base's signatures in-plan, which is the point at scale: the index
     is computed once per ingested batch, never per query. ``base_docs`` is
     still required (candidate verification reads the candidates' text).
-    A supplied index is VALIDATED against the banding parameters (distinct
-    band count must equal ``bands`` — one aggregate over the index, the
-    same data the candidate join scans anyway): an index built under a
-    different banding would otherwise produce few or no collisions and
-    silently declare the batch duplicate-free, the exact hazard the
-    streaming reference index documents.
+    A supplied index is VALIDATED against the banding parameters: the
+    maximum band ordinal must be < ``bands`` (one bounded-result aggregate;
+    a legitimately EMPTY index — empty base corpus — passes and simply
+    yields no pairs). An index built under a different banding would
+    otherwise produce few or no collisions and silently declare the batch
+    duplicate-free, the exact hazard the streaming reference index
+    documents. A wider banding (more bands than ``bands``) is caught by
+    the max check; a narrower one cannot be distinguished from sparse data
+    by inspection, so persist (num_hashes, bands) alongside the index and
+    rebuild on mismatch.
     """
     if base_index is not None:
-        seen = base_index.select(F.countDistinct("band").alias("nb")).first().nb
-        if seen != bands:
+        hi = base_index.select(F.max("band").alias("hi")).first().hi
+        if hi is not None and hi >= bands:
             raise ValueError(
-                f"base_index carries {seen} distinct bands but the banding "
+                f"base_index carries band ordinal {hi} but the banding "
                 f"parameters say bands={bands} — it was built under a "
                 "different (num_hashes, bands); rebuild it with "
                 "banded_signatures(base_docs, num_hashes, bands)"

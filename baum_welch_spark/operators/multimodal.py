@@ -289,6 +289,24 @@ def dedup_assets_exact(assets: DataFrame) -> DataFrame:
     )
 
 
+# the one live feature-frame cache for neardup_assets_by_feature: each call
+# releases the previous call's persisted frame (executor cache would
+# otherwise grow by one decoded feature table per call for the session
+# lifetime). Bounded leak = exactly the frame the most recent returned plan
+# still references; re-materializing an OLDER call's result after a newer
+# call recomputes its decode stage (documented in the function).
+_FEAT_CACHE: list[DataFrame] = []
+
+
+def release_feature_cache() -> None:
+    """Unpersist the feature frame cached by the most recent
+    :func:`neardup_assets_by_feature` call. Call it once the returned pair
+    frame has been materialized (written / collected) to return the
+    executor memory immediately instead of at the next invocation."""
+    while _FEAT_CACHE:
+        _FEAT_CACHE.pop().unpersist()
+
+
 def neardup_assets_by_feature(
     assets: DataFrame,
     threshold: float = 0.98,
@@ -318,7 +336,15 @@ def neardup_assets_by_feature(
       sign buckets (an unbalanced ±1 plane barely splits positive data) —
       effective bits are lower than nominal, so give it more ``bits`` than
       the embedding default when the corpus gets there.
+
+    Cache lifecycle: the decoded feature frame is persisted (the pair plan
+    references it multiple times). Each call releases the PREVIOUS call's
+    cached frame, so at most one lives in executor memory per session; call
+    :func:`release_feature_cache` after materializing the result to free it
+    immediately. Re-materializing an older call's result after a newer call
+    recomputes its decode stage.
     """
+    release_feature_cache()
     if pair_strategy in ("lsh", "blocked"):
         from baum_welch_spark.functions.columns import as_double_array, l2_norm
         from baum_welch_spark.operators.similarity import cosine_neardup, cosine_neardup_lsh
@@ -332,6 +358,7 @@ def neardup_assets_by_feature(
             # expensive stage) would run per reference.
             .persist()
         )
+        _FEAT_CACHE.append(feats)
         # the delegates drop zero-norm rows (division by a zero norm ->
         # NULL/zero, never paired), but the exact path defines both-zero
         # pairs as cos 1.0 (byte-identical silent assets MUST pair in a
@@ -380,6 +407,7 @@ def neardup_assets_by_feature(
         .repartition(1)
         .persist()
     )
+    _FEAT_CACHE.append(feats)
     a = feats.select(
         F.col("asset_id").alias("asset_a"), F.col("v").alias("va"), l2_norm(F.col("v")).alias("na")
     )

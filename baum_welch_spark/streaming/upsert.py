@@ -491,6 +491,17 @@ def _merge_touched(
     ks = _key_list(key)
     field_types = {f.name: f.dataType.simpleString() for f in delta.schema.fields}
     key_types = {k: field_types[k] for k in ks}
+    # key columns get the same fail-fast as value columns: a re-typed key
+    # would silently coerce in the merge join AND write a generation whose
+    # key type disagrees with the manifest, breaking explicit-schema reads
+    for k in ks:
+        st = stored_schema.get(k)
+        if st is not None and st != key_types[k]:
+            raise ValueError(
+                f"snapshot {snapshot_dir} key column {k!r} has type {st}; the "
+                f"batch carries {key_types[k]} — cast the batch (schema "
+                "evolution widens with NEW columns, it never retypes)"
+            )
     schema = {**key_types, **stored_schema, **batch_types}
     base_paths = (
         [] if manifest is None else _bucket_paths(snapshot_dir, manifest, touched)

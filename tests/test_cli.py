@@ -322,6 +322,14 @@ def test_cli_cdc_lifecycle(spark, tmp_path, capsys):
     assert main(["cdc", "read", "--snapshot", snap, "-o", out]) == 0
     cur = {r.k: (r.v, r.tag) for r in spark.read.parquet(out).collect()}
     assert cur == {1: (10.0, None), 2: (21.0, "hot"), 3: (30.0, "cold")}
+    # a bare `cdc compact` (no --retain) preserves the time-travel horizon
+    # (ADVICE-r9: the shared --retain default of 1 silently GC'd all
+    # retained versions on the maintenance command)
+    hist2 = str(tmp_path / "hist2")
+    assert main([
+        "cdc", "read", "--snapshot", snap, "--version", "1", "-o", hist2,
+    ]) == 0
+    assert {r.k: r.v for r in spark.read.parquet(hist2).collect()} == {1: 10.0, 2: 20.0}
     # missing required option -> usage error, not a traceback
     assert main(["cdc", "compact", "--snapshot", snap, "--key", "k"]) == 2
 

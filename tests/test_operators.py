@@ -272,6 +272,29 @@ def test_real_decode_feature_neardup_path(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_neardup_feature_cache_is_bounded_and_releasable(spark):
+    """ADVICE-r9: neardup_assets_by_feature persisted its feature frame on
+    every call and never unpersisted — executor cache grew per call for
+    the session lifetime. Now each call releases the previous call's
+    frame (at most ONE live cached frame) and release_feature_cache()
+    frees the last one on demand."""
+    t = np.arange(800) / 8000.0
+    rows = [
+        (i, "audio", multimodal.encode_wav(0.1 * (i + 1) * np.sin(2 * np.pi * 300 * t)),
+         {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 100})
+        for i in range(3)
+    ]
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    for strategy in ("exact", "blocked", "exact"):
+        multimodal.neardup_assets_by_feature(
+            assets, threshold=0.999, decode_stub=False, pair_strategy=strategy
+        ).collect()
+        assert len(multimodal._FEAT_CACHE) == 1
+        assert multimodal._FEAT_CACHE[0].storageLevel.useMemory
+    multimodal.release_feature_cache()
+    assert not multimodal._FEAT_CACHE
+
+
 def test_multimodal_frame_plan_and_dedup(spark):
     assets = multimodal.synthetic_assets(spark, n=12)
     frames = multimodal.frame_sample_plan(assets, every_ms=500).collect()
@@ -1008,8 +1031,25 @@ def test_incremental_neardup_rejects_mismatched_index(spark, documents):
 
     new_docs, base_docs = hash_split(documents, "doc_id", [0.2, 0.8], seed=11)
     wrong = banded_signatures(base_docs, num_hashes=64, bands=16)
-    with pytest.raises(ValueError, match="distinct bands"):
+    with pytest.raises(ValueError, match="band ordinal"):
         minhash_lsh_pairs_incremental(new_docs, base_docs, base_index=wrong)
+
+
+def test_incremental_neardup_accepts_empty_index(spark, documents):
+    """An EMPTY stored index (empty base corpus) is legitimate — first
+    ingestion into a fresh corpus — and must yield zero pairs, not a
+    banding-mismatch error (ADVICE-r9)."""
+    from baum_welch_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base_docs = documents.filter(F.lit(False))
+    empty_index = banded_signatures(base_docs)
+    out = minhash_lsh_pairs_incremental(
+        documents.limit(5), base_docs, base_index=empty_index
+    )
+    assert out.count() == 0
 
 
 def test_minhash_batch_operator_banding_matches_banded_signatures(spark, documents):

@@ -922,6 +922,14 @@ def test_key_and_modulus_guards(spark, tmp_path):
         compact_snapshot(spark, snap, "v", n_buckets=8)
     with pytest.raises(ValueError, match="keyed on 'k'"):
         snapshot_diff(spark, snap, 1, 2, key="kk", value_cols=["v"])
+    # (1b) a RE-TYPED key column fails fast like a re-typed value column
+    # (ADVICE-r9: it would silently coerce in the merge join and write a
+    # generation whose key type disagrees with the manifest schema)
+    retyped = spark.createDataFrame(
+        [("1", 9.0, "upsert", 3)], "k string, v double, op string, ts long"
+    )
+    with pytest.raises(ValueError, match="key column 'k' has type bigint"):
+        merge_batch(spark, retyped, snap, "k", ["v"])
     # (2) collapse_delta: no guessing; manifest wins; contradiction raises
     with pytest.raises(ValueError, match="collapse_delta"):
         collapse_delta(b, "k", ["v"])
