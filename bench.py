@@ -10,6 +10,14 @@ Container wall-clock is 2-3x noisy, so every query (except the long-running
 ``hmm_fit``) is executed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) and the
 per-query number reported is the MINIMUM across runs — the repeated-run
 minimum is the stable statistic for round-over-round regression comparison.
+
+Noise defense (VERDICT-r9 #2: the official r9 record was ~1.8x inflated by a
+contended host window — min-of-2 over a 148-face board has no protection
+against a noisy hour): after the board completes, any query measuring >2x its
+PRIOR-round record (read from the committed BENCH_parsed.json before it is
+overwritten) is re-run once more and the minimum kept; the ``reruns`` field
+records {name: [first_min, rerun, prior]} so a regression that SURVIVES the
+re-run is distinguishable from one the re-run cleared.
 """
 
 from __future__ import annotations
@@ -168,25 +176,49 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # prior-round record, read BEFORE this run overwrites the sidecar:
+    # the anchor for the post-board noise-outlier re-run pass
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_parsed.json")
+    prior: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            prior = json.load(f).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
+    reruns: dict[str, list[float]] = {}
     error = None
+
+    def time_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name not in SELF_EXECUTING:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+        return time.time() - t0
+
     try:
         for name in HEADLINE:
             if name not in qs:  # tolerate a renamed/removed query too
                 continue
             n_runs = 1 if name in SINGLE_RUN else runs
-            best = float("inf")
-            for _ in range(n_runs):
-                t0 = time.time()
-                df = qs[name](spark, sf_dir)
-                if name not in SELF_EXECUTING:
-                    df.write.format("noop").mode("overwrite").save()
-                else:
-                    df.count()
-                best = min(best, time.time() - t0)
+            best = min(time_once(name) for _ in range(n_runs))
             timings[name] = round(best, 3)
             run_counts[name] = n_runs
+        # noise-outlier pass: a face >2x its prior-round record (and above a
+        # 1 s floor — sub-second jitter is not worth a Spark job) gets ONE
+        # more run after the board, when the host window that inflated it has
+        # likely moved on; keep the minimum. Survivors of the re-run are real
+        # regressions; cleared ones were contention.
+        for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+            p = prior.get(name)
+            if isinstance(p, (int, float)) and p > 0 and t > 1.0 and t > 2.0 * p:
+                again = time_once(name)
+                reruns[name] = [t, round(again, 3), p]
+                timings[name] = min(t, round(again, 3))
+                run_counts[name] = run_counts.get(name, 1) + 1
     except Exception as e:  # emit the partial timings rather than nothing
         error = f"{type(e).__name__}: {e}"
     finally:
@@ -202,6 +234,9 @@ def main() -> None:
             # (runs == 1) must not be compared round-over-round against
             # min-of-N numbers as if they were warmed minima
             "runs": run_counts,
+            # [first_min, rerun, prior_record] per noise-outlier re-run:
+            # a face still slow after the re-run is a real regression
+            "reruns": reruns,
             "timing": "min_of_runs (iterative trainers: single run)",
         }
         if error is not None:
@@ -212,7 +247,6 @@ def main() -> None:
         # truncated (and "parsed" null) every round since the surface grew
         # past ~50 queries (r3+). The full record lives here:
         try:
-            sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_parsed.json")
             with open(sidecar, "w") as f:
                 json.dump(out, f, indent=1, sort_keys=True)
         except OSError as e:
@@ -227,6 +261,8 @@ def main() -> None:
             slim = dict(out)
             slim["timing"] = "min_of_runs"
             slim.pop("runs", None)
+            slim.pop("reruns", None)
+            slim["n_reruns"] = len(reruns)  # full detail in BENCH_parsed.json
             by_cost = sorted(timings, key=timings.get, reverse=True)
             slim["n_queries"] = len(timings)
             slim["queries_truncated_to_slowest"] = True
