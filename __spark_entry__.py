@@ -1198,6 +1198,24 @@ def _q_ghmm_score(spark, sf):
     )
 
 
+def _q_ghmm_reestimate(spark, sf):
+    # DuckDB-exact (r10, VERDICT-r9 #3): one Gaussian soft-EM re-estimation
+    # step from a fixed model — γ/ξ window-normalized counts plus the
+    # closed-form mu/var from the Σγ/Σγx/Σγx² moment stripes, pinned
+    # end-to-end against the recursive forward/backward CTEs with the
+    # log-density inline (graduates ghmm_fit's E-step evidence to exact)
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        ghmm_reestimate,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    return ghmm_reestimate(
+        spark, build_value_sequences(events), GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    )
+
+
 def _q_ghmm_fit(spark, sf):
     # rows-only by nature (EM loop); pytest pins distributed == sequential
     # NumPy oracle at 1e-8 and monotone loglik (tests/test_gaussian.py)
@@ -1265,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
+        # NEW (r10): Gaussian soft-EM single-step pin, DuckDB-exact
+        "ghmm_reestimate": _q_ghmm_reestimate,
         # NEW (late r9): triangle counting on the near-dup graph +
         # cross-corpus incremental MinHash dedup, both DuckDB-exact (they
         # displace merge_upsert/scd2_history below the boundary — those
@@ -1626,6 +1646,8 @@ def oracle_sql() -> dict[str, str]:
         # IVM: incremental fold == full recompute over the LWW final state
         "ivm_segment_stats": _ivm_segment_stats_sql(),
         "ghmm_score": _ghmm_score_oracle(),
+        # r10: the Gaussian E-step + closed-form M-step pinned end-to-end
+        "ghmm_reestimate": _ghmm_reestimate_oracle(),
         "dup_ngrams": _dup_ngrams_sql(),
         "emb_quantize": _quantize_sql()[0],
         "knn_quantized": _quantize_sql()[1],
@@ -1729,6 +1751,12 @@ def _ghmm_score_oracle() -> str:
     from baum_welch_spark.hmm.gaussian import GaussianHMM, gauss_score_oracle_sql
 
     return gauss_score_oracle_sql(GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0))
+
+
+def _ghmm_reestimate_oracle() -> str:
+    from baum_welch_spark.hmm.gaussian import GaussianHMM, gauss_reestimate_oracle_sql
+
+    return gauss_reestimate_oracle_sql(GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0))
 
 
 def _dup_ngrams_sql() -> str:

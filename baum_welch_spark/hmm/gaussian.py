@@ -609,3 +609,205 @@ SELECT a.user_id AS seq_id, l.t_len::INTEGER AS t_len,
        round(a.ll, 6) AS loglik, round(a.ll / l.t_len, 6) AS avg_loglik
 FROM alpha a JOIN lens l ON l.user_id = a.user_id AND a.t = l.t_len - 1
 """
+
+
+def ghmm_reestimate(
+    spark: SparkSession, sequences: DataFrame, model: GaussianHMM
+) -> DataFrame:
+    """One distributed Gaussian SOFT-EM re-estimation step as a tidy
+    DataFrame (kind, i, j, val) — the continuous twin of fit.em_reestimate
+    (reference M4/M5/M6 stripes, BaumWelchMapper.java:157-240, with the
+    emission stripe replaced by the Σγ/Σγx/Σγx² moment accumulators and
+    the closed-form M-step): under a FIXED ``model``,
+
+    - ``initial``/``transition`` rows carry the window-normalized expected
+      counts (γ₀ for pi, Σ_t ξ for A — the discrete A4 normalize),
+    - ``mu`` rows carry Σγx/Σγ per state (j = 0),
+    - ``var`` rows carry max(Σγx²/Σγ − mu², VAR_FLOOR) per state (j = 0).
+
+    This is the DuckDB-exact pin for the GAUSSIAN distributed E-step
+    end-to-end (graduating ghmm_fit's evidence past the rows-only check,
+    VERDICT-r9 #3): the oracle (gauss_reestimate_oracle_sql) recomputes
+    γ/ξ/moments from the scaled forward/backward recursive CTEs with the
+    log-density inline from literals and must land on the same
+    6-dp-rounded values. Counts are strictly positive for a dense random
+    model; the weight>0 filter mirrors the oracle's HAVING (the sparse-
+    output contract em_reestimate documents)."""
+    from pyspark.sql import Window
+
+    model = model.validate()
+    bc = spark.sparkContext.broadcast(model)
+    counts = (
+        sequences.select("obs")
+        .mapInPandas(_gauss_estep_udf(bc), schema=GCOUNTS_SCHEMA)
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    w = Window.partitionBy("kind", "i")
+    probs = (
+        counts.filter(F.col("kind").isin(KIND_INITIAL, KIND_TRANSITION))
+        .filter(F.col("weight") > 0)
+        .withColumn("val", F.col("weight") / F.sum("weight").over(w))
+        .select("kind", "i", "j", F.round("val", 6).alias("val"))
+    )
+    m = (
+        counts.filter(F.col("kind") == KIND_MOMENT)
+        .groupBy("i")
+        .agg(
+            F.sum(F.when(F.col("j") == 0, F.col("weight"))).alias("m0"),
+            F.sum(F.when(F.col("j") == 1, F.col("weight"))).alias("m1"),
+            F.sum(F.when(F.col("j") == 2, F.col("weight"))).alias("m2"),
+        )
+    )
+    # the SAME two-operand expression shapes the oracle embeds:
+    # mu = m1/m0, var = max(m2/m0 - mu*mu, floor)
+    mu = F.col("m1") / F.col("m0")
+    var = F.greatest(F.col("m2") / F.col("m0") - mu * mu, F.lit(VAR_FLOOR))
+    mu_rows = m.select(
+        F.lit("mu").alias("kind"), "i", F.lit(0).alias("j"),
+        F.round(mu, 6).alias("val"),
+    )
+    var_rows = m.select(
+        F.lit("var").alias("kind"), "i", F.lit(0).alias("j"),
+        F.round(var, 6).alias("val"),
+    )
+    return probs.unionByName(mu_rows).unionByName(var_rows)
+
+
+def _gfb_ctes(model: GaussianHMM) -> str:
+    """Gaussian twin of decode._fb_ctes: shared coded/lens/alpha/beta
+    WITH-prefix (scaled forward + scaled backward) with the emission
+    probability computed inline as exp(c1 − (x−μ)²·c2) from full-precision
+    literals. Ends with a trailing comma — append the consuming CTE."""
+    from baum_welch_spark.hmm.decode import _lit
+
+    N = model.pi.shape[0]
+    pi, A = model.pi, model.A
+    j1 = range(1, N + 1)
+    base_u = ",\n         ".join(
+        f"{_lit(pi[j - 1])} * exp({_logb_expr(model, j - 1, 'c.x')}) AS u{j}"
+        for j in j1
+    )
+    step_u = ",\n         ".join(
+        "("
+        + " + ".join(f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1)
+        + f") * exp({_logb_expr(model, j - 1, 'c.x')}) AS nu{j}"
+        for j in j1
+    )
+    usum = " + ".join(f"u{j}" for j in j1)
+    nusum = " + ".join(f"nu{j}" for j in j1)
+    norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
+    nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+    base_b = ", ".join(f"{_lit(1.0)} AS b{j}" for j in j1)
+    step_b = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"{_lit(A[i - 1][j - 1])} * exp({_logb_expr(model, j - 1, 'c.x')}) * b.b{j}"
+            for j in j1
+        )
+        + f") / a.s AS nb{i}"
+        for i in j1
+    )
+    # MATERIALIZED is load-bearing (see decode._fb_ctes)
+    return f"""
+WITH coded AS MATERIALIZED ({_GCODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+alpha AS MATERIALIZED (
+  WITH RECURSIVE alpha_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_u},
+           ({usum}) AS s, {norm}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT a.user_id, a.t + 1,
+           {step_u},
+           ({nusum}) AS ns, {nnorm}
+    FROM alpha_r a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+  ) SELECT * FROM alpha_r
+),
+beta AS MATERIALIZED (
+  WITH RECURSIVE beta_r AS (
+    SELECT l.user_id, l.t_len - 1 AS t, {base_b}
+    FROM lens l
+    UNION ALL
+    SELECT b.user_id, b.t - 1,
+           {step_b}
+    FROM beta_r b
+    JOIN coded c ON c.user_id = b.user_id AND c.t = b.t
+    JOIN alpha a ON a.user_id = b.user_id AND a.t = b.t
+    WHERE b.t > 0
+  ) SELECT * FROM beta_r
+),
+"""
+
+
+def gauss_reestimate_oracle_sql(model: GaussianHMM) -> str:
+    """ANSI-SQL (DuckDB) oracle for ghmm_reestimate: γ = alpha_hat·beta_hat
+    (already sums to 1 per step), ξ_t(i,j) = p_i(t)·A_ij·exp(logb_j(x_{t+1}))
+    ·b_j(t+1)/s(t+1), moments Σγ/Σγx/Σγx² by plain GROUP BYs, then the same
+    count/Σcount window normalize and closed-form mu/var expressions as the
+    Spark side. Engines sum in different float orders (~1e-12 agreement);
+    both round to 6 dp."""
+    from baum_welch_spark.hmm.decode import _lit
+
+    model = model.validate()
+    N = model.pi.shape[0]
+    A = model.A
+    j1 = range(1, N + 1)
+    gcols = ",\n         ".join(f"al.p{j} * bt.b{j} AS g{j}" for j in j1)
+    xcols = ",\n         ".join(
+        f"al.p{i} * {_lit(A[i - 1][j - 1])} * exp({_logb_expr(model, j - 1, 'c.x')})"
+        f" * bt.b{j} / a2.s AS x{i}_{j}"
+        for i in j1
+        for j in j1
+    )
+    init_branches = "\n  UNION ALL\n".join(
+        f"  SELECT 'initial' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0 HAVING sum(g{j}) > 0"
+        for j in j1
+    )
+    trans_branches = "\n  UNION ALL\n".join(
+        f"  SELECT 'transition', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi HAVING sum(x{i}_{j}) > 0"
+        for i in j1
+        for j in j1
+    )
+    moment_branches = "\n  UNION ALL\n".join(
+        f"  SELECT {j - 1} AS i, sum(g.g{j}) AS m0, sum(g.g{j} * c.x) AS m1,"
+        f" sum(g.g{j} * c.x * c.x) AS m2"
+        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t"
+        for j in j1
+    )
+    return (
+        _gfb_ctes(model)
+        + f"""
+g AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {gcols}
+  FROM alpha al JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t
+),
+xi AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {xcols}
+  FROM alpha al
+  JOIN alpha a2 ON a2.user_id = al.user_id AND a2.t = al.t + 1
+  JOIN coded c ON c.user_id = al.user_id AND c.t = al.t + 1
+  JOIN beta bt ON bt.user_id = al.user_id AND bt.t = al.t + 1
+),
+raw AS (
+{init_branches}
+  UNION ALL
+{trans_branches}
+),
+m AS (
+{moment_branches}
+)
+SELECT kind, i::INTEGER AS i, j::INTEGER AS j,
+       round(weight / sum(weight) OVER (PARTITION BY kind, i), 6) AS val
+FROM raw
+UNION ALL
+SELECT 'mu', i::INTEGER, 0, round(m1 / m0, 6) FROM m
+UNION ALL
+SELECT 'var', i::INTEGER, 0,
+       round(greatest(m2 / m0 - (m1 / m0) * (m1 / m0), {_lit(VAR_FLOOR)}), 6)
+FROM m
+"""
+    )

@@ -195,3 +195,34 @@ def test_fit_gaussian_resume_from_parquet_equals_straight_run(spark, tmp_path):
     np.testing.assert_array_equal(resumed.A, straight.A)
     np.testing.assert_array_equal(resumed.mu, straight.mu)
     np.testing.assert_array_equal(resumed.sigma2, straight.sigma2)
+
+
+def test_ghmm_reestimate_matches_numpy_estep(spark):
+    """The r10 DuckDB-exact face against the in-memory oracle: one
+    distributed soft-EM step's normalized pi/A plus closed-form mu/var must
+    equal e_step_moments + m_step_gauss run sequentially (1e-8)."""
+    from baum_welch_spark.hmm.gaussian import ghmm_reestimate
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events)
+    model = GaussianHMM.random(N, seed=7, lo=0.0, hi=500.0)
+    got = {
+        (r.kind, r.i, r.j): r.val
+        for r in ghmm_reestimate(spark, seqs, model).collect()
+    }
+
+    xs = [np.asarray(r.obs, dtype=np.float64) for r in seqs.collect()]
+    cpi, cA, cm = np.zeros(N), np.zeros((N, N)), np.zeros((N, 3))
+    for x in xs:
+        e_step_moments(model, x, cpi, cA, cm)
+    pi = cpi / cpi.sum()
+    A = cA / cA.sum(axis=1, keepdims=True)
+    mu = cm[:, 1] / cm[:, 0]
+    var = np.maximum(cm[:, 2] / cm[:, 0] - mu * mu, 1e-6)
+    for j in range(N):
+        assert got[("initial", 0, j)] == pytest.approx(pi[j], abs=1e-6)
+        assert got[("mu", j, 0)] == pytest.approx(mu[j], abs=1e-5)
+        assert got[("var", j, 0)] == pytest.approx(var[j], rel=1e-6)
+        for i in range(N):
+            assert got[("transition", i, j)] == pytest.approx(A[i][j], abs=1e-6)
+    assert len(got) == N + N * N + 2 * N
