@@ -1043,6 +1043,17 @@ def _q_ivm_segment_stats(spark, sf):
     return ivm_segment_stats_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
+def _q_ivm_stream_segment_stats(spark, sf):
+    # DuckDB-exact (r10, VERDICT-r9 #6): the STREAMING IVM path — the same
+    # change-log replayed through apply_cdc_stream_ivm (file-source
+    # micro-batches, gen-fenced foreachBatch fold+merge, checkpoint) must
+    # land the final aggregate state on the identical full-recompute
+    # oracle as the batch ivm_segment_stats face
+    from baum_welch_spark.streaming.upsert import ivm_stream_segment_stats_face
+
+    return ivm_stream_segment_stats_face(spark, *_tables(spark, sf, "customer", "orders"))
+
+
 def _q_cdc_time_travel(spark, sf):
     # DuckDB-exact: versioned time-travel — the same per-year CDC apply
     # with a full retention horizon, read back at the version covering
@@ -1283,8 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (manifest-enforced).
     return {
         # --- changed or new this round (must be in-window) ---
-        # NEW (r10): Gaussian soft-EM single-step pin, DuckDB-exact
+        # NEW (r10): Gaussian soft-EM single-step pin + the streaming IVM
+        # path's first driver face, both DuckDB-exact
         "ghmm_reestimate": _q_ghmm_reestimate,
+        "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
         # NEW (late r9): triangle counting on the near-dup graph +
         # cross-corpus incremental MinHash dedup, both DuckDB-exact (they
         # displace merge_upsert/scd2_history below the boundary — those
@@ -1645,6 +1658,8 @@ def oracle_sql() -> dict[str, str]:
         "ghmm_viterbi": _ghmm_viterbi_oracle(),
         # IVM: incremental fold == full recompute over the LWW final state
         "ivm_segment_stats": _ivm_segment_stats_sql(),
+        # r10: the STREAMING fold path shares the same recompute oracle
+        "ivm_stream_segment_stats": _ivm_segment_stats_sql(),
         "ghmm_score": _ghmm_score_oracle(),
         # r10: the Gaussian E-step + closed-form M-step pinned end-to-end
         "ghmm_reestimate": _ghmm_reestimate_oracle(),

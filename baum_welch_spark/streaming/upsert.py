@@ -1304,6 +1304,65 @@ def ivm_segment_stats_face(
     return out.select("segment", round0(F.col("sum_bal"), 2).alias("sum_bal"), "n_customers")
 
 
+def ivm_stream_segment_stats_face(
+    spark: SparkSession,
+    customer: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 8,
+    since_year: int = 1998,
+) -> DataFrame:
+    """Driver-contract face (DuckDB-exact, r10 — VERDICT-r9 #6): the
+    STREAMING twin of ivm_segment_stats_face, replaying the same
+    deterministic change-log through the real Structured Streaming path
+    (:func:`apply_cdc_stream_ivm`: parquet file source, one micro-batch
+    per file via maxFilesPerTrigger, foreachBatch fold+merge with the
+    generation fence and content fingerprint, checkpointed) instead of
+    driver-side folds. The final JSON aggregate state must equal the same
+    full-recompute-over-LWW oracle (IVM_SEGMENT_STATS_SQL) — fold order
+    across micro-batches cannot matter because agg_delta measures the
+    ACTUAL pre-merge->post-merge change, so the folds telescope to the
+    total change regardless of batch composition. Output: (segment,
+    sum_bal, n_customers), the batch face's schema."""
+    from baum_welch_spark.functions.columns import round0
+    from baum_welch_spark.session import scratch_dir
+
+    snap = scratch_dir("bw_ivm_stream_snap_")
+    upd = scratch_dir("bw_ivm_stream_upd_")
+    ckpt = scratch_dir("bw_ivm_stream_ckpt_")
+    seg = customer.select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
+    )
+    base, log = _cdc_demo_log(customer, orders, since_year)
+    years = sorted(r._y for r in log.select("_y").distinct().collect())
+    # one parquet file per batch: base snapshot first, then the year logs
+    base.coalesce(1).write.mode("append").parquet(upd)
+    for y in years:
+        log.filter(F.col("_y") == y).drop("_y").coalesce(1).write.mode(
+            "append"
+        ).parquet(upd)
+    stream = (
+        spark.readStream.schema("cust_id bigint, bal double, op string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd)
+    )
+    apply_cdc_stream_ivm(
+        stream, snap, key="cust_id", value_col="bal", group_map=seg,
+        group_col="segment", checkpoint=ckpt, n_buckets=n_buckets,
+    ).awaitTermination(600)
+    st = read_ivm_state(snap)
+    rows = [
+        (g, v[0], int(v[1]))
+        for g, v in sorted(st["groups"].items())
+        if v[1] != 0 or v[0] != 0
+    ]
+    out = spark.createDataFrame(
+        rows, schema="segment string, sum_bal double, n_customers long"
+    )
+    return out.select(
+        "segment", round0(F.col("sum_bal"), 2).alias("sum_bal"), "n_customers"
+    )
+
+
 def cdc_time_travel_face(
     spark: SparkSession,
     customer: DataFrame,
