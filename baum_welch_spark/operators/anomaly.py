@@ -98,3 +98,46 @@ FROM dev d JOIN mad m USING (event_type)
 WHERE m.mad > 0 AND d.absdev > 3.5 * 1.4826 * m.mad
 ORDER BY score DESC, d.event_id ASC
 """
+
+
+def mad_outliers_approx(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.5,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB swap-in the exact face documents: the identical plan
+    shape with ``approx_percentile`` (t-digest-style sketch: mergeable,
+    map-side combined, bounded memory per group) replacing the exact
+    ``percentile`` that holds a whole group's values on one reducer.
+    Same output schema as :func:`mad_outliers`. ``accuracy`` is Spark's
+    1/relative-error knob (default 10000 -> ~1e-4 rank error); flags can
+    differ from exact only for rows whose score sits within the sketch
+    error of the ``k`` cutoff — pinned by
+    tests/test_anomaly.py::test_mad_outliers_approx_agrees_at_sf01."""
+    med = events.groupBy(group_col).agg(
+        F.expr(f"approx_percentile({value_col}, 0.5, {accuracy})").alias("med")
+    )
+    dev = events.join(med, group_col).withColumn(
+        "absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr(f"approx_percentile(absdev, 0.5, {accuracy})").alias("mad")
+    )
+    return (
+        dev.join(mad, group_col)
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("absdev") > F.lit(k) * F.lit(MAD_SIGMA) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            F.col(group_col).alias("grp"),
+            value_col,
+            "med",
+            "mad",
+            F.round(F.col("absdev") / (F.lit(MAD_SIGMA) * F.col("mad")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("event_id"))
+    )

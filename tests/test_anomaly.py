@@ -49,3 +49,29 @@ def test_mad_outliers_skips_zero_mad_groups(spark):
     out = mad_outliers(_frame(spark, rows)).collect()
     assert all(r.grp == "d" for r in out)
     assert [r.value for r in out] == [50.0]
+
+
+def test_mad_outliers_approx_agrees_at_sf01(spark):
+    """The documented 100 TB swap-in (approx_percentile) is load-bearing
+    (VERDICT-r9 #7): at sf0.1 the sketch-based variant must reproduce the
+    exact variant's flag set almost perfectly — disagreement is only
+    possible for rows whose score sits within the sketch's rank error of
+    the k-cutoff, so demand >= 99% Jaccard agreement and that every
+    disagreeing row scores within 5% of the cutoff."""
+    from baum_welch_spark.operators.anomaly import mad_outliers_approx
+    from baum_welch_spark.sources.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+    exact = {r.event_id: r.score for r in mad_outliers(events).collect()}
+    approx = {r.event_id: r.score for r in mad_outliers_approx(events).collect()}
+    assert exact, "exact variant must flag something at sf0.1"
+    both = set(exact) & set(approx)
+    union = set(exact) | set(approx)
+    assert len(both) / len(union) >= 0.99
+    k = 3.5
+    for eid in union - both:
+        score = exact.get(eid) or approx.get(eid)
+        assert abs(score - k) / k < 0.05, (
+            f"row {eid} flagged by only one variant but scores {score}, "
+            f"not near the cutoff {k}"
+        )
