@@ -332,10 +332,13 @@ def neardup_assets_by_feature(
       (random-hyperplane sign buckets, id-only candidate shuffle, exact
       verify): the corpus-scale path past ~1e5 features, where quadratic
       verify stops being free — features are just another embedding column
-      once extracted. NOTE: band features are all-positive, which skews
-      sign buckets (an unbalanced ±1 plane barely splits positive data) —
-      effective bits are lower than nominal, so give it more ``bits`` than
-      the embedding default when the corpus gets there.
+      once extracted. Band features are all-positive, which would skew
+      ORIGIN sign buckets (an unbalanced ±1 plane barely splits positive
+      data), so this path passes ``center=True`` (VERDICT-r9 #4): planes
+      are offset to the data mean via one AVG pass, restoring ~50/50 bit
+      balance; the exact verify still scores original cosines. Recall vs
+      the exact strategy past the 2,048-asset switch point is pinned by
+      test_operators.py::test_asset_lsh_centered_recall_past_switch.
 
     Cache lifecycle: the decoded feature frame is persisted (the pair plan
     references it multiple times). Each call releases the PREVIOUS call's
@@ -370,7 +373,7 @@ def neardup_assets_by_feature(
         nonzero = feats.filter(nrm != 0)
         zero_ids = feats.filter(nrm == 0).select("vec_id")
         pairs = (
-            cosine_neardup_lsh(nonzero, threshold=threshold)
+            cosine_neardup_lsh(nonzero, threshold=threshold, center=True)
             if pair_strategy == "lsh"
             else cosine_neardup(nonzero, threshold=threshold)
         )

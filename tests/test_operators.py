@@ -1085,3 +1085,81 @@ def test_minhash_batch_operator_banding_matches_banded_signatures(spark, documen
     }
     expect = {(a, c, exact[(a, c)]) for (a, c) in cand if (a, c) in exact}
     assert got == expect and got
+
+
+def test_asset_lsh_centered_recall_past_switch(spark):
+    """VERDICT-r9 #4: the LSH pair strategy must be VIABLE past the
+    2,048-asset point where the blocked-GEMM path currently takes over,
+    on the all-positive band-RMS feature space that skews origin
+    hyperplanes. 2,304 real WAV assets (1,152 bases with per-time-band
+    amplitude profiles + a near-identical noisy variant each):
+
+    - end-to-end: the lsh strategy (center=True in the delegate) recovers
+      >= 95% of the exact strategy's pairs, and returns no extra pairs
+      (candidates are exact-verified at the same rounding);
+    - mechanism: with the REAL sign matrix and real decoded features,
+      mean-offset planes produce far fewer candidate pairs than origin
+      planes, and far fewer than all-pairs — bucketing is doing real work,
+      not collapsing into one mega-bucket the hot-bucket cap then drops.
+    """
+    n_base = 1152
+    rng = np.random.default_rng(17)
+    t = np.arange(1600) / 8000.0
+    carrier = np.sin(2 * np.pi * 440 * t)
+    meta = {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 200}
+    rows = []
+    for i in range(n_base):
+        amp = rng.uniform(0.1, 1.0, 8)
+        x = np.repeat(amp, 200) * carrier
+        noise = 0.003 * rng.standard_normal(1600)
+        rows.append((i, "audio", multimodal.encode_wav(x), meta))
+        rows.append((i + n_base, "audio", multimodal.encode_wav(x + noise), meta))
+    assets = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+
+    def pairs(strategy):
+        return {
+            (r.asset_a, r.asset_b)
+            for r in multimodal.neardup_assets_by_feature(
+                assets, threshold=0.999, decode_stub=False, pair_strategy=strategy
+            ).collect()
+        }
+
+    exact = pairs("blocked")
+    assert len(exact) >= int(n_base * 0.9), "fixture must pair most base/variant duos"
+    got = pairs("lsh")
+    assert got <= exact  # same verify arithmetic: no false extras possible
+    assert len(got & exact) / len(exact) >= 0.95
+
+    # mechanism check with the real plane matrix on the real features
+    from baum_welch_spark.operators.multimodal import extract_features
+    from baum_welch_spark.operators.similarity import _lsh_sign_matrix
+
+    feats = np.stack(
+        [
+            np.asarray(r.feature, dtype=np.float64)
+            for r in extract_features(assets, decode_stub=False).collect()
+        ]
+    )
+    bits, tables = 4, 8
+    S = np.array(_lsh_sign_matrix(tables * bits, feats.shape[1]))  # (planes, d)
+    proj = feats @ S.T  # (n, planes)
+    mean_off = feats.mean(axis=0) @ S.T
+
+    def candidate_pairs(offsets):
+        total = 0
+        sign = (proj > offsets).astype(np.int64)
+        for tbl in range(tables):
+            block = sign[:, tbl * bits : (tbl + 1) * bits]
+            key = (block * (1 << np.arange(bits))).sum(axis=1)
+            _, counts = np.unique(key, return_counts=True)
+            total += int((counts * (counts - 1) // 2).sum())
+        return total  # upper bound: per-table bucket pair sum (pre-dedup)
+
+    origin = candidate_pairs(np.zeros_like(mean_off))
+    centered = candidate_pairs(mean_off)
+    n = feats.shape[0]
+    all_pairs = n * (n - 1) // 2
+    # centered planes: real bucketing (well under all-pairs per table), and
+    # a large multiple fewer candidates than origin planes on this space
+    assert centered < 0.25 * tables * all_pairs
+    assert centered < origin / 3
