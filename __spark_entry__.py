@@ -1281,50 +1281,90 @@ def _q_hmm_fit_bakis(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
-    # any face whose code changes, and any NEW face, must be inside the
-    # window the round it ships. r9 curation (VERDICT-r8 #3): the window is
-    # the 16 faces changed/added this round (10 new + 6 whose source
-    # drifted via the CDC/Gaussian/composite-key edits) plus the 34 faces
-    # with the STALEST driver evidence — all 10 last-checked-r4 and all 24
-    # last-checked-r5 faces (the 13 r6-vintage faces, listed right below
-    # the boundary, head the r10 rotation list). The r8-window and
-    # r7-checked faces dropped below, code-unchanged since their check
-    # (manifest-enforced).
     return {
-        # --- changed or new this round (must be in-window) ---
-        # NEW (r10): Gaussian soft-EM single-step pin + the streaming IVM
-        # path's first driver face, both DuckDB-exact
+        # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
+        # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
+        # any face whose code changes, and any NEW face, must be inside the
+        # window the round it ships. r10 curation (VERDICT-r9 #1): the window is
+        # (A) the 18 faces new or changed this round — the 2 new r10 faces, the
+        # 7 fit-family faces whose closure picked up the kernel length-bucketing,
+        # em_reestimate, and the 8 faces touched by the review fixes (CDC key
+        # retype + compact retain, incremental-index empty case, multimodal
+        # cache + centered LSH) — plus (B) all 14 r6-vintage faces and (C) 18
+        # r7-vintage faces: the core parity quartet (seq_build/stripe_agg/
+        # normalize/convergence_distance), the decode/score family, and the
+        # oldest remaining faces with EXACT oracles (r7-vintage rows-only
+        # trainers like hmm_generate/bpe_merges defer to r11 — refreshing a
+        # hash-exact check is stronger evidence per slot than refreshing a
+        # rows-only one). Everything below the boundary is code-unchanged
+        # since its last green driver check (manifest-enforced).
+        # --- (A) new or changed this round ---
         "ghmm_reestimate": _q_ghmm_reestimate,
         "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
-        # NEW (late r9): triangle counting on the near-dup graph +
-        # cross-corpus incremental MinHash dedup, both DuckDB-exact (they
-        # displace merge_upsert/scd2_history below the boundary — those
-        # keep their r6-green evidence and head the r10 rotation list)
-        "triangle_docs": _q_triangle_docs,
-        "neardup_incremental": _q_neardup_incremental,
-        "mad_outliers": _q_mad_outliers,
-        "kmeans_parity": _q_kmeans_parity,
-        # NEW: soft-EM single-step pin (DuckDB-exact) + the multimodal
-        # pipeline's first driver face (rows-only)
         "em_reestimate": _q_em_reestimate,
+        "hmm_fit": _q_hmm_fit,
+        "hmm_fit_semisup": _q_hmm_fit_semisup,
+        "hmm_fit_bakis": _q_hmm_fit_bakis,
+        "hmm_fit_restarts": _q_hmm_fit_restarts,
+        "hmm_select": _q_hmm_select,
+        "hmm_online": _q_hmm_online,
+        "neardup_incremental": _q_neardup_incremental,
         "asset_neardup": _q_asset_neardup,
-        "asset_frame_plan": _q_asset_frame_plan,
-        "asset_resize": _q_asset_resize,
-        "ghmm_trace": _q_ghmm_trace,
-        # CHANGED: CDC n_buckets-in-manifest contract + snapshot_diff
-        # presence markers (VERDICT-r8 #1/#2, ADVICE-r8), IVM broadcast
-        # direction fix (VERDICT-r8 #5), Gaussian underflow guard
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "cdc_apply_batch": _q_cdc_apply_batch,
         "ivm_segment_stats": _q_ivm_segment_stats,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_changes": _q_cdc_changes,
         "cdc_compact": _q_cdc_compact,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        # --- (B) rotated IN: last driver-verified r6 (stalest evidence) ---
+        "bigram_lm_score": _q_bigram_lm_score,
+        "state_occupancy": _q_state_occupancy,
+        "merge_upsert": _q_merge_upsert,
+        "scd2_history": _q_scd2_history,
+        "time_bucket_interpolate": _q_time_bucket_interpolate,
+        "lineitem_stats": _q_lineitem_stats,
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "q13_customer_distribution": _q_q13,
+        "q15_top_supplier": _q_q15,
+        "q17_small_quantity_revenue": _q_q17,
+        "q18_large_volume_customers": _q_q18,
+        "q19_bracket_revenue": _q_q19,
+        "q22_dormant_customers": _q_q22,
+        # --- (C) rotated IN: last driver-verified r7 (core reference parity
+        # quartet + decode/score + oldest remaining r7 evidence) ---
+        "seq_build": _q_seq_build,
+        "stripe_agg": _q_transition_counts,
+        "normalize": _q_transition_model,
+        "convergence_distance": _q_model_half_distance,
+        "seq_decode_names": _q_seq_decode_names,
+        "viterbi_decode": _q_viterbi_decode,
+        "seq_scores": _q_seq_scores,
+        "posterior_decode": _q_posterior_decode,
+        "viterbi_reestimate": _q_viterbi_reestimate,
+        "emb_covariance": _q_emb_covariance,
+        "emb_standardize": _q_emb_standardize,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "clean_corpus": _q_clean_corpus,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "knn_quantized": _q_knn_quantized,
+        "emb_quantize": _q_emb_quantize,
+        "linreg_price": _q_linreg_price,
+        # ---- driver's 50-entry window ends here (linreg_price is #50) ----
+        # everything below was driver-verified green in r7-r9 (see the
+        # CORRECTNESS_r* records) and is code-unchanged since its last check
+        # (enforced by the face-hash manifest). Next-stalest first: these head
+        # the r11 rotation list.
+        "triangle_docs": _q_triangle_docs,
+        "mad_outliers": _q_mad_outliers,
+        "kmeans_parity": _q_kmeans_parity,
+        "asset_frame_plan": _q_asset_frame_plan,
+        "asset_resize": _q_asset_resize,
+        "ghmm_trace": _q_ghmm_trace,
         "ghmm_score": _q_ghmm_score,
         "ghmm_fit": _q_ghmm_fit,
-        # --- rotated IN: last driver-verified r4 (oldest evidence) ---
         "bm25_topk": _q_bm25_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "zorder_events": _q_zorder_events,
@@ -1335,7 +1375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_lm_score": _q_trigram_lm_score,
         "cohort_retention": _q_cohort_retention,
         "rolling_user_spend": _q_rolling_user_spend,
-        # --- rotated IN: last driver-verified r5 ---
         "sessionize": _q_sessionize,
         "q3_top_orders": _q_q3,
         "q5_region_revenue": _q_q5,
@@ -1352,39 +1391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "emb_norms": _q_emb_norms,
         "cosine_neardup": _q_cosine_neardup,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "decontaminate": _q_decontaminate,
         "q1_pricing_summary": _q_q1,
         "vocab_topk": _q_vocab_topk,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "weighted_sample": _q_weighted_sample,
         "time_bucket_gapfill": _q_time_bucket_gapfill,
-        # ---- driver's 50-entry window ends here
-        # (time_bucket_gapfill is #50) ----
-        # r6-vintage leftovers: head of the r10 rotation list (merge_upsert,
-        # scd2_history, state_occupancy, and bigram_lm_score were displaced
-        # below the boundary by the four late-r9 faces — code-unchanged,
-        # manifest-enforced)
-        "bigram_lm_score": _q_bigram_lm_score,
-        "state_occupancy": _q_state_occupancy,
-        "merge_upsert": _q_merge_upsert,
-        "scd2_history": _q_scd2_history,
-        "time_bucket_interpolate": _q_time_bucket_interpolate,
-        "lineitem_stats": _q_lineitem_stats,
-        "q7_volume_shipping": _q_q7,
-        "q8_market_share": _q_q8,
-        "q13_customer_distribution": _q_q13,
-        "q15_top_supplier": _q_q15,
-        "q17_small_quantity_revenue": _q_q17,
-        "q18_large_volume_customers": _q_q18,
-        "q19_bracket_revenue": _q_q19,
-        "q22_dormant_customers": _q_q22,
-        # everything below was driver-verified green in r7/r8 (see
-        # CORRECTNESS_r07/r08) and is code-unchanged since (enforced by the
-        # face-hash manifest). r8-checked block:
         "viterbi_topk": _q_viterbi_topk,
         "posterior_entropy": _q_posterior_entropy,
-        "hmm_fit_semisup": _q_hmm_fit_semisup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "copy_pairs": _q_copy_pairs,
         "copy_spans": _q_copy_spans,
@@ -1426,45 +1440,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_stats": _q_salted_value_stats,
         "cap_per_source": _q_cap_per_source,
         "pagerank_docs": _q_pagerank_docs,
-        # r7-checked block:
-        "seq_build": _q_seq_build,
-        "stripe_agg": _q_transition_counts,
-        "normalize": _q_transition_model,
-        "convergence_distance": _q_model_half_distance,
-        "seq_decode_names": _q_seq_decode_names,
-        "hmm_fit": _q_hmm_fit,
-        "viterbi_decode": _q_viterbi_decode,
-        "seq_scores": _q_seq_scores,
-        "posterior_decode": _q_posterior_decode,
-        "viterbi_reestimate": _q_viterbi_reestimate,
+        "knn_ivfpq": _q_knn_ivfpq,
         "hmm_generate": _q_hmm_generate,
+        "emb_pca": _q_emb_pca,
         "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
         "hmm_fit_grouped": _q_hmm_fit_grouped,
         "grouped_decode": _q_grouped_decode,
-        "hmm_select": _q_hmm_select,
-        "hmm_online": _q_hmm_online,
-        "hmm_fit_bakis": _q_hmm_fit_bakis,
-        "posterior_sample": _q_posterior_sample,
-        "hmm_fit_restarts": _q_hmm_fit_restarts,
-        "knn_quantized": _q_knn_quantized,
-        "emb_quantize": _q_emb_quantize,
         "knn_pq": _q_knn_pq,
-        "knn_ivfpq": _q_knn_ivfpq,
-        "emb_covariance": _q_emb_covariance,
-        "emb_pca": _q_emb_pca,
-        "emb_standardize": _q_emb_standardize,
-        "knn_brute": _q_knn_brute,
-        "knn_ivf": _q_knn_ivf,
-        "clean_corpus": _q_clean_corpus,
-        "linreg_price": _q_linreg_price,
         "linreg_multi": _q_linreg_multi,
         "funnel_conversion": _q_funnel_conversion,
         "trending_topk": _q_trending_topk,
         "canonical_docs": _q_canonical_docs,
         "compression_ratio": _q_compression_ratio,
         "neardup_containment": _q_neardup_containment,
-        "neardup_jaccard": _q_neardup_jaccard,
+        "posterior_sample": _q_posterior_sample,
         "dedup_clusters": _q_dedup_clusters,
         "neardup_edit": _q_neardup_edit,
     }

@@ -147,7 +147,58 @@ def sequential_baum_welch(
     return model, trace
 
 
+def _length_buckets(lens: list[int]) -> list[list[int]]:
+    """Octave length-bucketing for the batched E-step (VERDICT-r9 #5 /
+    SURVEY §7 hard part #1): indices grouped by bit_length(T), so within a
+    bucket max_T < 2·min_T and the padded DP cost Σ_b (maxT_b × S_b) is
+    bounded by 2 × Σ_s T_s REGARDLESS of length skew. Without this, one
+    pathological 10⁵-length sequence in an Arrow batch of 10³ short ones
+    pads EVERY sequence to 10⁵ — ~10³× the true work (and a (Tmax, S, N)
+    alpha array in the GBs)."""
+    buckets: dict[int, list[int]] = {}
+    for idx, t in enumerate(lens):
+        buckets.setdefault(int(t).bit_length(), []).append(idx)
+    return [buckets[k] for k in sorted(buckets)]
+
+
 def e_step_counts_batch(
+    pi: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    obs_list: list[np.ndarray],
+    out_pi: np.ndarray,
+    out_A: np.ndarray,
+    out_B: np.ndarray,
+    weights: np.ndarray | None = None,
+) -> float:
+    """Length-skew-hardened batched E-step: sequences are octave-bucketed
+    by length (:func:`_length_buckets`) and each bucket runs through the
+    vectorized core, so padding waste is bounded at 2× the true DP work no
+    matter how skewed an Arrow batch's length distribution is. Counts
+    accumulate into the same out arrays; the summed loglik is returned.
+    Equality with the per-sequence kernel is pinned by the same batch
+    tests (bucket boundaries only change float accumulation ORDER, which
+    the existing 1e-10 pins already absorb)."""
+    if len(obs_list) == 0:
+        return 0.0
+    groups = _length_buckets([len(o) for o in obs_list])
+    if len(groups) == 1:
+        return _e_step_counts_batch_core(
+            pi, A, B, obs_list, out_pi, out_A, out_B, weights
+        )
+    warr = None if weights is None else np.asarray(weights, dtype=np.float64)
+    total = 0.0
+    for idxs in groups:
+        total += _e_step_counts_batch_core(
+            pi, A, B,
+            [obs_list[i] for i in idxs],
+            out_pi, out_A, out_B,
+            None if warr is None else warr[idxs],
+        )
+    return total
+
+
+def _e_step_counts_batch_core(
     pi: np.ndarray,
     A: np.ndarray,
     B: np.ndarray,
@@ -160,7 +211,8 @@ def e_step_counts_batch(
     """Batched E-step: the same expected counts as looping e_step_counts over
     obs_list, but vectorized ACROSS sequences (padded to the batch max
     length) so the Python-level loop runs max_T times, not sum(T_s) times.
-    This is the hot kernel inside the distributed fit's Arrow batches.
+    This is the hot kernel inside the distributed fit's Arrow batches
+    (entered via the length-bucketing wrapper e_step_counts_batch).
 
     Padding semantics: for t beyond a sequence's end, scale is pinned to 1
     (no loglik contribution), alpha is carried forward unchanged, and beta's

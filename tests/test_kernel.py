@@ -171,3 +171,58 @@ def test_batch_e_step_matches_per_sequence():
     np.testing.assert_allclose(p1, p2, atol=1e-12)
     np.testing.assert_allclose(A1, A2, atol=1e-12)
     np.testing.assert_allclose(B1, B2, atol=1e-12)
+
+
+def test_batch_e_step_length_skew_bounded_and_exact():
+    """VERDICT-r9 #5 (SURVEY §7 hard part #1): a pathological 10⁵-length
+    outlier among 10³ short sequences must NOT inflate the whole batch's
+    padded DP cost — octave bucketing bounds Σ_b(maxT_b · S_b) at 2·Σ T_s
+    — and the bucketed counts must still match the per-sequence kernel."""
+    from baum_welch_spark.hmm.kernel import _length_buckets, e_step_counts_batch
+
+    rng = np.random.default_rng(23)
+    short = [rng.integers(0, 5, size=int(rng.integers(4, 17))) for _ in range(1000)]
+    outlier = rng.integers(0, 5, size=100_000)
+    seqs = short + [outlier]
+    lens = [len(o) for o in seqs]
+
+    # cost bound: the structural fix, independent of wall-clock noise.
+    # Unbucketed padding would cost max(T)·S ≈ 1e8 cells; bucketed stays
+    # within 2x of the true Σ T_s ≈ 1.1e5.
+    groups = _length_buckets(lens)
+    padded = sum(max(lens[i] for i in g) * len(g) for g in groups)
+    assert padded <= 2 * sum(lens)
+    assert {i for g in groups for i in g} == set(range(len(seqs)))
+
+    m = HMM.random(3, 5, seed=23)
+    p1 = np.zeros(3); A1 = np.zeros((3, 3)); B1 = np.zeros((3, 5))
+    ll1 = sum(e_step_counts(m.pi, m.A, m.B, o, p1, A1, B1) for o in seqs)
+    p2 = np.zeros(3); A2 = np.zeros((3, 3)); B2 = np.zeros((3, 5))
+    ll2 = e_step_counts_batch(m.pi, m.A, m.B, seqs, p2, A2, B2)
+    assert np.isclose(ll1, ll2, rtol=1e-10)
+    np.testing.assert_allclose(p1, p2, atol=1e-10)
+    np.testing.assert_allclose(A1, A2, atol=1e-10)
+    np.testing.assert_allclose(B1, B2, rtol=1e-9, atol=1e-10)
+
+
+def test_batch_e_step_length_skew_weighted_matches():
+    """The weights path follows the bucket permutation: weighted bucketed
+    counts == weighted per-sequence counts with a skewed batch."""
+    from baum_welch_spark.hmm.kernel import e_step_counts_batch
+
+    rng = np.random.default_rng(29)
+    seqs = [rng.integers(0, 4, size=n) for n in [2, 3, 500, 5, 70, 2, 1033, 9]]
+    w = rng.uniform(0.5, 3.0, size=len(seqs))
+    m = HMM.random(3, 4, seed=29)
+    p1 = np.zeros(3); A1 = np.zeros((3, 3)); B1 = np.zeros((3, 4))
+    ll1 = 0.0
+    for o, wi in zip(seqs, w):
+        pt = np.zeros(3); At = np.zeros((3, 3)); Bt = np.zeros((3, 4))
+        ll1 += wi * e_step_counts(m.pi, m.A, m.B, o, pt, At, Bt)
+        p1 += wi * pt; A1 += wi * At; B1 += wi * Bt
+    p2 = np.zeros(3); A2 = np.zeros((3, 3)); B2 = np.zeros((3, 4))
+    ll2 = e_step_counts_batch(m.pi, m.A, m.B, seqs, p2, A2, B2, weights=w)
+    assert np.isclose(ll1, ll2, rtol=1e-10)
+    np.testing.assert_allclose(p1, p2, atol=1e-10)
+    np.testing.assert_allclose(A1, A2, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(B1, B2, rtol=1e-9, atol=1e-10)
