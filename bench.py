@@ -14,10 +14,16 @@ minimum is the stable statistic for round-over-round regression comparison.
 Noise defense (VERDICT-r9 #2: the official r9 record was ~1.8x inflated by a
 contended host window — min-of-2 over a 148-face board has no protection
 against a noisy hour): after the board completes, any query measuring >2x its
-PRIOR-round record (read from the committed BENCH_parsed.json before it is
-overwritten) is re-run once more and the minimum kept; the ``reruns`` field
-records {name: [first_min, rerun, prior]} so a regression that SURVIVES the
-re-run is distinguishable from one the re-run cleared.
+BEST-KNOWN record is re-run once more and the minimum kept; the ``reruns``
+field records {name: [first_min, rerun, anchor]} so a regression that
+SURVIVES the re-run is distinguishable from one the re-run cleared.
+
+The anchor is the rolling per-face minimum across rounds (the ``best`` map
+in the committed BENCH_parsed.json, lazily seeded from ``queries`` on first
+read), NOT the last round's record: anchoring to the prior round alone let
+the r9-contaminated ``hmm_fit`` family (20.6 s recorded vs ~3.8 s isolated)
+bless an 18.7 s r10 measurement as "under 2x prior" — a contaminated record
+must never become the yardstick that hides the next contamination.
 """
 
 from __future__ import annotations
@@ -151,6 +157,54 @@ HEADLINE = [
 ]
 
 
+def sidecar_for(sf_dir: str, repo: str) -> str:
+    """Sidecar path for a run: the committed BENCH_parsed.json anchor is
+    reserved for the default sf0.1 board — a different-scale run (10x
+    replica, sf1, ...) must neither clobber nor consult it."""
+    if os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1"):
+        return os.path.join(repo, "BENCH_parsed.json")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "alt"
+    return os.path.join(repo, f"BENCH_parsed_{tag}.json")
+
+
+def load_anchor(sidecar: str) -> dict[str, float]:
+    """Best-known per-face record: the rolling ``best`` map merged under the
+    last record's ``queries`` (which seeds pre-upgrade sidecars). The anchor
+    for the noise-outlier re-run pass — see the module docstring for why the
+    last round's record alone is not a safe anchor."""
+    prior: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return prior
+    prior = {
+        k: v for k, v in (rec.get("queries", {}) or {}).items()
+        if isinstance(v, (int, float))
+    }
+    for k, v in (rec.get("best", {}) or {}).items():
+        if isinstance(v, (int, float)) and (k not in prior or v < prior[k]):
+            prior[k] = v
+    return prior
+
+
+def roll_best(
+    timings: dict[str, float], prior: dict[str, float], known: set[str]
+) -> dict[str, float]:
+    """Next round's anchors: min(this round, best known) per face, carrying
+    forward anchors for known faces not timed this run (partial board after
+    an error) so one bad round can't orphan them. A contaminated record can
+    only ever RAISE an anchor; the min repairs it on the next clean run."""
+    best = {
+        k: round(min(v, prior[k]), 3) if k in prior else v
+        for k, v in timings.items()
+    }
+    for k, v in prior.items():
+        if k not in best and k in known:
+            best[k] = v
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -179,15 +233,11 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    # prior-round record, read BEFORE this run overwrites the sidecar:
-    # the anchor for the post-board noise-outlier re-run pass
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_parsed.json")
-    prior: dict[str, float] = {}
-    try:
-        with open(sidecar) as f:
-            prior = json.load(f).get("queries", {}) or {}
-    except (OSError, ValueError):
-        pass
+    # anchor read BEFORE this run overwrites the sidecar
+    sidecar = sidecar_for(sf_dir, os.path.dirname(os.path.abspath(__file__)))
+    if os.path.basename(sidecar) != "BENCH_parsed.json":
+        print(f"bench: non-default sf dir; sidecar -> {sidecar}", file=sys.stderr)
+    prior = load_anchor(sidecar)
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     reruns: dict[str, list[float]] = {}
@@ -226,6 +276,7 @@ def main() -> None:
         error = f"{type(e).__name__}: {e}"
     finally:
         total = round(sum(timings.values()), 3)
+        best = roll_best(timings, prior, set(qs))
         out = {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -237,9 +288,13 @@ def main() -> None:
             # (runs == 1) must not be compared round-over-round against
             # min-of-N numbers as if they were warmed minima
             "runs": run_counts,
-            # [first_min, rerun, prior_record] per noise-outlier re-run:
-            # a face still slow after the re-run is a real regression
+            # [first_min, rerun, best_known_anchor] per noise-outlier
+            # re-run: a face still slow after the re-run is a real regression
             "reruns": reruns,
+            # rolling per-face minimum across rounds — next round's
+            # noise-outlier anchor (a contaminated single-round record can
+            # only ever RAISE an anchor; the min repairs it)
+            "best": best,
             "timing": "min_of_runs (iterative trainers: single run)",
         }
         if error is not None:
@@ -265,11 +320,12 @@ def main() -> None:
             slim["timing"] = "min_of_runs"
             slim.pop("runs", None)
             slim.pop("reruns", None)
+            slim.pop("best", None)
             slim["n_reruns"] = len(reruns)  # full detail in BENCH_parsed.json
             by_cost = sorted(timings, key=timings.get, reverse=True)
             slim["n_queries"] = len(timings)
             slim["queries_truncated_to_slowest"] = True
-            slim["queries_full"] = "BENCH_parsed.json"
+            slim["queries_full"] = os.path.basename(sidecar)
             kept: dict[str, float] = {}
             slim["queries"] = kept
             for q in by_cost:
