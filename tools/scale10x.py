@@ -26,9 +26,24 @@ linear under positional markers); positional markers only collide where
 two docs share the same word at the same index — the same alignment a
 genuine near-dup needs.
 
+`--jitter` mode (SURVEY §8.3g addendum): plain replication is likewise
+ADVERSARIAL for the embedding near-dup operators — every vector gains
+(replicas - 1) exact clones, and at the faces' loose 0.35 threshold pair
+OUTPUT is intrinsically ~n² anyway (pair density ~1.5e-3 on the synthetic
+corpus), so the 10x board wall measures emitted-pair volume, not plan
+behavior. With --jitter, replica r > 0 of every embedding gets
+deterministic additive noise at relative norm EPS=1.6 (per-component
+hash-uniform, seeded by (vec_id, r, i)): clone-to-original cosine drops to
+1/sqrt(1+EPS^2) ~= 0.53 and clone-to-clone to 1/(1+EPS^2) ~= 0.28, both
+under a 0.6 verify threshold — so at threshold 0.6 the TRUE pair set stays
+sparse and a 1x-vs-10x timing isolates the plan's data-linear term
+(sketch/bucket build + candidate join + verify of few). Measure with
+tools/scale_embjitter.py, which calls the operators at threshold 0.6.
+
 Usage:
   python tools/scale10x.py q7_volume_shipping q18_large_volume_customers
   python tools/scale10x.py --mutate --replicas 30 neardup_edit copy_pairs
+  python tools/scale10x.py --jitter --rebuild  # embeddings-jittered replica
   python tools/scale10x.py --rebuild          # force dataset rebuild
 """
 
@@ -75,7 +90,18 @@ DOMAIN_MAX = {
 }
 
 
-def build(con: duckdb.DuckDBPyConnection, dst: str, replicas: int, mutate: bool) -> None:
+#: --jitter relative noise norm: clone-original cos ~= 0.53, clone-clone
+#: ~= 0.28 — both under the 0.6 measurement threshold (module docstring)
+JITTER_EPS = 1.6
+
+
+def build(
+    con: duckdb.DuckDBPyConnection,
+    dst: str,
+    replicas: int,
+    mutate: bool,
+    jitter: bool = False,
+) -> None:
     os.makedirs(dst, exist_ok=True)
     offs = {}
     for dom, (tbl, col) in DOMAIN_MAX.items():
@@ -115,6 +141,27 @@ def build(con: duckdb.DuckDBPyConnection, dst: str, replicas: int, mutate: bool)
 ) TO '{dst}/documents.parquet'"""
             )
             continue
+        if tbl == "embeddings" and jitter:
+            off = offs["veckey"]
+            # deterministic per-(vec_id, replica, component) uniform noise in
+            # [-sqrt(3), sqrt(3)] scaled to relative vector norm JITTER_EPS:
+            # E|noise|^2 = EPS^2 * (|v|/sqrt(dim))^2 * dim = EPS^2 * |v|^2.
+            # r = 0 keeps the original vectors bit-exact.
+            con.sql(
+                f"""COPY (
+  SELECT e.vec_id + r.r * {off} AS vec_id,
+         CASE WHEN r.r = 0 THEN e.embedding ELSE
+           list_transform(
+             e.embedding,
+             (x, i) -> CAST(x + {JITTER_EPS} * sqrt(list_sum(list_transform(e.embedding, y -> y * y)) / len(e.embedding))
+                  * 1.7320508 * (CAST(hash(e.vec_id * 1000003 + r.r * 131 + i) % 2001 AS DOUBLE) / 1000.0 - 1.0)
+               AS FLOAT))
+         END AS embedding,
+         e.label
+  FROM '{SRC}/embeddings.parquet' e, range({replicas}) r(r)
+) TO '{dst}/embeddings.parquet'"""
+            )
+            continue
         cols = con.sql(f"SELECT * FROM '{SRC}/{tbl}.parquet' LIMIT 0").columns
         shifted = dict()
         for dom, cs in doms.items():
@@ -136,15 +183,16 @@ def main() -> int:
         replicas = int(argv[i + 1])
         del argv[i : i + 2]
     mutate = "--mutate" in argv
+    jitter = "--jitter" in argv
     rebuild = "--rebuild" in argv
-    args = [a for a in argv if a not in ("--rebuild", "--mutate")]
+    args = [a for a in argv if a not in ("--rebuild", "--mutate", "--jitter")]
     dst = os.environ.get(
         "SPARK_GRAFT_10X_DIR",
-        f"/tmp/sf0.1_x{replicas}{'_mut' if mutate else ''}",
+        f"/tmp/sf0.1_x{replicas}{'_mut' if mutate else ''}{'_jit' if jitter else ''}",
     )
     con = duckdb.connect()
     if rebuild or not os.path.exists(f"{dst}/lineitem.parquet"):
-        build(con, dst, replicas, mutate)
+        build(con, dst, replicas, mutate, jitter)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     spec = importlib.util.spec_from_file_location(
