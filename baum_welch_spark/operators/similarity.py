@@ -215,16 +215,30 @@ WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
 
 
 def _lsh_sign_matrix(n_planes: int, dim: int) -> list[list[float]]:
-    """±1 Rademacher hyperplanes: sign of plane p at component i = bit p of
-    the portable 60-bit md5 hash of str(i). Any engine reproduces it —
-    DuckDB: (('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT >> p) & 1.
-    Requires n_planes <= 60 (one md5 per component covers all planes)."""
-    if n_planes > 60:
-        raise ValueError(f"n_planes={n_planes} exceeds the 60 hash bits available")
+    """±1 Rademacher hyperplanes: sign of plane p at component i = bit
+    (p % 60) of the portable 60-bit md5 hash of the plane's GROUP-salted
+    component index — group g = p // 60 hashes str(i) for g = 0 (the
+    historical planes, bit-identical to the pre-extension matrix) and
+    f"{g}:{i}" for g > 0, so the plane budget is unbounded while every
+    committed face hash is preserved. Any engine reproduces it — DuckDB:
+    (('0x' || substr(md5(<salted i>), 1, 15))::BIGINT >> (p % 60)) & 1.
+    The scale rule this serves (SURVEY §8.3g): expected bucket size is
+    n / 2^bits, so bits must grow ~log2(n) to keep candidate mass linear —
+    a 1e9-vector corpus at 30 bits x 8 tables needs 240 planes."""
     import hashlib
 
-    hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in range(dim)]
-    return [[1.0 if (h >> p) & 1 else -1.0 for h in hs] for p in range(n_planes)]
+    def group_hashes(g: int) -> list[int]:
+        salt = "" if g == 0 else f"{g}:"
+        return [
+            int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+            for i in range(dim)
+        ]
+
+    hs_by_group = [group_hashes(g) for g in range((n_planes + 59) // 60)]
+    return [
+        [1.0 if (h >> (p % 60)) & 1 else -1.0 for h in hs_by_group[p // 60]]
+        for p in range(n_planes)
+    ]
 
 
 def cosine_lsh_oracle_sql(
@@ -246,8 +260,8 @@ def cosine_lsh_oracle_sql(
         return f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)"
 
     sign_lists = ",\n".join(
-        f"s{p} (sl{p}) AS (SELECT list(CASE WHEN (h >> {p}) & 1 = 1 "
-        f"THEN 1.0 ELSE -1.0 END ORDER BY i) FROM hs)"
+        f"s{p} (sl{p}) AS (SELECT list(CASE WHEN (h >> {p % 60}) & 1 = 1 "
+        f"THEN 1.0 ELSE -1.0 END ORDER BY i) FROM hs WHERE g = {p // 60})"
         for p in range(n_planes)
     )
     sign_tables = ", ".join(f"s{p}" for p in range(n_planes))
@@ -260,8 +274,14 @@ def cosine_lsh_oracle_sql(
     )
     return f"""
 WITH hs AS (
-  SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT AS h
-  FROM generate_series(0, {dim - 1}) AS t(i)
+  -- group-salted plane hashes, mirroring _lsh_sign_matrix: group 0 hashes
+  -- the bare component index (the historical planes), group g > 0 'g:i'
+  SELECT i, g,
+         ('0x' || substr(md5(CASE WHEN g = 0 THEN i::VARCHAR
+                               ELSE g::VARCHAR || ':' || i::VARCHAR END),
+                         1, 15))::BIGINT AS h
+  FROM generate_series(0, {dim - 1}) AS t(i),
+       generate_series(0, {(n_planes + 59) // 60 - 1}) AS tg(g)
 ),
 {sign_lists},
 v AS (

@@ -1163,3 +1163,60 @@ def test_asset_lsh_centered_recall_past_switch(spark):
     # a large multiple fewer candidates than origin planes on this space
     assert centered < 0.25 * tables * all_pairs
     assert centered < origin / 3
+
+
+def test_lsh_plane_groups_backward_compatible():
+    """Planes 0..59 of the group-salted matrix must be bit-identical to the
+    historical single-md5 derivation: every committed LSH face hash depends
+    on them. Group 1+ planes extend the budget without touching group 0."""
+    import hashlib
+
+    dim = 64
+    got = similarity._lsh_sign_matrix(60, dim)
+    hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in range(dim)]
+    legacy = [[1.0 if (h >> p) & 1 else -1.0 for h in hs] for p in range(60)]
+    assert got == legacy
+
+
+def test_lsh_plane_groups_extend_past_60():
+    """The plane budget is unbounded (SURVEY §8.3g: bits must grow ~log2(n)
+    to hold expected bucket size constant, so a 1e9-vector corpus needs
+    240 planes): group g > 0 planes are well-formed ±1 rows, distinct from
+    the group-0 plane with the same bit index, and reasonably balanced."""
+    dim = 64
+    M = similarity._lsh_sign_matrix(130, dim)
+    assert len(M) == 130 and all(len(r) == dim for r in M)
+    assert all(v in (1.0, -1.0) for r in M for v in r)
+    # a salted group must not replay group 0 (same bit, different hash)
+    replayed = sum(M[p] == M[p - 60] for p in range(60, 120))
+    assert replayed == 0
+    # Rademacher balance: |mean| of a fair 64-coin row is ~N(0, 1/8);
+    # bound loosely — a constant row (the all-positive-bucket failure
+    # mode) has |mean| = 1
+    assert all(abs(sum(r)) / dim < 0.6 for r in M)
+
+
+def test_cosine_lsh_many_planes_spark_duckdb_parity(spark, embeddings):
+    """72 planes (bits=9 x tables=8) crosses the 60-bit group boundary: the
+    Spark operator and the generated DuckDB oracle must still agree pair-set
+    and cosine exactly — pinning that both sides chain the group salt the
+    same way."""
+    import duckdb
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in similarity.cosine_neardup_lsh(embeddings, bits=9, tables=8).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF0001}/embeddings.parquet'"
+    )
+    want = {
+        (a, b): c
+        for a, b, c in con.sql(
+            similarity.cosine_lsh_oracle_sql(bits=9, tables=8)
+        ).fetchall()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
