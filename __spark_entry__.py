@@ -695,6 +695,12 @@ def _q_dedup_clusters(spark, sf):
     return dedup_clusters_jaccard(*_tables(spark, sf, "documents"))
 
 
+def _q_leakage_split(spark, sf):
+    from baum_welch_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(*_tables(spark, sf, "documents"))
+
+
 def _q_hmm_fit(spark, sf):
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.fit import fit
@@ -1299,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only one). Everything below the boundary is code-unchanged
         # since its last green driver check (manifest-enforced).
         # --- (A) new or changed this round ---
+        "leakage_split": _q_leakage_split,
         "ghmm_reestimate": _q_ghmm_reestimate,
         "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
         "em_reestimate": _q_em_reestimate,
@@ -1351,8 +1358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
+        # ---- driver's 50-entry window ends here (emb_quantize is #50;
+        # linreg_price was displaced to #51 by the new late-r10
+        # leakage_split face — unchanged since its r10 in-window check) ----
         "linreg_price": _q_linreg_price,
-        # ---- driver's 50-entry window ends here (linreg_price is #50) ----
         # everything below was driver-verified green in r7-r9 (see the
         # CORRECTNESS_r* records) and is code-unchanged since its last check
         # (enforced by the face-hash manifest). Next-stalest first: these head
@@ -1660,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         # clustering oracle: recursive-CTE transitive closure over the exact
         # Jaccard pair set (dedup.py) — upgrades dedup_clusters from rows-only
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "leakage_split": dedup.leakage_split_sql(),
         # portable-hash ops: exact because the base hash is MD5 bits, which
         # DuckDB reproduces verbatim (functions.columns.portable_hash60)
         "minhash_lsh": dedup.MINHASH_LSH_SQL,

@@ -1023,3 +1023,106 @@ JOIN sizes sa ON i.doc_new = sa.doc_id
 JOIN sizes sb ON i.doc_base = sb.doc_id
 WHERE round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) >= 0.2
 """
+
+
+#: 2^60 — the portable_hash60 value space; split cutoffs are integer
+#: fractions of it so Spark and DuckDB compare the same BIGINT (no
+#: float-division edge cases at the split boundaries)
+_HASH60_SPACE = 1 << 60
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    train: float = 0.8,
+    valid: float = 0.1,
+    threshold: float = 0.4,
+    pair_generator=None,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/valid/test assignment: every document in the
+    same near-dup CLUSTER lands in the same split, so no near-duplicate of
+    a training document can leak into valid/test (the contamination a
+    doc_id-hash split cannot prevent — the reference has no notion of this;
+    beyond-reference training-pipeline surface, same family as
+    ``clean_corpus``/``decontaminate``).
+
+    Assignment is by a portable 60-bit hash of (salt, cluster
+    representative): deterministic across engines AND across runs, stable
+    under corpus growth (a new document joins an existing cluster's split
+    rather than reshuffling anything), and tunable per experiment via
+    ``salt``. Cutoffs are INTEGER fractions of the hash space, so the
+    boundary comparison is BIGINT-exact in both Spark and the DuckDB oracle
+    (``leakage_split_sql``) — no float-division drift.
+
+    Plan shape: pair generation (exact trigram Jaccard by default for
+    oracle parity; pass ``pair_generator=lambda d: minhash_lsh_pairs(d)
+    .select("doc_a", "doc_b")`` for the banded 100 TB path, the
+    ``clean_corpus`` convention) -> pointer-jumping connected components
+    (O(log diameter) rounds, id-only shuffles) -> ONE left join of the
+    corpus against the component labels (clustered docs only — singletons
+    coalesce to their own id without shuffling anything extra) -> pure
+    codegen hash + CASE. The corpus-sized side shuffles once, on doc_id.
+
+    Output: (doc_id, component, split) — component is the cluster
+    representative (min doc_id; the doc's own id for singletons).
+    """
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    if not (0.0 < train and 0.0 <= valid and train + valid < 1.0):
+        raise ValueError(
+            f"need 0 < train and 0 <= valid and train + valid < 1 to leave "
+            f"test mass; got train={train}, valid={valid}"
+        )
+    if pair_generator is None:
+        pairs = neardup_jaccard(documents, threshold=threshold)
+    else:
+        pairs = pair_generator(documents)
+    comp = connected_components(pairs)
+    cut_train = int(train * _HASH60_SPACE)
+    cut_valid = int((train + valid) * _HASH60_SPACE)
+    labelled = (
+        documents.select("doc_id")
+        .join(comp, documents.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    h = portable_hash60(
+        F.concat(F.lit(salt + ":"), F.col("component").cast("string"))
+    )
+    return labelled.select(
+        "doc_id",
+        "component",
+        F.when(h < F.lit(cut_train), F.lit("train"))
+        .when(h < F.lit(cut_valid), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def leakage_split_sql(
+    train: float = 0.8, valid: float = 0.1, salt: str = "split"
+) -> str:
+    """DuckDB-exact oracle for :func:`leakage_safe_split` at the default
+    exact-Jaccard pair generator: the shared transitive-closure CTE
+    (JACCARD_COMPONENTS_CTE) plus the same salted 60-bit md5 hash and the
+    same integer cutoffs."""
+    cut_train = int(train * _HASH60_SPACE)
+    cut_valid = int((train + valid) * _HASH60_SPACE)
+    return (
+        JACCARD_COMPONENTS_CTE
+        + f"""
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CASE WHEN ('0x' || substr(md5('{salt}:' ||
+                  COALESCE(c.component, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                 < {cut_train} THEN 'train'
+            WHEN ('0x' || substr(md5('{salt}:' ||
+                  COALESCE(c.component, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                 < {cut_valid} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+    )

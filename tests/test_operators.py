@@ -1220,3 +1220,53 @@ def test_cosine_lsh_many_planes_spark_duckdb_parity(spark, embeddings):
     assert got.keys() == want.keys() and len(got) > 0
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_leakage_safe_split_no_near_dup_crosses_splits(spark, documents):
+    """The operator's reason to exist: every near-dup pair must land in ONE
+    split — a doc_id-hash split leaks ~(1 - train) of a cluster's members
+    into valid/test as contamination."""
+    split = {
+        r.doc_id: r.split for r in dedup.leakage_safe_split(documents).collect()
+    }
+    pairs = dedup.neardup_jaccard(documents, threshold=0.4).collect()
+    assert len(pairs) > 0  # the invariant must be exercised, not vacuous
+    straddling = [
+        (r.doc_a, r.doc_b) for r in pairs if split[r.doc_a] != split[r.doc_b]
+    ]
+    assert straddling == []
+    assert set(split) == {r.doc_id for r in documents.select("doc_id").collect()}
+
+
+def test_leakage_safe_split_deterministic_and_salt_sensitive(spark, documents):
+    """Same salt -> identical assignment (reproducible experiment splits);
+    a different salt -> a genuinely different shuffle of clusters."""
+    a = {r.doc_id: r.split for r in dedup.leakage_safe_split(documents).collect()}
+    b = {r.doc_id: r.split for r in dedup.leakage_safe_split(documents).collect()}
+    assert a == b
+    c = {
+        r.doc_id: r.split
+        for r in dedup.leakage_safe_split(documents, salt="other").collect()
+    }
+    assert a != c
+
+
+def test_leakage_safe_split_ratios_and_validation(spark, documents):
+    """Split mass tracks the requested weights (hash-uniform over
+    components), and nonsense weights fail fast."""
+    rows = dedup.leakage_safe_split(documents, train=0.8, valid=0.1).collect()
+    n = len(rows)
+    frac_train = sum(r.split == "train" for r in rows) / n
+    # ~500 docs: binomial 3-sigma around 0.8 is ~±0.06; bound loosely
+    assert 0.7 < frac_train < 0.9, frac_train
+    assert {r.split for r in rows} == {"train", "valid", "test"}
+    with pytest.raises(ValueError, match="test mass"):
+        dedup.leakage_safe_split(documents, train=0.95, valid=0.05)
+
+
+def test_leakage_safe_split_plan_is_codegen_after_components(spark, documents):
+    """Scale shape: past the component build, assignment is one left join
+    plus pure-codegen hash/CASE — no nested-loop join anywhere, and no
+    Python stage beyond the pair generator's."""
+    rep = plan_report(dedup.leakage_safe_split(documents))
+    assert rep["nested_loop_joins"] == 0, rep
