@@ -695,6 +695,12 @@ def _q_dedup_clusters(spark, sf):
     return dedup_clusters_jaccard(*_tables(spark, sf, "documents"))
 
 
+def _q_skew_report(spark, sf):
+    from baum_welch_spark.operators.skew import skew_report
+
+    return skew_report(*_tables(spark, sf, "events"), key_cols=["user_id", "event_type"])
+
+
 def _q_leakage_split(spark, sf):
     from baum_welch_spark.operators.dedup import leakage_safe_split
 
@@ -1305,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only one). Everything below the boundary is code-unchanged
         # since its last green driver check (manifest-enforced).
         # --- (A) new or changed this round ---
+        "skew_report_events": _q_skew_report,
         "leakage_split": _q_leakage_split,
         "ghmm_reestimate": _q_ghmm_reestimate,
         "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
@@ -1358,9 +1365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
-        # ---- driver's 50-entry window ends here (emb_quantize is #50;
-        # linreg_price was displaced to #51 by the new late-r10
-        # leakage_split face — unchanged since its r10 in-window check) ----
+        # ---- driver's 50-entry window ends here (knn_quantized is #50;
+        # emb_quantize and linreg_price were displaced to #51/#52 by the two
+        # new late-r10 faces (skew_report_events, leakage_split) — both
+        # unchanged since their r10 in-window checks) ----
         "linreg_price": _q_linreg_price,
         # everything below was driver-verified green in r7-r9 (see the
         # CORRECTNESS_r* records) and is code-unchanged since its last check
@@ -1670,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard pair set (dedup.py) — upgrades dedup_clusters from rows-only
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "leakage_split": dedup.leakage_split_sql(),
+        "skew_report_events": skew.skew_report_sql("events", ["user_id", "event_type"]),
         # portable-hash ops: exact because the base hash is MD5 bits, which
         # DuckDB reproduces verbatim (functions.columns.portable_hash60)
         "minhash_lsh": dedup.MINHASH_LSH_SQL,

@@ -160,3 +160,90 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str], p: float = 0.99) -> DataFrame:
+    """Per-key-column skew diagnostic: the measurement that DECIDES between
+    a plain shuffle, ``salted_agg``/``salted_join``, and AQE skew-join —
+    at 100 TB you profile the key distribution before burning a cluster-day
+    on a join that one hot key serializes.
+
+    One output row per candidate key column:
+
+    - ``n_rows`` / ``n_keys`` — population and cardinality;
+    - ``max_count`` and ``pXX_count`` (exact interpolated percentile of the
+      per-key counts) — the hot-key mass;
+    - ``skew_ratio`` = max_count / mean_count — 1.0 is perfectly uniform;
+      the classic rule of thumb salts anything above ~an order of magnitude;
+    - ``top_key`` / ``top_count`` / ``top_share`` — the single hottest key
+      (ties broken by min key string, so the row is deterministic and the
+      face DuckDB-exact).
+
+    Plan: per column one map-side-combined count shuffle (the same shape the
+    eventual aggregation would take, so profiling cost ~= one pass of the
+    real job's first phase) and one all-to-one summary agg over the
+    key-cardinality-sized counts frame; columns are a plan-level union, not
+    a driver loop. The exact percentile sorts the counts frame — swap
+    ``F.percentile_approx`` here when key cardinality itself is data-sized
+    (same trade documented and tested for ``anomaly.mad_outliers``).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    parts = []
+    for kc in key_cols:
+        counts = df.groupBy(F.col(kc).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # min over (-cnt, key) == (max count, tie -> min key): one combinable
+        # agg instead of a window or a second ordered pass
+        top = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k"))).alias("t")
+        parts.append(
+            counts.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_count"),
+                F.round(F.percentile("cnt", F.lit(p)), 6).alias("p_count"),
+                top,
+            ).select(
+                F.lit(kc).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                "p_count",
+                F.round(
+                    F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 6
+                ).alias("skew_ratio"),
+                F.col("t.k").alias("top_key"),
+                (-F.col("t.neg")).alias("top_count"),
+                F.round(-F.col("t.neg") / F.col("n_rows"), 6).alias("top_share"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("key_col")
+
+
+def skew_report_sql(table: str, key_cols: Sequence[str], p: float = 0.99) -> str:
+    """DuckDB-exact oracle for :func:`skew_report`: per-column count CTE,
+    ``quantile_cont`` (same linear interpolation as Spark's ``percentile``),
+    and an ORDER BY-LIMIT scalar pair for the deterministic top key."""
+    selects = []
+    for kc in key_cols:
+        selects.append(
+            f"""(
+  WITH c AS (SELECT {kc}::VARCHAR AS k, count(*) AS cnt FROM {table} GROUP BY 1)
+  SELECT '{kc}' AS key_col,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,  -- HUGEINT floats the dtype kind
+         count(*) AS n_keys,
+         max(cnt) AS max_count,
+         round(quantile_cont(cnt, {p}), 6) AS p_count,
+         round(max(cnt) * count(*) * 1.0 / sum(cnt), 6) AS skew_ratio,
+         (SELECT k FROM c ORDER BY cnt DESC, k ASC LIMIT 1) AS top_key,
+         (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 1) AS top_count,
+         round((SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 1) * 1.0
+               / sum(cnt), 6) AS top_share
+  FROM c
+)"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY key_col"

@@ -136,3 +136,50 @@ def test_streaming_reference_index_equals_batch_banded_signatures(spark):
         (r.doc_id, r.band, r.bkey) for r in banded_signatures(docs).collect()
     }
     assert streaming_rows == batch_rows and streaming_rows
+
+
+def test_skew_report_flags_the_planted_hot_key(spark):
+    """A key holding half the rows must dominate every hot-key statistic;
+    a uniform column must sit near skew_ratio 1."""
+    from baum_welch_spark.operators.skew import skew_report
+
+    rows = [(1, "hot") for _ in range(500)] + [
+        (1000 + i, f"u{i % 50}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    rep = {r.key_col: r for r in skew_report(df, ["k", "g"]).collect()}
+    hot = rep["k"]
+    assert hot.top_key == "1" and hot.top_count == 500
+    assert hot.top_share == 0.5
+    assert hot.skew_ratio > 100  # 500 rows on one key vs ~1 per uniform key
+    assert rep["g"].skew_ratio < hot.skew_ratio
+    assert hot.n_rows == 1000 and rep["g"].n_rows == 1000
+
+
+def test_skew_report_deterministic_top_key_tiebreak(spark):
+    """Equal-count keys must resolve to the MIN key string — the face's
+    DuckDB-exactness depends on both engines picking the same row."""
+    from baum_welch_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",)], "k string"
+    )
+    r = skew_report(df, ["k"]).collect()[0]
+    assert r.top_key == "a" and r.top_count == 1
+
+
+def test_skew_report_rejects_empty_key_list(spark, events):
+    from baum_welch_spark.operators.skew import skew_report
+
+    with pytest.raises(ValueError, match="at least one"):
+        skew_report(events, [])
+
+
+def test_skew_report_single_count_shuffle_per_column(spark, events):
+    """Plan shape: profiling cost must be one map-side-combined count
+    shuffle per key column plus the one-row summary — no joins at all."""
+    from baum_welch_spark.operators.skew import skew_report
+
+    rep = plan_report(skew_report(events, ["user_id"]))
+    assert rep["nested_loop_joins"] == 0, rep
+    assert rep.get("joins", 0) == 0 or rep["broadcast_joins"] == rep.get("joins", 0), rep
