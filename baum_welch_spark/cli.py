@@ -352,6 +352,48 @@ def cmd_outliers(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Leakage-safe train/valid/test assignment (operators/dedup.py
+    leakage_safe_split): every near-dup cluster lands whole in one split."""
+    from baum_welch_spark.operators.dedup import leakage_safe_split
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-split")
+    docs = load_table(spark, args.input, "documents")
+    out = leakage_safe_split(
+        docs,
+        train=args.train,
+        valid=args.valid,
+        threshold=args.threshold,
+        salt=args.salt,
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
+def cmd_skew(args) -> int:
+    """Key-skew diagnostic (operators/skew.py skew_report): profile candidate
+    shuffle keys before committing a join/agg strategy."""
+    from baum_welch_spark.operators.skew import skew_report
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-skew")
+    table = load_table(spark, args.input, args.table)
+    out = skew_report(table, args.keys, p=args.percentile)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_select(args) -> int:
     """BIC/AIC order-selection sweep over candidate hidden-state counts."""
     from baum_welch_spark.hmm.select import select_n_hidden
@@ -770,6 +812,26 @@ def main(argv: list[str] | None = None) -> int:
     gr.add_argument("-o", "--output")
     gr.add_argument("--limit", type=int, default=20, help="rows to show without -o")
     gr.set_defaults(fn=cmd_graph)
+
+    sp2 = sub.add_parser(
+        "split", help="leakage-safe train/valid/test split over near-dup clusters"
+    )
+    sp2.add_argument("-i", "--input", required=True)
+    sp2.add_argument("--train", type=float, default=0.8)
+    sp2.add_argument("--valid", type=float, default=0.1)
+    sp2.add_argument("--threshold", type=float, default=0.4, help="near-dup jaccard edge threshold")
+    sp2.add_argument("--salt", default="split", help="per-experiment assignment salt")
+    sp2.add_argument("-o", "--output")
+    sp2.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    sp2.set_defaults(fn=cmd_split)
+
+    sk = sub.add_parser("skew", help="key-skew diagnostic over a table's candidate shuffle keys")
+    sk.add_argument("-i", "--input", required=True)
+    sk.add_argument("--table", default="events")
+    sk.add_argument("--keys", nargs="+", default=["user_id", "event_type"])
+    sk.add_argument("--percentile", type=float, default=0.99)
+    sk.add_argument("-o", "--output")
+    sk.set_defaults(fn=cmd_skew)
 
     ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
     ol.add_argument("-i", "--input", required=True)

@@ -5,6 +5,7 @@ decode/score under that model)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from baum_welch_spark.cli import main
 
@@ -382,3 +383,24 @@ def test_cli_graph_metrics(spark, tmp_path):
         assert main(["graph", "-i", SF0001, "--metric", metric, "-o", out]) == 0
         got = spark.read.parquet(out)
         assert set(got.columns) == cols and got.count() > 0
+
+
+def test_cli_split_and_skew(spark, tmp_path):
+    out = str(tmp_path / "splits")
+    assert main(["split", "-i", SF0001, "-o", out]) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "component", "split"}
+    mix = {r.split for r in got.select("split").distinct().collect()}
+    assert mix == {"train", "valid", "test"}
+    # a cluster never straddles splits: component -> exactly one split
+    assert (
+        got.groupBy("component").agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1").count() == 0
+    )
+
+    out2 = str(tmp_path / "skew")
+    assert main(["skew", "-i", SF0001, "--table", "events",
+                 "--keys", "event_type", "-o", out2]) == 0
+    rep = spark.read.parquet(out2).collect()
+    assert len(rep) == 1 and rep[0].key_col == "event_type"
+    assert rep[0].n_rows > 0 and rep[0].skew_ratio >= 1.0
