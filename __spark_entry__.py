@@ -695,6 +695,27 @@ def _q_dedup_clusters(spark, sf):
     return dedup_clusters_jaccard(*_tables(spark, sf, "documents"))
 
 
+#: dq face rules: deliberately tight so the synthetic data VIOLATES some —
+#: a report of all zeros would leave the counting paths unexercised
+_DQ_RULES = [
+    {"rule": "not_null", "col": "o_orderkey"},
+    {"rule": "unique", "col": "o_orderkey"},
+    {"rule": "range", "col": "o_totalprice", "min": 2000.0, "max": 400000.0},
+    {"rule": "in_set", "col": "o_orderstatus", "values": ["O", "F"]},
+    {"rule": "fk", "col": "o_custkey", "ref_col": "c_custkey"},
+]
+
+
+def _q_dq_report(spark, sf):
+    from baum_welch_spark.operators.dq import dq_report
+
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    rules = [
+        dict(r, ref=customer) if r["rule"] == "fk" else r for r in _DQ_RULES
+    ]
+    return dq_report(orders, rules)
+
+
 def _q_skew_report(spark, sf):
     from baum_welch_spark.operators.skew import skew_report
 
@@ -1311,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only one). Everything below the boundary is code-unchanged
         # since its last green driver check (manifest-enforced).
         # --- (A) new or changed this round ---
+        "dq_report_orders": _q_dq_report,
         "skew_report_events": _q_skew_report,
         "leakage_split": _q_leakage_split,
         "ghmm_reestimate": _q_ghmm_reestimate,
@@ -1365,10 +1387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
-        # ---- driver's 50-entry window ends here (knn_quantized is #50;
-        # emb_quantize and linreg_price were displaced to #51/#52 by the two
-        # new late-r10 faces (skew_report_events, leakage_split) — both
-        # unchanged since their r10 in-window checks) ----
+        # ---- driver's 50-entry window ends here (neardup_jaccard is #50;
+        # knn_quantized, emb_quantize, and linreg_price were displaced to
+        # #51–#53 by the three new late-r10 faces (dq_report_orders,
+        # skew_report_events, leakage_split) — all three unchanged since
+        # their r10 in-window checks) ----
         "linreg_price": _q_linreg_price,
         # everything below was driver-verified green in r7-r9 (see the
         # CORRECTNESS_r* records) and is code-unchanged since its last check
@@ -1520,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         clustering,
         corpus,
         dedup,
+        dq,
         graph,
         layout,
         linalg,
@@ -1679,6 +1703,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "leakage_split": dedup.leakage_split_sql(),
         "skew_report_events": skew.skew_report_sql("events", ["user_id", "event_type"]),
+        "dq_report_orders": dq.dq_report_sql(
+            "orders",
+            [dict(r, ref="customer") if r["rule"] == "fk" else r for r in _DQ_RULES],
+        ),
         # portable-hash ops: exact because the base hash is MD5 bits, which
         # DuckDB reproduces verbatim (functions.columns.portable_hash60)
         "minhash_lsh": dedup.MINHASH_LSH_SQL,

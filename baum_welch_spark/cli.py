@@ -394,6 +394,29 @@ def cmd_skew(args) -> int:
     return 0
 
 
+def cmd_dq(args) -> int:
+    """Data-quality gate (operators/dq.py dq_report): the __spark_entry__
+    demo rule set (null/unique/range/set on orders + fk to customer) as a
+    CLI report; exit 1 if --fail-on-violations and any rule is violated."""
+    from __spark_entry__ import _DQ_RULES
+    from baum_welch_spark.operators.dq import dq_report
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-dq")
+    orders = load_table(spark, args.input, "orders")
+    customer = load_table(spark, args.input, "customer")
+    rules = [dict(r, ref=customer) if r["rule"] == "fk" else r for r in _DQ_RULES]
+    rows = dq_report(orders, rules).collect()
+    for r in rows:
+        print(f"{r.rule:10s} {r.col:15s} {r.n_violations:>10d} / {r.n_rows} "
+              f"({r.violation_rate:.4%})")
+    if _own:
+        spark.stop()
+    if args.fail_on_violations and any(r.n_violations > 0 for r in rows):
+        return 1
+    return 0
+
+
 def cmd_select(args) -> int:
     """BIC/AIC order-selection sweep over candidate hidden-state counts."""
     from baum_welch_spark.hmm.select import select_n_hidden
@@ -832,6 +855,11 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--percentile", type=float, default=0.99)
     sk.add_argument("-o", "--output")
     sk.set_defaults(fn=cmd_skew)
+
+    dqp = sub.add_parser("dq", help="data-quality constraint report over the orders table")
+    dqp.add_argument("-i", "--input", required=True)
+    dqp.add_argument("--fail-on-violations", action="store_true")
+    dqp.set_defaults(fn=cmd_dq)
 
     ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
     ol.add_argument("-i", "--input", required=True)

@@ -404,3 +404,11 @@ def test_cli_split_and_skew(spark, tmp_path):
     rep = spark.read.parquet(out2).collect()
     assert len(rep) == 1 and rep[0].key_col == "event_type"
     assert rep[0].n_rows > 0 and rep[0].skew_ratio >= 1.0
+
+
+def test_cli_dq_gate(spark, capsys):
+    assert main(["dq", "-i", SF0001]) == 0
+    out = capsys.readouterr().out
+    assert "in_set" in out and "fk" in out
+    # the demo rules are deliberately tight: the gate must trip
+    assert main(["dq", "-i", SF0001, "--fail-on-violations"]) == 1
