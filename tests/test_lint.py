@@ -48,8 +48,9 @@ ALLOWED = {
     "hmm/viterbi_train.py": {"collect": 1, "toPandas": 0},
     # order selection: one 1-row T_total aggregate (fits use fit.py's site)
     "hmm/select.py": {"collect": 1, "toPandas": 0},
-    # CLI select: prints the len(candidates)-row score frame as JSON
-    "cli.py": {"collect": 1, "toPandas": 0},
+    # CLI select: prints the len(candidates)-row score frame as JSON;
+    # CLI dq: prints the len(rules)-row violation report and gates on it
+    "cli.py": {"collect": 2, "toPandas": 0},
     # bucketed CDC: touched-bucket ids (<= n_buckets rows, four sites:
     # merge_batch + agg_delta fallback + the batch-IVM fold + the
     # stream-IVM fold), the faces' distinct order-years (<= #years rows,
