@@ -1289,6 +1289,38 @@ def _q_ivfpq_append(spark, sf):
     return ivfpq_append_face(spark, *_tables(spark, sf, "embeddings"))
 
 
+def _q_spend_alerts(spark, sf):
+    """Stateful streaming alerts (streaming/alerts.py spend_alert_stream:
+    applyInPandasWithState) driven to completion over the finite file
+    source; DuckDB-exact against the batch first-crossing window (the
+    stream==batch equivalence is additionally pytest-pinned in
+    test_streaming.py::test_spend_alert_stream_matches_batch_first_crossing)."""
+    from baum_welch_spark.streaming.alerts import spend_alert_stream
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    stream = spend_alert_stream(stream_events(spark, sf), threshold=500.0)
+    run_to_memory(stream, "spend_alerts_face", output_mode="append")
+    return spark.sql(
+        "SELECT user_id, event_id, total_after FROM spend_alerts_face "
+        "ORDER BY user_id"
+    )
+
+
+SPEND_ALERTS_SQL = """
+SELECT user_id, event_id, total_after FROM (
+  SELECT user_id, event_id, round(cum, 4) AS total_after,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM (
+    SELECT user_id, ts, event_id,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM events WHERE event_type = 'purchase')
+  WHERE cum >= 500.0
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def _q_hmm_online(spark, sf):
     # rows-only by nature (stepwise-EM training loop); pytest pins the
     # >=60%-of-batch-EM loglik-gain bar (tests/test_online.py)
@@ -1332,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only one). Everything below the boundary is code-unchanged
         # since its last green driver check (manifest-enforced).
         # --- (A) new or changed this round ---
+        "spend_alerts_stream": _q_spend_alerts,
         "dq_report_orders": _q_dq_report,
         "skew_report_events": _q_skew_report,
         "leakage_split": _q_leakage_split,
@@ -1387,11 +1420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
-        # ---- driver's 50-entry window ends here (neardup_jaccard is #50;
-        # knn_quantized, emb_quantize, and linreg_price were displaced to
-        # #51–#53 by the three new late-r10 faces (dq_report_orders,
-        # skew_report_events, leakage_split) — all three unchanged since
-        # their r10 in-window checks) ----
+        # ---- driver's 50-entry window ends here (clean_corpus is #50;
+        # neardup_jaccard, knn_quantized, emb_quantize, and linreg_price
+        # were displaced to #51–#54 by the four new late-r10 faces
+        # (spend_alerts_stream, dq_report_orders, skew_report_events,
+        # leakage_split) — all four unchanged since their r10 in-window
+        # checks) ----
         "linreg_price": _q_linreg_price,
         # everything below was driver-verified green in r7-r9 (see the
         # CORRECTNESS_r* records) and is code-unchanged since its last check
@@ -1703,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "leakage_split": dedup.leakage_split_sql(),
         "skew_report_events": skew.skew_report_sql("events", ["user_id", "event_type"]),
+        "spend_alerts_stream": SPEND_ALERTS_SQL,
         "dq_report_orders": dq.dq_report_sql(
             "orders",
             [dict(r, ref="customer") if r["rule"] == "fk" else r for r in _DQ_RULES],

@@ -69,9 +69,10 @@ SINGLE_RUN = SELF_EXECUTING | {
     "cdc_time_travel",
     "cdc_changes",
     "cdc_compact",
-    # r10: real Structured Streaming query (checkpoint + per-file
+    # r10: real Structured Streaming queries (checkpoint/state + per-file
     # micro-batches) — one run is the honest cost
     "ivm_stream_segment_stats",
+    "spend_alerts_stream",
 }
 
 HEADLINE = [
