@@ -408,8 +408,10 @@ def cmd_dq(args) -> int:
     rules = [dict(r, ref=customer) if r["rule"] == "fk" else r for r in _DQ_RULES]
     rows = dq_report(orders, rules).collect()
     for r in rows:
+        # violation_rate is NULL on an empty table (0/0) — print 0% not a
+        # TypeError; n_violations is 0 there so the gate still behaves
         print(f"{r.rule:10s} {r.col:15s} {r.n_violations:>10d} / {r.n_rows} "
-              f"({r.violation_rate:.4%})")
+              f"({(r.violation_rate or 0.0):.4%})")
     if _own:
         spark.stop()
     if args.fail_on_violations and any(r.n_violations > 0 for r in rows):

@@ -905,24 +905,28 @@ def minhash_lsh_pairs_incremental(
     the base's signatures in-plan, which is the point at scale: the index
     is computed once per ingested batch, never per query. ``base_docs`` is
     still required (candidate verification reads the candidates' text).
-    A supplied index is VALIDATED against the banding parameters: the
-    maximum band ordinal must be < ``bands`` (one bounded-result aggregate;
-    a legitimately EMPTY index — empty base corpus — passes and simply
-    yields no pairs). An index built under a different banding would
-    otherwise produce few or no collisions and silently declare the batch
-    duplicate-free, the exact hazard the streaming reference index
-    documents. A wider banding (more bands than ``bands``) is caught by
-    the max check; a narrower one cannot be distinguished from sparse data
-    by inspection, so persist (num_hashes, bands) alongside the index and
-    rebuild on mismatch.
+    A supplied index is VALIDATED against the banding parameters: because
+    :func:`banded_signatures` emits EVERY ordinal ``0..bands-1`` for every
+    document, a non-empty well-formed index always carries exactly
+    ``bands`` distinct band ordinals — so the check is one bounded-result
+    ``count_distinct(band)`` aggregate that must return 0 (legitimately
+    EMPTY index: empty base corpus, passes and simply yields no pairs) or
+    exactly ``bands``. Both a WIDER banding (more bands than ``bands``)
+    and a NARROWER one (fewer — which the old max-ordinal check could not
+    see, e.g. built with bands=8 but called with bands=16) are rejected;
+    either mismatch would otherwise produce few or no collisions and
+    silently declare the batch duplicate-free, the exact hazard the
+    streaming reference index documents. ``num_hashes`` drift is not
+    observable from the index shape, so persist (num_hashes, bands)
+    alongside the index and rebuild on mismatch.
     """
     if base_index is not None:
-        hi = base_index.select(F.max("band").alias("hi")).first().hi
-        if hi is not None and hi >= bands:
+        nb = base_index.select(F.count_distinct("band").alias("nb")).first().nb
+        if nb not in (0, bands):
             raise ValueError(
-                f"base_index carries band ordinal {hi} but the banding "
-                f"parameters say bands={bands} — it was built under a "
-                "different (num_hashes, bands); rebuild it with "
+                f"base_index carries {nb} distinct band ordinals but the "
+                f"banding parameters say bands={bands} — it was built under "
+                "a different (num_hashes, bands); rebuild it with "
                 "banded_signatures(base_docs, num_hashes, bands)"
             )
     a = banded_signatures(new_docs, num_hashes, bands).alias("a")

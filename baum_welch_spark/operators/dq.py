@@ -97,40 +97,36 @@ def dq_report(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
         else:
             raise ValueError(f"unknown rule {kind!r}")
 
-    base = df.agg(*aggs)
-    parts = []
-    for kind, col, alias in labels:
-        parts.append(
-            base.select(
-                F.lit(kind).alias("rule"),
-                F.lit(col).alias("col"),
-                F.col(alias).alias("n_violations"),
-                F.col("__n").alias("n_rows"),
-                F.round(F.col(alias) / F.col("__n"), 6).alias("violation_rate"),
-            )
-        )
+    # Run the single row-level aggregate ONCE and collect its one bounded
+    # row (#rules+1 scalars). Referencing the agg frame lazily from every
+    # rule's select — and cross-joining it into every fk branch — re-ran
+    # the full scan (including the count_distinct expand) once per rule;
+    # with k rules the documented one-scan contract became k extra scans.
+    base = df.agg(*aggs).first()
+    n_rows = int(base["__n"])
+    report: list[tuple[str, str, int]] = [
+        (kind, col, int(base[alias])) for kind, col, alias in labels
+    ]
     for rule in fks:
         col, ref, ref_col = rule["col"], rule["ref"], rule["ref_col"]
         keys = ref.select(F.col(ref_col).alias("__k")).distinct()
-        orphans = (
+        orphan_count = (
             df.select(F.col(col))
             .filter(F.col(col).isNotNull())
             .join(keys, F.col(col) == F.col("__k"), "left_anti")
+            .count()
         )
-        parts.append(
-            orphans.agg(F.count(F.lit(1)).alias("__v"))
-            .crossJoin(F.broadcast(base.select("__n")))
-            .select(
-                F.lit("fk").alias("rule"),
-                F.lit(col).alias("col"),
-                F.col("__v").alias("n_violations"),
-                F.col("__n").alias("n_rows"),
-                F.round(F.col("__v") / F.col("__n"), 6).alias("violation_rate"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        report.append(("fk", col, int(orphan_count)))
+    out = df.sparkSession.createDataFrame(
+        [(r, c, v, n_rows) for r, c, v in report],
+        "rule string, col string, n_violations bigint, n_rows bigint",
+    ).withColumn(
+        # rate computed Spark-side (not Python round) so division-by-zero →
+        # NULL and HALF_UP rounding stay identical to the previous plan and
+        # to the DuckDB oracle
+        "violation_rate",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6),
+    )
     return out.orderBy("rule", "col")
 
 

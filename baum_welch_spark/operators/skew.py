@@ -177,7 +177,8 @@ def skew_report(df: DataFrame, key_cols: Sequence[str], p: float = 0.99) -> Data
       the classic rule of thumb salts anything above ~an order of magnitude;
     - ``top_key`` / ``top_count`` / ``top_share`` — the single hottest key
       (ties broken by min key string, so the row is deterministic and the
-      face DuckDB-exact).
+      face DuckDB-exact; NULL keys count as the sentinel string ``<NULL>``
+      so both engines group and order them identically).
 
     Plan: per column one map-side-combined count shuffle (the same shape the
     eventual aggregation would take, so profiling cost ~= one pass of the
@@ -191,9 +192,13 @@ def skew_report(df: DataFrame, key_cols: Sequence[str], p: float = 0.99) -> Data
         raise ValueError("key_cols must name at least one column")
     parts = []
     for kc in key_cols:
-        counts = df.groupBy(F.col(kc).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+        # NULL keys fold into one sentinel group: Spark's struct-min tiebreak
+        # and DuckDB's ORDER BY ... NULLS LAST order NULL differently, so a
+        # NULL top_key would break the claimed DuckDB-exactness — and a NULL
+        # group is exactly the hot key the report must surface, not hide
+        counts = df.groupBy(
+            F.coalesce(F.col(kc).cast("string"), F.lit("<NULL>")).alias("k")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
         # min over (-cnt, key) == (max count, tie -> min key): one combinable
         # agg instead of a window or a second ordered pass
         top = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k"))).alias("t")
@@ -232,7 +237,8 @@ def skew_report_sql(table: str, key_cols: Sequence[str], p: float = 0.99) -> str
     for kc in key_cols:
         selects.append(
             f"""(
-  WITH c AS (SELECT {kc}::VARCHAR AS k, count(*) AS cnt FROM {table} GROUP BY 1)
+  WITH c AS (SELECT coalesce({kc}::VARCHAR, '<NULL>') AS k, count(*) AS cnt
+             FROM {table} GROUP BY 1)
   SELECT '{kc}' AS key_col,
          CAST(sum(cnt) AS BIGINT) AS n_rows,  -- HUGEINT floats the dtype kind
          count(*) AS n_keys,
