@@ -1350,171 +1350,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
         # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
         # any face whose code changes, and any NEW face, must be inside the
-        # window the round it ships. r10 curation (VERDICT-r9 #1): the window is
-        # (A) the 18 faces new or changed this round — the 2 new r10 faces, the
-        # 7 fit-family faces whose closure picked up the kernel length-bucketing,
-        # em_reestimate, and the 8 faces touched by the review fixes (CDC key
-        # retype + compact retain, incremental-index empty case, multimodal
-        # cache + centered LSH) — plus (B) all 14 r6-vintage faces and (C) 18
-        # r7-vintage faces: the core parity quartet (seq_build/stripe_agg/
-        # normalize/convergence_distance), the decode/score family, and the
-        # oldest remaining faces with EXACT oracles (r7-vintage rows-only
-        # trainers like hmm_generate/bpe_merges defer to r11 — refreshing a
-        # hash-exact check is stronger evidence per slot than refreshing a
-        # rows-only one). Everything below the boundary is code-unchanged
-        # since its last green driver check (manifest-enforced).
-        # --- (A) new or changed this round ---
-        "spend_alerts_stream": _q_spend_alerts,
+        # window the round it ships. r11 curation (VERDICT-r10 #1): the window
+        # is (A) the faces changed this round — viterbi_topk (batched kernel +
+        # new DuckDB k-best oracle), knn_ivfpq_query (chunked query axis), and
+        # the three ADVICE-fix faces (dq_report_orders, skew_report_events,
+        # neardup_incremental) — plus (B) ALL 21 r7-vintage faces (the whole
+        # rows-only trainer block named by VERDICT-r10: hmm_generate, emb_pca,
+        # quality_classifier, bpe_merges, hmm_fit_grouped, grouped_decode,
+        # knn_pq, knn_ivfpq, posterior_sample, compression_ratio; the four
+        # displaced-at-#51-54 exact faces; and the rest of r7), (C) the five
+        # r8 rows-only faces (ivfpq_append, ghmm_viterbi,
+        # approx_distinct_users, knn_ivf_kmeans, value_approx_quantiles), and
+        # (D) r8 hash-exact fill. Everything below the boundary is
+        # code-unchanged since its last green driver check (manifest-enforced).
+        "viterbi_topk": _q_viterbi_topk,
+        "knn_ivfpq_query": _q_knn_ivfpq_query,
         "dq_report_orders": _q_dq_report,
         "skew_report_events": _q_skew_report,
-        "leakage_split": _q_leakage_split,
-        "ghmm_reestimate": _q_ghmm_reestimate,
-        "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
-        "em_reestimate": _q_em_reestimate,
-        "hmm_fit": _q_hmm_fit,
-        "hmm_fit_semisup": _q_hmm_fit_semisup,
-        "hmm_fit_bakis": _q_hmm_fit_bakis,
-        "hmm_fit_restarts": _q_hmm_fit_restarts,
-        "hmm_select": _q_hmm_select,
-        "hmm_online": _q_hmm_online,
         "neardup_incremental": _q_neardup_incremental,
-        "asset_neardup": _q_asset_neardup,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
-        "cdc_apply_batch": _q_cdc_apply_batch,
-        "ivm_segment_stats": _q_ivm_segment_stats,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "cdc_changes": _q_cdc_changes,
-        "cdc_compact": _q_cdc_compact,
-        "cdc_schema_evolution": _q_cdc_schema_evolution,
-        # --- (B) rotated IN: last driver-verified r6 (stalest evidence) ---
-        "bigram_lm_score": _q_bigram_lm_score,
-        "state_occupancy": _q_state_occupancy,
-        "merge_upsert": _q_merge_upsert,
-        "scd2_history": _q_scd2_history,
-        "time_bucket_interpolate": _q_time_bucket_interpolate,
-        "lineitem_stats": _q_lineitem_stats,
-        "q7_volume_shipping": _q_q7,
-        "q8_market_share": _q_q8,
-        "q13_customer_distribution": _q_q13,
-        "q15_top_supplier": _q_q15,
-        "q17_small_quantity_revenue": _q_q17,
-        "q18_large_volume_customers": _q_q18,
-        "q19_bracket_revenue": _q_q19,
-        "q22_dormant_customers": _q_q22,
-        # --- (C) rotated IN: last driver-verified r7 (core reference parity
-        # quartet + decode/score + oldest remaining r7 evidence) ---
-        "seq_build": _q_seq_build,
-        "stripe_agg": _q_transition_counts,
-        "normalize": _q_transition_model,
-        "convergence_distance": _q_model_half_distance,
-        "seq_decode_names": _q_seq_decode_names,
-        "viterbi_decode": _q_viterbi_decode,
-        "seq_scores": _q_seq_scores,
-        "posterior_decode": _q_posterior_decode,
-        "viterbi_reestimate": _q_viterbi_reestimate,
-        "emb_covariance": _q_emb_covariance,
-        "emb_standardize": _q_emb_standardize,
-        "knn_brute": _q_knn_brute,
-        "knn_ivf": _q_knn_ivf,
-        "clean_corpus": _q_clean_corpus,
-        "neardup_jaccard": _q_neardup_jaccard,
-        "knn_quantized": _q_knn_quantized,
-        "emb_quantize": _q_emb_quantize,
-        # ---- driver's 50-entry window ends here (clean_corpus is #50;
-        # neardup_jaccard, knn_quantized, emb_quantize, and linreg_price
-        # were displaced to #51–#54 by the four new late-r10 faces
-        # (spend_alerts_stream, dq_report_orders, skew_report_events,
-        # leakage_split) — all four unchanged since their r10 in-window
-        # checks) ----
-        "linreg_price": _q_linreg_price,
-        # everything below was driver-verified green in r7-r9 (see the
-        # CORRECTNESS_r* records) and is code-unchanged since its last check
-        # (enforced by the face-hash manifest). Next-stalest first: these head
-        # the r11 rotation list.
-        "triangle_docs": _q_triangle_docs,
-        "mad_outliers": _q_mad_outliers,
-        "kmeans_parity": _q_kmeans_parity,
-        "asset_frame_plan": _q_asset_frame_plan,
-        "asset_resize": _q_asset_resize,
-        "ghmm_trace": _q_ghmm_trace,
-        "ghmm_score": _q_ghmm_score,
-        "ghmm_fit": _q_ghmm_fit,
-        "bm25_topk": _q_bm25_topk,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        "zorder_events": _q_zorder_events,
-        "semantic_dedup": _q_semantic_dedup,
-        "vocab_topk_cms": _q_vocab_topk_cms,
-        "corpus_report": _q_corpus_report,
-        "ohlc_bars": _q_ohlc_bars,
-        "trigram_lm_score": _q_trigram_lm_score,
-        "cohort_retention": _q_cohort_retention,
-        "rolling_user_spend": _q_rolling_user_spend,
-        "sessionize": _q_sessionize,
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        "user_spend_deciles": _q_user_spend_deciles,
-        "salted_join_segment_stats": _q_salted_join_segment_stats,
-        "ppl_filter": _q_ppl_filter,
-        "q10_returned_revenue": _q_q10,
-        "q14_promo_share": _q_q14,
-        "dup_ngrams": _q_dup_ngrams,
-        "user_spend_rank": _q_user_spend_rank,
-        "temperature_mixture": _q_temperature_mixture,
-        "pii_redact": _q_pii_redact,
-        "line_dedup": _q_line_dedup,
-        "mixture_sample": _q_mixture_sample,
-        "emb_norms": _q_emb_norms,
-        "cosine_neardup": _q_cosine_neardup,
-        "decontaminate": _q_decontaminate,
-        "q1_pricing_summary": _q_q1,
-        "vocab_topk": _q_vocab_topk,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "weighted_sample": _q_weighted_sample,
-        "time_bucket_gapfill": _q_time_bucket_gapfill,
-        "viterbi_topk": _q_viterbi_topk,
-        "posterior_entropy": _q_posterior_entropy,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "copy_pairs": _q_copy_pairs,
-        "copy_spans": _q_copy_spans,
-        "decontaminate_spans": _q_decontaminate_spans,
-        "knn_ivfpq_query": _q_knn_ivfpq_query,
-        "ivfpq_append": _q_ivfpq_append,
-        "ghmm_viterbi": _q_ghmm_viterbi,
-        "dedup_exact": _q_dedup_exact,
-        "fingerprint_clusters": _q_fingerprint_clusters,
-        "minhash_lsh": _q_minhash,
-        "simhash": _q_simhash,
-        "pack_sequences": _q_pack_sequences,
-        "events_rollup": _q_events_rollup,
-        "viewers_no_purchase": _q_viewers_no_purchase,
-        "value_quantiles": _q_value_quantiles,
-        "q4_late_orders": _q_q4,
-        "daily_revenue_ma7": _q_daily_revenue_ma7,
-        "user_type_stats": _q_user_type_stats,
-        "approx_distinct_users": _q_approx_distinct_users,
-        "customers_without_orders": _q_customers_without_orders,
-        "repeat_buyer_days": _q_repeat_buyer_days,
-        "value_approx_quantiles": _q_value_approx_quantiles,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "stratified_sample": _q_stratified_sample,
-        "token_stats": _q_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "doc_quality": _q_doc_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,
-        "chunk_documents": _q_chunk_documents,
-        "asof_purchase_view": _q_asof,
-        "purchase_view_context": _q_purchase_view_context,
-        "top_event_per_user": _q_top_event,
-        "q6_forecast_revenue": _q_q6,
-        "event_pivot": _q_event_pivot,
-        "events_cube": _q_events_cube,
-        "props_k_stats": _q_props_k_stats,
-        "salted_value_stats": _q_salted_value_stats,
-        "cap_per_source": _q_cap_per_source,
-        "pagerank_docs": _q_pagerank_docs,
-        "knn_ivfpq": _q_knn_ivfpq,
         "hmm_generate": _q_hmm_generate,
         "emb_pca": _q_emb_pca,
         "quality_classifier": _q_quality_classifier,
@@ -1522,15 +1375,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_fit_grouped": _q_hmm_fit_grouped,
         "grouped_decode": _q_grouped_decode,
         "knn_pq": _q_knn_pq,
-        "linreg_multi": _q_linreg_multi,
-        "funnel_conversion": _q_funnel_conversion,
-        "trending_topk": _q_trending_topk,
-        "canonical_docs": _q_canonical_docs,
-        "compression_ratio": _q_compression_ratio,
-        "neardup_containment": _q_neardup_containment,
+        "knn_ivfpq": _q_knn_ivfpq,
         "posterior_sample": _q_posterior_sample,
+        "compression_ratio": _q_compression_ratio,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "knn_quantized": _q_knn_quantized,
+        "emb_quantize": _q_emb_quantize,
+        "linreg_price": _q_linreg_price,
+        "canonical_docs": _q_canonical_docs,
         "dedup_clusters": _q_dedup_clusters,
+        "funnel_conversion": _q_funnel_conversion,
+        "linreg_multi": _q_linreg_multi,
+        "neardup_containment": _q_neardup_containment,
         "neardup_edit": _q_neardup_edit,
+        "trending_topk": _q_trending_topk,
+        "ivfpq_append": _q_ivfpq_append,
+        "ghmm_viterbi": _q_ghmm_viterbi,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "value_approx_quantiles": _q_value_approx_quantiles,
+        "asof_purchase_view": _q_asof,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "cap_per_source": _q_cap_per_source,
+        "chunk_documents": _q_chunk_documents,
+        "copy_pairs": _q_copy_pairs,
+        "copy_spans": _q_copy_spans,
+        "customers_without_orders": _q_customers_without_orders,
+        "daily_revenue_ma7": _q_daily_revenue_ma7,
+        "decontaminate_spans": _q_decontaminate_spans,
+        "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_fingerprint,
+        "doc_quality": _q_doc_quality,
+        "event_pivot": _q_event_pivot,
+        "events_cube": _q_events_cube,
+        "events_rollup": _q_events_rollup,
+        "fingerprint_clusters": _q_fingerprint_clusters,
+        "lang_id": _q_lang_id,
+        "minhash_lsh": _q_minhash,
+        "pack_sequences": _q_pack_sequences,
+        # ---- driver's 50-entry window ends here; everything below was
+        # driver-verified green in r8-r10 and is code-unchanged since its
+        # last check (face-hash manifest). Next-stalest first: these head
+        # the r12 rotation list.
+        "pagerank_docs": _q_pagerank_docs,
+        "posterior_entropy": _q_posterior_entropy,
+        "props_k_stats": _q_props_k_stats,
+        "purchase_view_context": _q_purchase_view_context,
+        "q4_late_orders": _q_q4,
+        "q6_forecast_revenue": _q_q6,
+        "repeat_buyer_days": _q_repeat_buyer_days,
+        "repetition_stats": _q_repetition_stats,
+        "salted_value_stats": _q_salted_value_stats,
+        "simhash": _q_simhash,
+        "stratified_sample": _q_stratified_sample,
+        "token_stats": _q_token_stats,
+        "top_event_per_user": _q_top_event,
+        "user_type_stats": _q_user_type_stats,
+        "value_quantiles": _q_value_quantiles,
+        "viewers_no_purchase": _q_viewers_no_purchase,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "asset_frame_plan": _q_asset_frame_plan,
+        "asset_resize": _q_asset_resize,
+        "bm25_topk": _q_bm25_topk,
+        "cohort_retention": _q_cohort_retention,
+        "corpus_report": _q_corpus_report,
+        "cosine_neardup": _q_cosine_neardup,
+        "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "dup_ngrams": _q_dup_ngrams,
+        "emb_norms": _q_emb_norms,
+        "ghmm_fit": _q_ghmm_fit,
+        "ghmm_score": _q_ghmm_score,
+        "ghmm_trace": _q_ghmm_trace,
+        "kmeans_parity": _q_kmeans_parity,
+        "line_dedup": _q_line_dedup,
+        "mad_outliers": _q_mad_outliers,
+        "mixture_sample": _q_mixture_sample,
+        "ohlc_bars": _q_ohlc_bars,
+        "pii_redact": _q_pii_redact,
+        "ppl_filter": _q_ppl_filter,
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
+        "q1_pricing_summary": _q_q1,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "rolling_user_spend": _q_rolling_user_spend,
+        "salted_join_segment_stats": _q_salted_join_segment_stats,
+        "semantic_dedup": _q_semantic_dedup,
+        "sessionize": _q_sessionize,
+        "temperature_mixture": _q_temperature_mixture,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "time_bucket_gapfill": _q_time_bucket_gapfill,
+        "triangle_docs": _q_triangle_docs,
+        "trigram_lm_score": _q_trigram_lm_score,
+        "user_spend_deciles": _q_user_spend_deciles,
+        "user_spend_rank": _q_user_spend_rank,
+        "vocab_topk": _q_vocab_topk,
+        "vocab_topk_cms": _q_vocab_topk_cms,
+        "weighted_sample": _q_weighted_sample,
+        "zorder_events": _q_zorder_events,
+        "asset_neardup": _q_asset_neardup,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "cdc_apply_batch": _q_cdc_apply_batch,
+        "cdc_changes": _q_cdc_changes,
+        "cdc_compact": _q_cdc_compact,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "clean_corpus": _q_clean_corpus,
+        "convergence_distance": _q_model_half_distance,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "em_reestimate": _q_em_reestimate,
+        "emb_covariance": _q_emb_covariance,
+        "emb_standardize": _q_emb_standardize,
+        "ghmm_reestimate": _q_ghmm_reestimate,
+        "hmm_fit": _q_hmm_fit,
+        "hmm_fit_bakis": _q_hmm_fit_bakis,
+        "hmm_fit_restarts": _q_hmm_fit_restarts,
+        "hmm_fit_semisup": _q_hmm_fit_semisup,
+        "hmm_online": _q_hmm_online,
+        "hmm_select": _q_hmm_select,
+        "ivm_segment_stats": _q_ivm_segment_stats,
+        "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "leakage_split": _q_leakage_split,
+        "lineitem_stats": _q_lineitem_stats,
+        "merge_upsert": _q_merge_upsert,
+        "normalize": _q_transition_model,
+        "posterior_decode": _q_posterior_decode,
+        "q13_customer_distribution": _q_q13,
+        "q15_top_supplier": _q_q15,
+        "q17_small_quantity_revenue": _q_q17,
+        "q18_large_volume_customers": _q_q18,
+        "q19_bracket_revenue": _q_q19,
+        "q22_dormant_customers": _q_q22,
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "scd2_history": _q_scd2_history,
+        "seq_build": _q_seq_build,
+        "seq_decode_names": _q_seq_decode_names,
+        "seq_scores": _q_seq_scores,
+        "spend_alerts_stream": _q_spend_alerts,
+        "state_occupancy": _q_state_occupancy,
+        "stripe_agg": _q_transition_counts,
+        "time_bucket_interpolate": _q_time_bucket_interpolate,
+        "viterbi_decode": _q_viterbi_decode,
+        "viterbi_reestimate": _q_viterbi_reestimate,
     }
 
 
@@ -1708,6 +1698,11 @@ def oracle_sql() -> dict[str, str]:
         # the seed-42 model embedded as full-precision literals (decode.py)
         "seq_scores": _score_oracle(),
         "viterbi_decode": _viterbi_oracle(),
+        # r11: k-best list-Viterbi as a recursive CTE carrying the (N, k)
+        # score block plus forward path strings; rank-merge via list_sort of
+        # (-score, flat-ordinal) structs reproduces the kernel's stable
+        # argsort bitwise (viterbi_topk_oracle_sql)
+        "viterbi_topk": _viterbi_topk_oracle(),
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
@@ -1791,6 +1786,13 @@ def _viterbi_oracle() -> str:
     from baum_welch_spark.hmm.decode import viterbi_oracle_sql
 
     return viterbi_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _viterbi_topk_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import viterbi_topk_oracle_sql
+
+    return viterbi_topk_oracle_sql(HMM.random(4, 5, seed=42), k=3)
 
 
 def _viterbi_reestimate_oracle() -> str:

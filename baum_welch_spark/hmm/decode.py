@@ -476,6 +476,103 @@ FROM back b WHERE b.t = 0
 """
 
 
+def viterbi_topk_oracle_sql(model: HMM, k: int = 3) -> str:
+    """ANSI-SQL (DuckDB) oracle for viterbi_topk_face (r11): the parallel
+    list-Viterbi DP as a recursive CTE whose state is the full (N, k) score
+    block PLUS each lane's path string — a forward-carried path replaces the
+    backpointer tensor, so no backward recursion is needed.
+
+    Per step and per destination state j, the N·k candidates are packed as
+    ``struct(ns := -(d + logA), o := flat_ordinal, p := path)`` and
+    ``list_sort``-ed: ascending ns is descending score with -inf lanes
+    (+inf after negation) sorted last, exactly like the kernel's
+    ``argsort(-flat, stable)``, and the flat ordinal ``(i-1)*k + (rr-1)``
+    is the kernel's i-major/r-minor ravel index, so score ties resolve to
+    the identical lane. Every lane score is the same two-operand IEEE sum
+    as the NumPy kernel's ((d + logA) + logB, with literals emitted by
+    :func:`_lit` at full precision), so scores are BITWISE equal and the
+    sort orders — hence the paths — match exactly, not approximately.
+    Final ranking sorts the (N, k) block by the same (−score, j-major
+    ordinal) rule; only finite lanes emit (k rows per sequence whenever
+    N^T >= k). Cost: T steps × N list_sorts of N·k structs per sequence —
+    model-sized, fine at oracle scale (k=3, N=4 → 12-lane state)."""
+    N = model.pi.shape[0]
+    with np.errstate(divide="ignore"):
+        lpi, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
+    j1 = range(1, N + 1)
+    r1 = range(1, k + 1)
+    ninf = "CAST('-infinity' AS DOUBLE)"
+
+    base_cols = []
+    for j in j1:
+        base_cols.append(
+            f"{_lit(lpi[j - 1])} + ({_blist(lB[j - 1])})[c.sym + 1] AS d{j}_1"
+        )
+        base_cols.append(f"'{j - 1}' AS p{j}_1")
+        for r in list(r1)[1:]:
+            base_cols.append(f"{ninf} AS d{j}_{r}")
+            base_cols.append(f"'' AS p{j}_{r}")
+
+    sort_cols = []
+    step_cols = []
+    for j in j1:
+        cands = ", ".join(
+            f"struct_pack(ns := -(a.d{i}_{rr} + {_lit(lA[i - 1][j - 1])}), "
+            f"o := {(i - 1) * k + (rr - 1)}, p := a.p{i}_{rr})"
+            for i in j1
+            for rr in r1
+        )
+        sort_cols.append(f"list_sort([{cands}]) AS sl{j}")
+        for r in r1:
+            step_cols.append(
+                f"-(q.sl{j}[{r}].ns) + ({_blist(lB[j - 1])})[q.sym + 1] AS nd{j}_{r}"
+            )
+            step_cols.append(f"q.sl{j}[{r}].p || ',' || '{j - 1}' AS np{j}_{r}")
+
+    fin_cands = ", ".join(
+        f"struct_pack(ns := -d.d{j}_{r}, o := {(j - 1) * k + (r - 1)}, p := d.p{j}_{r})"
+        for j in j1
+        for r in r1
+    )
+    rank_selects = "\nUNION ALL\n".join(
+        f"SELECT user_id AS seq_id, {m} AS rank, round(-(sl[{m + 1}].ns), 6) AS loglik, "
+        f"sl[{m + 1}].p AS path_str FROM fin WHERE sl[{m + 1}].ns < CAST('infinity' AS DOUBLE)"
+        for m in range(k)
+    )
+    base = ",\n           ".join(base_cols)
+    sorts = ",\n             ".join(sort_cols)
+    step = ",\n           ".join(step_cols)
+    # the recursive member computes the per-state sorted candidate lists in
+    # an inner derived table (one reference to dp_r) so the CTE's output
+    # schema stays exactly the (d, p) state block — sl{j} as lateral
+    # aliases in the outer select would become extra output columns and
+    # break positional matching with the base member
+    return f"""
+WITH coded AS MATERIALIZED ({_CODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+dp AS MATERIALIZED (
+  WITH RECURSIVE dp_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base}
+    FROM coded c WHERE c.t = 0
+    UNION ALL
+    SELECT q.user_id, q.t + 1,
+           {step}
+    FROM (
+      SELECT a.*, c.sym,
+             {sorts}
+      FROM dp_r a JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1
+    ) q
+  ) SELECT * FROM dp_r
+),
+fin AS (
+  SELECT d.user_id, list_sort([{fin_cands}]) AS sl
+  FROM dp d JOIN lens l ON l.user_id = d.user_id AND d.t = l.t_len - 1
+)
+{rank_selects}
+"""
+
+
 def score_sequences(spark: SparkSession, sequences: DataFrame, model: HMM) -> DataFrame:
     """Per-sequence marginal log-likelihood log P(O|λ) via the scaled forward
     pass (sum of log scale factors — kernel.forward_backward convention)."""
@@ -560,6 +657,84 @@ def _viterbi_topk_one(log_pi, log_A, log_B, obs, k):
     return out
 
 
+def _viterbi_topk_batch_core(log_pi, log_A, log_B, obs_list, k):
+    """One padded (S, N, k) list-Viterbi DP for a batch of sequences whose
+    lengths are within one octave (see _viterbi_topk_batch). Bitwise-equal
+    to looping :func:`_viterbi_topk_one`: every DP cell is the same
+    two-operand IEEE add in the same order, the candidate flattening is the
+    same i-major/r-minor ravel, and the stable argsort resolves ties by the
+    same flat ordinal — asserted exactly in tests/test_decode.py.
+
+    Padding semantics: past a sequence's end the (N, k) score block is
+    carried forward unchanged, so the final block equals the block at the
+    sequence's own last step; backpointers written at padded steps are
+    never read (backtrack starts at each sequence's own T-1).
+    Returns a list aligned with obs_list of [(loglik, path)] best-first."""
+    S = len(obs_list)
+    N = log_pi.shape[0]
+    lens = np.array([len(o) for o in obs_list], dtype=np.int64)
+    Tmax = int(lens.max())
+    obs_pad = np.zeros((Tmax, S), dtype=np.int64)
+    for s_i, o in enumerate(obs_list):
+        obs_pad[: len(o), s_i] = o
+    valid = np.arange(Tmax)[:, None] < lens[None, :]  # (T, S)
+
+    delta = np.full((S, N, k), -np.inf)
+    delta[:, :, 0] = log_pi[None, :] + log_B[:, obs_pad[0]].T
+    bp = np.zeros((Tmax, S, N, k, 2), dtype=np.int32)
+    for t in range(1, Tmax):
+        # (S, N_prev, N_cur, k) -> (S, N_cur, N_prev*k): i-major/r-minor,
+        # the exact ravel order of the serial kernel's per-j cand.ravel()
+        cand = delta[:, :, None, :] + log_A[None, :, :, None]
+        flat = np.ascontiguousarray(cand.transpose(0, 2, 1, 3)).reshape(S, N, N * k)
+        top = np.argsort(-flat, axis=-1, kind="stable")[:, :, :k]  # (S, N, k)
+        vals = np.take_along_axis(flat, top, axis=-1)
+        emit = log_B[:, obs_pad[t]].T  # (S, N)
+        nd = np.where(vals > -np.inf, vals + emit[:, :, None], -np.inf)
+        bp[t, :, :, :, 0] = top // k
+        bp[t, :, :, :, 1] = top % k
+        delta = np.where(valid[t][:, None, None], nd, delta)
+
+    out_all = []
+    for s in range(S):
+        T = int(lens[s])
+        flat = delta[s].ravel()
+        order = np.argsort(-flat, kind="stable")
+        order = order[flat[order] > -np.inf][:k]
+        out = []
+        for idx in order:
+            j, r = int(idx // k), int(idx % k)
+            path = np.empty(T, dtype=np.int32)
+            path[T - 1] = j
+            for t in range(T - 1, 0, -1):
+                j, r = int(bp[t, s, j, r, 0]), int(bp[t, s, j, r, 1])
+                path[t - 1] = j
+            out.append((float(flat[idx]), path))
+        out_all.append(out)
+    return out_all
+
+
+def _viterbi_topk_batch(log_pi, log_A, log_B, obs_list, k):
+    """Length-skew-hardened batched list-Viterbi (VERDICT-r10 #2): octave
+    length-bucketing (kernel._length_buckets) bounds padded DP cost at 2×
+    the true work exactly as the batched E-step does, and within a bucket
+    the DP vectorizes across the sequence axis — the per-sequence Python
+    dispatch that made this the slowest decode face is gone. Returns a
+    list aligned with obs_list."""
+    from baum_welch_spark.hmm.kernel import _length_buckets
+
+    if not obs_list:
+        return []
+    results: list = [None] * len(obs_list)
+    for idxs in _length_buckets([len(o) for o in obs_list]):
+        outs = _viterbi_topk_batch_core(
+            log_pi, log_A, log_B, [obs_list[i] for i in idxs], k
+        )
+        for i, out in zip(idxs, outs):
+            results[i] = out
+    return results
+
+
 def viterbi_topk(
     spark: SparkSession, sequences: DataFrame, model: HMM, k: int = 3
 ) -> DataFrame:
@@ -568,7 +743,9 @@ def viterbi_topk(
     consumes (second-pass ranking over decode hypotheses) and what
     separates a dominant MAP path from a near-tie that posterior_entropy
     flags. Same scale shape as viterbi_decode: broadcast model, narrow
-    Arrow map, no shuffle; per-sequence cost O(T N^2 k log k)."""
+    Arrow map, no shuffle; per-sequence cost O(T N^2 k log k), vectorized
+    across the Arrow batch's sequence axis with octave length-bucketing
+    (same skew bound as the batched E-step)."""
     model = model.validate()
     with np.errstate(divide="ignore"):
         bc = spark.sparkContext.broadcast(
@@ -578,20 +755,23 @@ def viterbi_topk(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         log_pi, log_A, log_B = bc.value
         for pdf in batches:
-            ids, ranks, lls, paths = [], [], [], []
+            ids, obs_list = [], []
             for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
                 if obs is None or len(obs) == 0:
                     continue
-                hyp = _viterbi_topk_one(
-                    log_pi, log_A, log_B, np.asarray(obs, dtype=np.int64), k
-                )
+                ids.append(int(seq_id))
+                obs_list.append(np.asarray(obs, dtype=np.int64))
+            out_ids, ranks, lls, paths = [], [], [], []
+            for seq_id, hyp in zip(
+                ids, _viterbi_topk_batch(log_pi, log_A, log_B, obs_list, k)
+            ):
                 for r, (ll, p) in enumerate(hyp):
-                    ids.append(int(seq_id))
+                    out_ids.append(seq_id)
                     ranks.append(r)
                     lls.append(ll)
                     paths.append(list(p))
             yield pd.DataFrame(
-                {"seq_id": ids, "rank": ranks, "loglik": lls, "path": paths}
+                {"seq_id": out_ids, "rank": ranks, "loglik": lls, "path": paths}
             )
 
     return sequences.mapInPandas(decode, schema=TOPK_SCHEMA)

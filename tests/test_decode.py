@@ -173,7 +173,11 @@ def test_viterbi_oracle_sql_valid_with_zero_probabilities():
     import numpy as np
 
     from baum_welch_spark.hmm import HMM
-    from baum_welch_spark.hmm.decode import score_oracle_sql, viterbi_oracle_sql
+    from baum_welch_spark.hmm.decode import (
+        score_oracle_sql,
+        viterbi_oracle_sql,
+        viterbi_topk_oracle_sql,
+    )
 
     m = HMM(
         pi=np.array([1.0, 0.0]),
@@ -183,7 +187,7 @@ def test_viterbi_oracle_sql_valid_with_zero_probabilities():
     con = duckdb.connect()
     con.sql("CREATE TABLE events (user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type VARCHAR)")
     con.sql("INSERT INTO events VALUES (1, 1, '2024-01-01', 'a'), (1, 2, '2024-01-02', 'b')")
-    for sql in (viterbi_oracle_sql(m), score_oracle_sql(m)):
+    for sql in (viterbi_oracle_sql(m), score_oracle_sql(m), viterbi_topk_oracle_sql(m, k=3)):
         assert "-inf," not in sql and "[-inf" not in sql
         con.sql(sql).fetchall()  # must parse and execute
 
@@ -226,3 +230,43 @@ def test_viterbi_topk_matches_enumeration(spark):
         assert len({p for _, _, p in hyp}) == K
         best_ll, best_path = scored[0]
         assert hyp[0][2] == best_path or abs(hyp[0][1] - best_ll) < 1e-10
+
+
+def test_viterbi_topk_batch_bitwise_equals_serial():
+    """The vectorized (S, N, k) list-Viterbi (r11) must be BITWISE equal to
+    the serial per-sequence kernel — same adds in the same order, same
+    i-major/r-minor candidate ravel, same stable-argsort tiebreaks — across
+    mixed lengths spanning several octave buckets, k > N corners, length-1
+    sequences, and a model with structural zeros (-inf log entries)."""
+    import numpy as np
+
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import _viterbi_topk_batch, _viterbi_topk_one
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (HMM.random(4, 5, seed=42), 3),
+        (HMM.random(3, 4, seed=23), 5),  # k > N: fewer than k finite at t=0
+        (
+            HMM(
+                pi=np.array([1.0, 0.0]),
+                A=np.array([[0.5, 0.5], [0.0, 1.0]]),
+                B=np.array([[0.9, 0.1], [0.2, 0.8]]),
+            ),
+            4,
+        ),  # structural zeros: -inf candidates must pad identically
+    ]
+    for model, k in cases:
+        with np.errstate(divide="ignore"):
+            lp, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
+        M = model.n_observed
+        lens = [1, 2, 3, 7, 8, 15, 16, 60, 61, 130]
+        obs_list = [rng.integers(0, M, size=t).astype(np.int64) for t in lens]
+        got = _viterbi_topk_batch(lp, lA, lB, obs_list, k)
+        assert len(got) == len(obs_list)
+        for obs, hyp in zip(obs_list, got):
+            ref = _viterbi_topk_one(lp, lA, lB, obs, k)
+            assert len(hyp) == len(ref)
+            for (ll_b, p_b), (ll_s, p_s) in zip(hyp, ref):
+                assert ll_b == ll_s  # bitwise, not approx
+                assert np.array_equal(p_b, p_s)
