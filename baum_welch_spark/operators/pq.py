@@ -583,28 +583,17 @@ def ivfpq_read_index(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFram
     return centroids, books, spark.read.parquet(f"{path}/codes")
 
 
-def knn_ivfpq_query(
-    spark,
-    index_path: str,
-    query_embeddings: DataFrame,
-    corpus_embeddings: DataFrame,
-    k: int = 5,
-    n_probe: int = 3,
-    rerank: int = 50,
-) -> DataFrame:
-    """Search a PREBUILT IVF-PQ index (no training): probe each query's
-    ``n_probe`` nearest cells — the ``cell IN (...)`` filter partition-
-    prunes the cell-partitioned code files — ADC-score only the surviving
-    codes, exact-rerank the shortlist against ``corpus_embeddings``.
-    Queries are (vec_id, embedding) rows; output matches ``knn_brute``."""
-    centroids, books, codes = ivfpq_read_index(spark, index_path)
+def _ivfpq_score_chunk(spark, codes, chunk_rows, chunk_ids, centroids, books, n_probe):
+    """ADC-score one bounded query chunk against the cell-partitioned code
+    files: probe each query's n_probe nearest cells, broadcast the chunk's
+    (ids, probe, LUT) tensors, and emit (q_id, c_id, adc) for the probed
+    cells only — the ``cell IN (...)`` filter partition-prunes the scan to
+    the chunk's cells."""
     mm, kk, dd = books.shape
-    q_rows = _normalized(query_embeddings).orderBy("vec_id").collect()
-    Q = len(q_rows)
-    q_ids = [int(r.vec_id) for r in q_rows]
+    Q = len(chunk_rows)
     probe = np.empty((Q, n_probe), dtype=np.int32)
     luts = np.empty((Q, n_probe, mm, kk))
-    for qi, r in enumerate(q_rows):
+    for qi, r in enumerate(chunk_rows):
         qv = np.asarray(r.nv, dtype=np.float64)
         d2c = ((centroids - qv[None, :]) ** 2).sum(axis=1)
         cells = np.argsort(d2c, kind="stable")[:n_probe]
@@ -617,8 +606,9 @@ def knn_ivfpq_query(
     probed_cells = sorted({int(c) for c in probe.ravel()})
     # the partition-pruning filter: only probed cells' files are read
     pruned = codes.filter(F.col("cell").isin(probed_cells))
-    sc = spark.sparkContext
-    bc = sc.broadcast((np.asarray(q_ids, dtype=np.int64), probe, luts))
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(chunk_ids, dtype=np.int64), probe, luts)
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, P, L = bc.value
@@ -650,7 +640,49 @@ def knn_ivfpq_query(
                 }
             )
 
-    scored = pruned.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+    return pruned.mapInPandas(score, schema="q_id bigint, c_id bigint, adc double")
+
+
+def knn_ivfpq_query(
+    spark,
+    index_path: str,
+    query_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 50,
+    chunk_size: int = 1024,
+) -> DataFrame:
+    """Search a PREBUILT IVF-PQ index (no training): probe each query's
+    ``n_probe`` nearest cells — the ``cell IN (...)`` filter partition-
+    prunes the cell-partitioned code files — ADC-score only the surviving
+    codes, exact-rerank the shortlist against ``corpus_embeddings``.
+    Queries are (vec_id, embedding) rows; output matches ``knn_brute``.
+
+    Serving contract: the query batch streams through the probe/LUT/score
+    path in driver-side chunks of ``chunk_size`` (VERDICT-r10 #4) — each
+    chunk broadcasts its own (chunk × n_probe × m × k) LUT tensor, so peak
+    broadcast size is bounded by the chunk, not the batch: a 10⁵-query
+    batch is ~100 sequential ~50 MB broadcasts instead of one multi-GB one.
+    Chunk results are a plan-level union feeding ONE shared shortlist +
+    exact-rerank tail, and each chunk's scan stays pruned to its own probed
+    cells. Results are chunk-invariant (each query's candidate set and
+    scores are independent of its neighbors; pinned in tests/test_pq.py)."""
+    centroids, books, codes = ivfpq_read_index(spark, index_path)
+    q_rows = _normalized(query_embeddings).orderBy("vec_id").collect()
+    q_ids = [int(r.vec_id) for r in q_rows]
+    scored = None
+    for lo in range(0, len(q_rows), chunk_size):
+        part = _ivfpq_score_chunk(
+            spark,
+            codes,
+            q_rows[lo : lo + chunk_size],
+            q_ids[lo : lo + chunk_size],
+            centroids,
+            books,
+            n_probe,
+        )
+        scored = part if scored is None else scored.unionByName(part)
     return _exact_rerank(corpus_embeddings, scored, q_ids, q_rows, rerank, k)
 
 

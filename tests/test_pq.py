@@ -268,3 +268,23 @@ def test_ivfpq_append_face_lifecycle(spark, embeddings):
         if r.q_id not in top or r.cos > top[r.q_id][1]:
             top[r.q_id] = (r.c_id, r.cos)
     assert top and all(cid == qid for qid, (cid, _) in top.items()), top
+
+
+def test_knn_ivfpq_query_chunked_equals_unchunked(spark, embeddings, tmp_path):
+    """The chunked serving path (r11: per-chunk LUT broadcasts bounded by
+    chunk_size) must return exactly the unchunked result — each query's
+    probe set, ADC candidates, and exact-rerank are independent of which
+    chunk it rides in. Q=9 with chunk_size=2 forces 5 chunks including a
+    ragged tail."""
+    from baum_welch_spark.operators.pq import ivfpq_write_index, knn_ivfpq_query
+
+    path = str(tmp_path / "ivfpq_chunk")
+    ivfpq_write_index(embeddings, path, n_cells=8, m=2, n_codes=4)
+    qdf = embeddings.filter("vec_id < 9")
+    cdf = embeddings.filter("vec_id >= 9")
+    one = knn_ivfpq_query(spark, path, qdf, cdf, k=5, n_probe=3, chunk_size=10_000)
+    many = knn_ivfpq_query(spark, path, qdf, cdf, k=5, n_probe=3, chunk_size=2)
+    rows_one = sorted(tuple(r) for r in one.collect())
+    rows_many = sorted(tuple(r) for r in many.collect())
+    assert rows_one == rows_many
+    assert len({q for q, _, _, _ in rows_one}) == 9
