@@ -229,6 +229,15 @@ def _q_clean_corpus(spark, sf):
     return clean_corpus(*_tables(spark, sf, "documents"))
 
 
+def _q_prepare_training_corpus(spark, sf):
+    # the full corpus build as one composition (VERDICT-r10 #6): near-dup
+    # removal -> quality + LM gates -> decontamination -> leakage-safe
+    # cluster-whole split -> dq invariant gate; DuckDB-exact end-to-end
+    from baum_welch_spark.operators.corpus import prepare_training_corpus
+
+    return prepare_training_corpus(*_tables(spark, sf, "documents"))
+
+
 def _q_tfidf_top_terms(spark, sf):
     from baum_welch_spark.operators.corpus import tfidf_top_terms
 
@@ -1363,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_distinct_users, knn_ivf_kmeans, value_approx_quantiles), and
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
+        "prepare_training_corpus": _q_prepare_training_corpus,
         "viterbi_topk": _q_viterbi_topk,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "dq_report_orders": _q_dq_report,
@@ -1412,11 +1422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": _q_fingerprint_clusters,
         "lang_id": _q_lang_id,
         "minhash_lsh": _q_minhash,
-        "pack_sequences": _q_pack_sequences,
-        # ---- driver's 50-entry window ends here; everything below was
+        # ---- driver's 50-entry window ends here (pack_sequences was
+        # displaced to #51 by the new prepare_training_corpus face —
+        # unchanged since its r8 in-window check); everything below was
         # driver-verified green in r8-r10 and is code-unchanged since its
         # last check (face-hash manifest). Next-stalest first: these head
         # the r12 rotation list.
+        "pack_sequences": _q_pack_sequences,
         "pagerank_docs": _q_pagerank_docs,
         "posterior_entropy": _q_posterior_entropy,
         "props_k_stats": _q_props_k_stats,
@@ -1642,6 +1654,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": corpus.TFIDF_TOP_TERMS_SQL,
         "time_bucket_gapfill": relational.TIME_BUCKET_GAPFILL_SQL,
         "clean_corpus": corpus._clean_corpus_sql(),
+        # r11: the end-to-end corpus build (clean_corpus gates +
+        # decontamination + cluster-whole split + dq invariant gate)
+        "prepare_training_corpus": corpus.prepare_training_corpus_sql(),
         "cap_per_source": _cap_sql(),
         "weighted_sample": _weighted_sql(),
         "emb_norms": similarity.EMB_NORMS_SQL,

@@ -342,3 +342,41 @@ def test_trigram_stupid_backoff_hand_computation(spark):
     assert rows[15]["backoff_frac"] == 1.0
     # train docs score too (self-seen trigrams, no backoff)
     assert rows[1]["backoff_frac"] == 0.0
+
+
+def test_prepare_training_corpus_composes_its_stages(spark, documents):
+    """The composition face must agree with its stages run independently:
+    survivors are exactly clean_corpus minus the eval slice minus
+    contaminated docs; split/component match leakage_safe_split; the
+    assignment is cluster-whole (no component straddles splits); and the
+    dq invariant gate passed (the function returns instead of raising)."""
+    from baum_welch_spark.operators.corpus import (
+        clean_corpus,
+        decontaminate,
+        prepare_training_corpus,
+    )
+    from baum_welch_spark.operators.dedup import leakage_safe_split
+
+    out = prepare_training_corpus(documents).collect()
+    got = {r.doc_id: (r.component, r.split) for r in out}
+    assert got, "composition produced an empty corpus"
+
+    kept = {r.doc_id for r in clean_corpus(documents).collect()}
+    contaminated = {r.doc_id for r in decontaminate(documents).collect()}
+    expected_ids = {
+        d for d in kept if d % 50 != 0 and d not in contaminated
+    }
+    assert set(got) == expected_ids
+
+    splits = {
+        r.doc_id: (r.component, r.split)
+        for r in leakage_safe_split(documents).collect()
+    }
+    for d, (comp_id, split) in got.items():
+        assert splits[d] == (comp_id, split)
+
+    by_comp = {}
+    for d, (comp_id, split) in got.items():
+        by_comp.setdefault(comp_id, set()).add(split)
+    assert all(len(s) == 1 for s in by_comp.values()), "split straddles a cluster"
+    assert {s for _, (_, s) in got.items()} <= {"train", "valid", "test"}

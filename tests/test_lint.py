@@ -30,6 +30,9 @@ ALLOWED = {
     "operators/bpe.py": {"collect": 1, "toPandas": 0},
     # int8 quantizer: d-row per-dimension (min, max) ranges — model-sized
     "operators/quantize.py": {"collect": 1, "toPandas": 0},
+    # prepare_training_corpus dq gate: one rule-count-sized report collect
+    # (4 rows) — gate semantics, raises instead of emitting a bad corpus
+    "operators/corpus.py": {"collect": 1, "toPandas": 0},
     # PQ: n_codes seed rows, m*k*(ds+1) Lloyd partials per iteration,
     # n_queries query rows for flat-PQ / IVF-PQ / index-served search, and
     # the centroid+codebook model tables on index read — all model-sized
