@@ -714,24 +714,41 @@ def _viterbi_topk_batch_core(log_pi, log_A, log_B, obs_list, k):
     return out_all
 
 
+#: max Tmax × S × N × k DP cells per _viterbi_topk_batch_core call — the
+#: backpointer tensor is (Tmax, S, N, k, 2) int32, so this bounds it at
+#: ~134 MB no matter how many long sequences share an Arrow batch (the
+#: batched E-step streams its alpha the same way length-bucketing bounds
+#: its padding; here the bp tensor must persist until backtrack, so the
+#: bound is an explicit sequence-axis chunk instead)
+_TOPK_DP_BUDGET = 1 << 24
+
+
 def _viterbi_topk_batch(log_pi, log_A, log_B, obs_list, k):
     """Length-skew-hardened batched list-Viterbi (VERDICT-r10 #2): octave
     length-bucketing (kernel._length_buckets) bounds padded DP cost at 2×
     the true work exactly as the batched E-step does, and within a bucket
     the DP vectorizes across the sequence axis — the per-sequence Python
-    dispatch that made this the slowest decode face is gone. Returns a
-    list aligned with obs_list."""
+    dispatch that made this the slowest decode face is gone. Buckets are
+    further chunked on the sequence axis so the per-call backpointer
+    tensor stays under ``_TOPK_DP_BUDGET`` cells (each sequence's DP is
+    independent, so chunking is bitwise-invisible). Returns a list
+    aligned with obs_list."""
     from baum_welch_spark.hmm.kernel import _length_buckets
 
     if not obs_list:
         return []
+    N = log_pi.shape[0]
     results: list = [None] * len(obs_list)
     for idxs in _length_buckets([len(o) for o in obs_list]):
-        outs = _viterbi_topk_batch_core(
-            log_pi, log_A, log_B, [obs_list[i] for i in idxs], k
-        )
-        for i, out in zip(idxs, outs):
-            results[i] = out
+        t_max = max(len(obs_list[i]) for i in idxs)
+        cap = max(1, _TOPK_DP_BUDGET // max(1, t_max * N * k))
+        for lo in range(0, len(idxs), cap):
+            sub = idxs[lo : lo + cap]
+            outs = _viterbi_topk_batch_core(
+                log_pi, log_A, log_B, [obs_list[i] for i in sub], k
+            )
+            for i, out in zip(sub, outs):
+                results[i] = out
     return results
 
 

@@ -270,3 +270,27 @@ def test_viterbi_topk_batch_bitwise_equals_serial():
             for (ll_b, p_b), (ll_s, p_s) in zip(hyp, ref):
                 assert ll_b == ll_s  # bitwise, not approx
                 assert np.array_equal(p_b, p_s)
+
+
+def test_viterbi_topk_batch_seq_chunk_cap_is_bitwise_invisible(monkeypatch):
+    """The sequence-axis memory cap (bp tensor <= _TOPK_DP_BUDGET cells)
+    must not change results: force a tiny budget so every bucket splits
+    into single-sequence core calls and compare against the uncapped run."""
+    import numpy as np
+
+    import baum_welch_spark.hmm.decode as dec
+    from baum_welch_spark.hmm import HMM
+
+    model = HMM.random(4, 5, seed=11)
+    with np.errstate(divide="ignore"):
+        lp, lA, lB = np.log(model.pi), np.log(model.A), np.log(model.B)
+    rng = np.random.default_rng(3)
+    obs_list = [rng.integers(0, 5, size=t).astype(np.int64) for t in (9, 10, 11, 12, 50, 51)]
+    full = dec._viterbi_topk_batch(lp, lA, lB, obs_list, 3)
+    monkeypatch.setattr(dec, "_TOPK_DP_BUDGET", 1)
+    capped = dec._viterbi_topk_batch(lp, lA, lB, obs_list, 3)
+    for a, b in zip(full, capped):
+        assert len(a) == len(b)
+        for (ll_a, p_a), (ll_b, p_b) in zip(a, b):
+            assert ll_a == ll_b
+            assert np.array_equal(p_a, p_b)
