@@ -104,8 +104,10 @@ def dq_report(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
     # with k rules the documented one-scan contract became k extra scans.
     base = df.agg(*aggs).first()
     n_rows = int(base["__n"])
+    # conditional sums over an EMPTY table are NULL, not 0 — an empty
+    # input has zero violations (and violation_rate stays NULL from 0/0)
     report: list[tuple[str, str, int]] = [
-        (kind, col, int(base[alias])) for kind, col, alias in labels
+        (kind, col, int(base[alias] or 0)) for kind, col, alias in labels
     ]
     for rule in fks:
         col, ref, ref_col = rule["col"], rule["ref"], rule["ref_col"]
@@ -121,11 +123,15 @@ def dq_report(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
         [(r, c, v, n_rows) for r, c, v in report],
         "rule string, col string, n_violations bigint, n_rows bigint",
     ).withColumn(
-        # rate computed Spark-side (not Python round) so division-by-zero →
-        # NULL and HALF_UP rounding stay identical to the previous plan and
-        # to the DuckDB oracle
+        # rate computed Spark-side (not Python round) so HALF_UP rounding
+        # matches the DuckDB oracle; the n_rows > 0 guard makes the empty
+        # table NULL regardless of ANSI mode (ANSI 0/0 throws, non-ANSI
+        # returns NULL — this pins the oracle's NULL either way)
         "violation_rate",
-        F.round(F.col("n_violations") / F.col("n_rows"), 6),
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(F.col("n_violations") / F.col("n_rows"), 6),
+        ),
     )
     return out.orderBy("rule", "col")
 

@@ -93,3 +93,27 @@ def test_dq_report_sql_matches_spark_on_duckdb(spark, messy, refkeys, tmp_path):
     want = [tuple(x) for x in con.sql(dq_report_sql("t", sql_rules)).fetchall()]
     got = [tuple(x) for x in dq_report(messy, rules(refkeys)).collect()]
     assert got == want
+
+
+def test_dq_report_empty_table_reports_zero_violations(spark):
+    """Conditional sums over an empty table are NULL in Spark; the report
+    must still come back with 0 violations per rule (n_rows 0,
+    violation_rate NULL from 0/0) instead of crashing — the r11 eager
+    one-scan rewrite int()s the collected scalars."""
+    empty = spark.createDataFrame([], "k bigint, v double, st string")
+    ref = spark.createDataFrame([(1,)], "rk bigint")
+    rows = dq_report(
+        empty,
+        [
+            {"rule": "not_null", "col": "k"},
+            {"rule": "range", "col": "v", "min": 0.0},
+            {"rule": "in_set", "col": "st", "values": ["O"]},
+            {"rule": "unique", "col": "k"},
+            {"rule": "fk", "col": "k", "ref": ref, "ref_col": "rk"},
+        ],
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_violations == 0
+        assert r.n_rows == 0
+        assert r.violation_rate is None
