@@ -508,6 +508,33 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """The full training-corpus build (operators/corpus.py
+    prepare_training_corpus): near-dup removal + quality/LM gates +
+    decontamination + leakage-safe cluster-whole split + dq invariant
+    gate, written partitioned by split (the layout a trainer reads one
+    split of without touching the others)."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.corpus import prepare_training_corpus
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-prepare")
+    docs = load_table(spark, args.input, "documents")
+    out = prepare_training_corpus(
+        docs, train=args.train, valid=args.valid, salt=args.salt
+    )
+    if args.output:
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(f"wrote {args.output} partitioned by split: {counts}")
+    else:
+        out.show(20)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_corpus(args) -> int:
     from baum_welch_spark.operators.corpus import (
         bigram_lm_score,
@@ -897,6 +924,18 @@ def main(argv: list[str] | None = None) -> int:
     fl.add_argument("--keep-fraction", type=float, default=0.8)
     fl.add_argument("-o", "--output")
     fl.set_defaults(fn=cmd_filter)
+
+    pr = sub.add_parser(
+        "prepare",
+        help="full training-corpus build: dedup + quality/LM gates + "
+        "decontamination + leakage-safe split + dq gate, written by split",
+    )
+    pr.add_argument("-i", "--input", required=True)
+    pr.add_argument("--train", type=float, default=0.8)
+    pr.add_argument("--valid", type=float, default=0.1)
+    pr.add_argument("--salt", default="split")
+    pr.add_argument("-o", "--output")
+    pr.set_defaults(fn=cmd_prepare)
 
     co = sub.add_parser(
         "corpus", help="corpus reports: vocab | lm-score | decontaminate | tfidf"

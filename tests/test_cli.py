@@ -412,3 +412,17 @@ def test_cli_dq_gate(spark, capsys):
     assert "in_set" in out and "fk" in out
     # the demo rules are deliberately tight: the gate must trip
     assert main(["dq", "-i", SF0001, "--fail-on-violations"]) == 1
+
+
+def test_cli_prepare_training_corpus(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert main(["prepare", "-i", SF0001, "-o", out]) == 0
+    assert "partitioned by split" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "lang", "source", "component", "split"}
+    n = got.count()
+    assert 0 < n < 500  # gates dropped the eval slice + dup/low-quality docs
+    # eval slice excluded, split partition layout readable one split at a time
+    assert got.filter("doc_id % 50 = 0").count() == 0
+    train_only = spark.read.parquet(f"{out}/split=train")
+    assert 0 < train_only.count() <= n
