@@ -20,9 +20,12 @@ Shapes matched against /root/testdata/sf0.1 (read-only; never modified):
   lineitem   1+Poisson(3) lines/order (clipped to the observed 1..17),
              qty 1..50, extprice ~ qty x unit(900..2100), ship = order+1..95d
   events     30-day window, exponential(mean 50) value, props {"k": 0..99}
-  documents  word-soup over the corpus's own 31-word vocab, source length
-             distribution bootstrap, 41/15/15/15/14 lang split, 20 sources,
-             0.2% exact dups + 0.5% one-word-in-ten mutated near-dups
+  documents  word-soup over the corpus's own vocabulary grown by
+             mult^(1/3) (Heaps-law scaling: keeps docs-per-trigram constant
+             so the text family measures plan scaling, not trigram-collision
+             physics — see the inline comment), source length bootstrap,
+             41/15/15/15/14 lang split, 20 sources, 0.2% exact dups + 0.5%
+             one-word-in-ten mutated near-dups
   embeddings 64-dim iid N(0,1) float32, label 0..9 (the source corpus has
              no cluster structure — measured intra/inter label cosine ~0)
 
@@ -184,7 +187,22 @@ def generate(out: str, mult: int) -> None:
     }))
 
     vocab, src_lens = _doc_vocab_and_lengths()
-    varr = np.array(vocab)
+    # Heaps-law vocabulary scaling: the source's 31-word vocabulary over 10x
+    # the documents would grow trigram-collision PAIR count ~mult^2 (every
+    # trigram's doc fan-out grows with mult; measured: the fixed-vocab 10x
+    # corpus ground the exact-Jaccard family into the hundreds of millions
+    # of candidate pairs — corpus physics, not plan behavior, the same trap
+    # scale10x's --mutate mode exists to avoid). Growing the vocabulary by
+    # mult^(1/3) keeps the trigram space ~mult-proportional and docs-per-
+    # trigram constant, so the text family measures plan scaling. Extra
+    # words are digit-suffixed variants of source words (same length shape).
+    target_v = int(np.ceil(len(vocab) * mult ** (1.0 / 3.0)))
+    extra = []
+    suffix = 2
+    while len(vocab) + len(extra) < target_v:
+        extra.extend(f"{w}{suffix}" for w in vocab)
+        suffix += 1
+    varr = np.array(vocab + extra[: target_v - len(vocab)])
     lens_d = src_lens[rng.integers(0, len(src_lens), n_doc)]
     texts: list[str] = []
     for ln in lens_d:
