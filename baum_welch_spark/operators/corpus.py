@@ -595,42 +595,59 @@ def prepare_training_corpus(
         pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
     else:
         pairs = pair_generator(documents)
-    kept = clean_corpus(
-        documents,
-        jaccard_threshold=jaccard_threshold,
-        min_quality=min_quality,
-        max_cross_entropy=max_cross_entropy,
-        pair_generator=lambda _d: pairs,
-    )
-    splits = leakage_safe_split(
-        documents,
-        train=train,
-        valid=valid,
-        threshold=jaccard_threshold,
-        pair_generator=lambda _d: pairs,
-        salt=salt,
-    )
-    contaminated = decontaminate(documents, eval_mod=eval_mod).select("doc_id")
-    out = (
-        kept.filter(F.col("doc_id") % eval_mod != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .join(splits, "doc_id")
-        .select("doc_id", "lang", "source", "component", "split")
-        .orderBy("doc_id")
-    )
-    gate = dq_report(
-        out,
-        [
-            {"rule": "not_null", "col": "doc_id"},
-            {"rule": "unique", "col": "doc_id"},
-            {"rule": "not_null", "col": "split"},
-            {"rule": "in_set", "col": "split", "values": ["train", "valid", "test"]},
-        ],
-    ).collect()
-    bad = [r for r in gate if r.n_violations > 0]
-    if bad:
-        raise ValueError(f"prepare_training_corpus dq gate failed: {bad}")
-    return out
+    # persist the pair set ONCE as the caller: both connected_components
+    # invocations below (dedup stage, split stage) see a caller-persisted
+    # frame and reuse it instead of each re-running the shingle join — the
+    # expensive plan in this composition executes once per build
+    pairs = pairs.persist()
+    try:
+        kept = clean_corpus(
+            documents,
+            jaccard_threshold=jaccard_threshold,
+            min_quality=min_quality,
+            max_cross_entropy=max_cross_entropy,
+            pair_generator=lambda _d: pairs,
+        )
+        splits = leakage_safe_split(
+            documents,
+            train=train,
+            valid=valid,
+            threshold=jaccard_threshold,
+            pair_generator=lambda _d: pairs,
+            salt=salt,
+        )
+        contaminated = decontaminate(documents, eval_mod=eval_mod).select("doc_id")
+        # persist the result BEFORE the gate: the gate's aggregate action
+        # materializes it, so the caller's eventual collect/write reads the
+        # cache instead of re-running the whole composition (id + short
+        # string columns — row-light even at corpus scale; it stays cached
+        # for the caller, the one live frame this builder retains)
+        out = (
+            kept.filter(F.col("doc_id") % eval_mod != 0)
+            .join(contaminated, "doc_id", "left_anti")
+            .join(splits, "doc_id")
+            .select("doc_id", "lang", "source", "component", "split")
+            .orderBy("doc_id")
+            .persist()
+        )
+        gate = dq_report(
+            out,
+            [
+                {"rule": "not_null", "col": "doc_id"},
+                {"rule": "unique", "col": "doc_id"},
+                {"rule": "not_null", "col": "split"},
+                {"rule": "in_set", "col": "split", "values": ["train", "valid", "test"]},
+            ],
+        ).collect()
+        bad = [r for r in gate if r.n_violations > 0]
+        if bad:
+            raise ValueError(f"prepare_training_corpus dq gate failed: {bad}")
+        return out
+    finally:
+        # comp labels are localCheckpoint()ed inside connected_components
+        # and `out` is materialized by the gate, so the pair cache is no
+        # longer referenced by the returned plan
+        pairs.unpersist()
 
 
 def prepare_training_corpus_sql(
