@@ -52,8 +52,9 @@ ALLOWED = {
     # order selection: one 1-row T_total aggregate (fits use fit.py's site)
     "hmm/select.py": {"collect": 1, "toPandas": 0},
     # CLI select: prints the len(candidates)-row score frame as JSON;
-    # CLI dq: prints the len(rules)-row violation report and gates on it
-    "cli.py": {"collect": 2, "toPandas": 0},
+    # CLI dq: prints the len(rules)-row violation report and gates on it;
+    # CLI prepare: prints the 3-row per-split counts after the write
+    "cli.py": {"collect": 3, "toPandas": 0},
     # bucketed CDC: touched-bucket ids (<= n_buckets rows, four sites:
     # merge_batch + agg_delta fallback + the batch-IVM fold + the
     # stream-IVM fold), the faces' distinct order-years (<= #years rows,
