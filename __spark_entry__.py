@@ -1298,6 +1298,52 @@ def _q_ivfpq_append(spark, sf):
     return ivfpq_append_face(spark, *_tables(spark, sf, "embeddings"))
 
 
+def _q_windowed_counts_stream(spark, sf):
+    """Tumbling-window counts through the REAL Structured Streaming path
+    (file-source micro-batches, watermark, complete mode over the finite
+    source); DuckDB-exact against the epoch-floor batch twin — window
+    starts emitted as BIGINT micros so no timestamp canonicalization is
+    involved (r11 graduation, same recipe as spend_alerts_stream)."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.streaming.sessionize import (
+        run_to_memory,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    stream = windowed_event_counts(stream_events(spark, sf), window="5 minutes")
+    run_to_memory(stream, "windowed_counts_face", output_mode="complete")
+    return spark.sql(
+        "SELECT unix_micros(w_start) AS w_start_us, event_type, n, total_value "
+        "FROM windowed_counts_face ORDER BY 1, 2"
+    )
+
+
+def _q_sessions_stream(spark, sf):
+    """Event-time gap-sessionization through the REAL Structured Streaming
+    path (session_window + watermark, complete mode over the finite
+    source); DuckDB-exact against the lag/running-sum batch twin with the
+    session_window merge rule (break on >= gap; end = last ts + gap).
+    Boundaries emitted as BIGINT micros; totals rounded to 4 (2-decimal
+    inputs sit >= 0.0049 from any rounding boundary, so streaming partial-
+    merge order cannot flip the hash)."""
+    from baum_welch_spark.streaming.sessionize import (
+        run_to_memory,
+        session_agg,
+        stream_events,
+    )
+
+    stream = session_agg(stream_events(spark, sf), gap="30 minutes", watermark="1 hour")
+    run_to_memory(stream, "sessions_face", output_mode="complete")
+    return spark.sql(
+        "SELECT user_id, unix_micros(session_start) AS start_us, "
+        "unix_micros(session_end) AS end_us, n_events, "
+        "round(total_value, 4) AS total_value "
+        "FROM sessions_face ORDER BY user_id, start_us"
+    )
+
+
 def _q_spend_alerts(spark, sf):
     """Stateful streaming alerts (streaming/alerts.py spend_alert_stream:
     applyInPandasWithState) driven to completion over the finite file
@@ -1373,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
         "prepare_training_corpus": _q_prepare_training_corpus,
+        "windowed_counts_stream": _q_windowed_counts_stream,
+        "sessions_stream": _q_sessions_stream,
         "viterbi_topk": _q_viterbi_topk,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "dq_report_orders": _q_dq_report,
@@ -1420,14 +1468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "events_rollup": _q_events_rollup,
         "fingerprint_clusters": _q_fingerprint_clusters,
-        "lang_id": _q_lang_id,
-        "minhash_lsh": _q_minhash,
-        # ---- driver's 50-entry window ends here (pack_sequences was
-        # displaced to #51 by the new prepare_training_corpus face —
-        # unchanged since its r8 in-window check); everything below was
+        # ---- driver's 50-entry window ends here (lang_id, minhash_lsh and
+        # pack_sequences were displaced to #51-53 by the three new r11 faces
+        # prepare_training_corpus / windowed_counts_stream / sessions_stream
+        # — all three displaced faces unchanged since their r8 in-window
+        # checks, heading the r12 rotation); everything below was
         # driver-verified green in r8-r10 and is code-unchanged since its
         # last check (face-hash manifest). Next-stalest first: these head
         # the r12 rotation list.
+        "lang_id": _q_lang_id,
+        "minhash_lsh": _q_minhash,
         "pack_sequences": _q_pack_sequences,
         "pagerank_docs": _q_pagerank_docs,
         "posterior_entropy": _q_posterior_entropy,
@@ -1534,6 +1584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_decode": _q_viterbi_decode,
         "viterbi_reestimate": _q_viterbi_reestimate,
     }
+
+
+def _windowed_counts_stream_sql() -> str:
+    from baum_welch_spark.streaming.sessionize import WINDOWED_COUNTS_STREAM_SQL
+
+    return WINDOWED_COUNTS_STREAM_SQL
+
+
+def _sessions_stream_sql() -> str:
+    from baum_welch_spark.streaming.sessionize import sessions_stream_sql
+
+    return sessions_stream_sql(gap_minutes=30)
 
 
 def _cdc_apply_batch_sql() -> str:
@@ -1748,6 +1810,10 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": dedup.leakage_split_sql(),
         "skew_report_events": skew.skew_report_sql("events", ["user_id", "event_type"]),
         "spend_alerts_stream": SPEND_ALERTS_SQL,
+        # r11 streaming graduations: windowed counts + gap sessions through
+        # the real readStream path, batch twins in streaming/sessionize.py
+        "windowed_counts_stream": _windowed_counts_stream_sql(),
+        "sessions_stream": _sessions_stream_sql(),
         "dq_report_orders": dq.dq_report_sql(
             "orders",
             [dict(r, ref="customer") if r["rule"] == "fk" else r for r in _DQ_RULES],

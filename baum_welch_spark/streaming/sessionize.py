@@ -102,6 +102,50 @@ def windowed_distinct_users(events: DataFrame, window: str = "1 hour") -> DataFr
     )
 
 
+#: DuckDB-exact oracle for the windowed_event_counts STREAMING face (r11):
+#: Spark's window(ts, '5 minutes') starts at epoch-aligned 5-minute
+#: boundaries, so the batch twin is integer floor arithmetic on epoch_us.
+#: Boundaries are BIGINT micros on both sides (no timestamp
+#: canonicalization in the driver hash); round(sum, 4) of 2-decimal values
+#: sits >= 0.0049 from any rounding boundary, so float summation order
+#: cannot flip the hash.
+WINDOWED_COUNTS_STREAM_SQL = """
+SELECT (epoch_us(ts) // 300000000) * 300000000 AS w_start_us, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+#: DuckDB-exact oracle for the session_agg STREAMING face (r11): Spark's
+#: session_window merges an event whose window is overlapping OR ADJACENT
+#: to the open session (an event landing EXACTLY at the session end — last
+#: ts + gap — still merges; pinned by the planted-boundary test in
+#: tests/test_streaming.py, which caught the `>=` draft of this oracle),
+#: so the batch twin breaks on strict `diff > gap`, the same convention as
+#: the batch relational sessionize face. Session end is last-event ts +
+#: gap. The running-sum session id is order-safe under ts ties (tied rows
+#: can't be breaks), and HUGEINT is pinned to BIGINT as in SESSIONIZE_SQL.
+def sessions_stream_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us} THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, min(us) AS start_us, max(us) + {gap_us} AS end_us,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM sid GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming query over the (finite) file source to completion
     synchronously; results land in the in-memory table ``name``.

@@ -73,6 +73,11 @@ SINGLE_RUN = SELF_EXECUTING | {
     # micro-batches) — one run is the honest cost
     "ivm_stream_segment_stats",
     "spend_alerts_stream",
+    # r11: same class — windowed counts + gap sessions through readStream
+    "windowed_counts_stream",
+    "sessions_stream",
+    # r11: five-stage corpus build (pair-gen + components twice + gate)
+    "prepare_training_corpus",
 }
 
 HEADLINE = [

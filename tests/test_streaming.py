@@ -305,3 +305,63 @@ def test_stream_trending_topk_matches_batch(spark):
     # there are ~2x as many (window, key) sink rows as tumbling would give
     n_windows = spark.sql("SELECT count(DISTINCT w_start) AS n FROM trending_counts_sink").collect()[0].n
     assert n_windows >= 2
+
+
+def test_session_window_exact_gap_boundary_matches_oracle(spark, tmp_path):
+    """Pin the sessions_stream gap-boundary convention on BOTH sides: an
+    event landing EXACTLY at the open session's end (last ts + gap) still
+    MERGES in Spark's session_window (adjacency merges — this test caught
+    the oracle's `>=` draft), while one microsecond past it starts a new
+    session. The DuckDB twin must agree row-for-row."""
+    import duckdb
+
+    from baum_welch_spark.streaming.sessionize import (
+        run_to_memory,
+        session_agg,
+        sessions_stream_sql,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0, 1),
+        (1, "2024-01-01 00:10:00", 10.0, 2),
+        (1, "2024-01-01 00:40:00", 10.0, 3),  # exactly gap after #2 -> MERGES
+        (1, "2024-01-01 01:10:00.000001", 10.0, 4),  # 1us past end -> NEW
+        (2, "2024-01-01 00:00:00", 5.0, 5),
+    ]
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [(e, t, u, "click", v, "{}") for u, t, v, e in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .transform(lambda d: session_agg(d, gap="30 minutes"))
+    )
+    run_to_memory(stream, "gap_boundary_face", output_mode="complete")
+    got = sorted(
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM gap_boundary_face").collect()
+    )
+    assert got == [
+        (1, "2024-01-01T00:00:00", 3),
+        (1, "2024-01-01T01:10:00.000001", 1),
+        (2, "2024-01-01T00:00:00", 1),
+    ]
+
+    con = duckdb.connect()
+    df.toPandas().to_parquet(str(tmp_path / "e.parquet"))
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/e.parquet'")
+    want = sorted(
+        (u, s, n) for u, s, _, n, _ in con.sql(sessions_stream_sql(30)).fetchall()
+    )
+    spark_rows = sorted(
+        (r.user_id, r.start_us, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, unix_micros(session_start) AS start_us, n_events "
+            "FROM gap_boundary_face"
+        ).collect()
+    )
+    assert spark_rows == want
