@@ -1419,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
         "prepare_training_corpus": _q_prepare_training_corpus,
+        "clean_corpus": _q_clean_corpus,
+        "leakage_split": _q_leakage_split,
         "windowed_counts_stream": _q_windowed_counts_stream,
         "sessions_stream": _q_sessions_stream,
         "viterbi_topk": _q_viterbi_topk,
@@ -1466,8 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
-        "events_rollup": _q_events_rollup,
-        "fingerprint_clusters": _q_fingerprint_clusters,
         # ---- driver's 50-entry window ends here (lang_id, minhash_lsh and
         # pack_sequences were displaced to #51-53 by the three new r11 faces
         # prepare_training_corpus / windowed_counts_stream / sessions_stream
@@ -1476,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-verified green in r8-r10 and is code-unchanged since its
         # last check (face-hash manifest). Next-stalest first: these head
         # the r12 rotation list.
+        "events_rollup": _q_events_rollup,
+        "fingerprint_clusters": _q_fingerprint_clusters,
         "lang_id": _q_lang_id,
         "minhash_lsh": _q_minhash,
         "pack_sequences": _q_pack_sequences,
@@ -1543,7 +1545,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact": _q_cdc_compact,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_time_travel": _q_cdc_time_travel,
-        "clean_corpus": _q_clean_corpus,
         "convergence_distance": _q_model_half_distance,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "em_reestimate": _q_em_reestimate,
@@ -1560,7 +1561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
-        "leakage_split": _q_leakage_split,
         "lineitem_stats": _q_lineitem_stats,
         "merge_upsert": _q_merge_upsert,
         "normalize": _q_transition_model,

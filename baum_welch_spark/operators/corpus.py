@@ -480,6 +480,7 @@ def clean_corpus(
     min_quality: float = 1.0,
     max_cross_entropy: float = 5.1,
     pair_generator=None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end training-data cleaning pipeline in one face: near-dup
     removal (exact-Jaccard connected components, keep the lowest doc_id per
@@ -504,15 +505,24 @@ def clean_corpus(
     candidates come from LSH buckets (no all-pairs shuffle) and are
     exact-verified, so the output pairs are a high-recall subset of the
     exact pairs and survivors can only grow by the (small) recall loss.
+
+    ``components``: a precomputed ``connected_components`` frame (node,
+    component) over the SAME pair definition — pass it when a pipeline has
+    already clustered (``prepare_training_corpus`` shares one components
+    pass between this gate and the split stage); pair generation and the
+    iterative clustering are then skipped entirely.
     """
     from baum_welch_spark.operators.dedup import connected_components, neardup_jaccard
     from baum_welch_spark.operators.text import doc_quality
 
-    if pair_generator is None:
-        pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
+    if components is not None:
+        comp = components
     else:
-        pairs = pair_generator(documents)
-    comp = connected_components(pairs)
+        if pair_generator is None:
+            pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
+        else:
+            pairs = pair_generator(documents)
+        comp = connected_components(pairs)
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -575,12 +585,13 @@ def prepare_training_corpus(
     stage independently oracle-checked and the composition itself
     DuckDB-exact (PREPARE_TRAINING_CORPUS_SQL).
 
-    The near-dup PAIR SET is computed once and shared by the dedup stage
-    and the split stage (both accept ``pair_generator``), so the shingle
-    shuffle — the expensive part — is not repeated; at 100 TB pass a banded
-    generator (``minhash_lsh_pairs``) exactly as documented on
-    :func:`clean_corpus`, and every downstream stage is id-only joins
-    against the corpus scan. The dq gate checks pipeline INVARIANTS
+    The near-dup PAIR SET is computed once, the iterative
+    connected-components clustering runs ONCE, and the resulting (node,
+    component) frame is shared by the dedup stage and the split stage
+    (both accept ``components=``) — neither the shingle shuffle nor the
+    O(log d) label rounds repeat; at 100 TB pass a banded ``pair_generator``
+    (``minhash_lsh_pairs``) exactly as documented on :func:`clean_corpus`,
+    and every downstream stage is id-only joins against the corpus scan. The dq gate checks pipeline INVARIANTS
     (non-null unique doc_id, split ∈ {train, valid, test}) in one bounded
     aggregate and raises instead of emitting a corrupt corpus — gate
     semantics, not reporting.
@@ -591,30 +602,34 @@ def prepare_training_corpus(
     from baum_welch_spark.operators.dedup import leakage_safe_split, neardup_jaccard
     from baum_welch_spark.operators.dq import dq_report
 
+    from baum_welch_spark.operators.dedup import connected_components
+
     if pair_generator is None:
         pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
     else:
         pairs = pair_generator(documents)
-    # persist the pair set ONCE as the caller: both connected_components
-    # invocations below (dedup stage, split stage) see a caller-persisted
-    # frame and reuse it instead of each re-running the shingle join — the
-    # expensive plan in this composition executes once per build
+    # persist the pair set, then run the ITERATIVE clustering exactly once
+    # and hand the components to both consumers — the dedup drop-list and
+    # the split assignment are two reads of the same (node, component)
+    # frame, not two pointer-jumping runs (the shingle shuffle and the
+    # O(log d) label rounds are the expensive parts of this composition)
     pairs = pairs.persist()
     try:
+        comp = connected_components(pairs)
         kept = clean_corpus(
             documents,
             jaccard_threshold=jaccard_threshold,
             min_quality=min_quality,
             max_cross_entropy=max_cross_entropy,
-            pair_generator=lambda _d: pairs,
+            components=comp,
         )
         splits = leakage_safe_split(
             documents,
             train=train,
             valid=valid,
             threshold=jaccard_threshold,
-            pair_generator=lambda _d: pairs,
             salt=salt,
+            components=comp,
         )
         contaminated = decontaminate(documents, eval_mod=eval_mod).select("doc_id")
         # persist the result BEFORE the gate: the gate's aggregate action

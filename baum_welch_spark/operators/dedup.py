@@ -1042,6 +1042,7 @@ def leakage_safe_split(
     threshold: float = 0.4,
     pair_generator=None,
     salt: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/valid/test assignment: every document in the
     same near-dup CLUSTER lands in the same split, so no near-duplicate of
@@ -1077,11 +1078,17 @@ def leakage_safe_split(
             f"need 0 < train and 0 <= valid and train + valid < 1 to leave "
             f"test mass; got train={train}, valid={valid}"
         )
-    if pair_generator is None:
-        pairs = neardup_jaccard(documents, threshold=threshold)
+    if components is not None:
+        # precomputed (node, component) frame over the same pair definition
+        # — a pipeline that already clustered (prepare_training_corpus)
+        # shares ONE components pass between dedup and split stages
+        comp = components
     else:
-        pairs = pair_generator(documents)
-    comp = connected_components(pairs)
+        if pair_generator is None:
+            pairs = neardup_jaccard(documents, threshold=threshold)
+        else:
+            pairs = pair_generator(documents)
+        comp = connected_components(pairs)
     cut_train = int(train * _HASH60_SPACE)
     cut_valid = int((train + valid) * _HASH60_SPACE)
     labelled = (
