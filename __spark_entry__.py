@@ -1344,6 +1344,26 @@ def _q_sessions_stream(spark, sf):
     )
 
 
+def _q_view_purchase_stream_join(spark, sf):
+    """Stream-stream interval join through the real readStream path (both
+    sides watermarked, append mode): an INNER stream-stream join emits each
+    pair on match — the watermark only bounds state — so the finite-source
+    result is exactly the batch interval join (r11 graduation; DuckDB twin
+    in streaming/join.py). Timestamps emitted as BIGINT micros."""
+    from baum_welch_spark.streaming.join import view_purchase_stream_join
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    # 120-minute correlation window: the sparse synthetic stream yields 65
+    # pairs at sf0.01 (5 min gives only 2 — too thin to pin the bounds)
+    stream = view_purchase_stream_join(stream_events(spark, sf), window_minutes=120)
+    run_to_memory(stream, "view_purchase_join_face", output_mode="append")
+    return spark.sql(
+        "SELECT purchase_id, user_id, view_id, unix_micros(v_ts) AS v_ts_us, "
+        "unix_micros(p_ts) AS p_ts_us FROM view_purchase_join_face "
+        "ORDER BY purchase_id, view_id"
+    )
+
+
 def _q_spend_alerts(spark, sf):
     """Stateful streaming alerts (streaming/alerts.py spend_alert_stream:
     applyInPandasWithState) driven to completion over the finite file
@@ -1423,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "windowed_counts_stream": _q_windowed_counts_stream,
         "sessions_stream": _q_sessions_stream,
+        "view_purchase_stream_join": _q_view_purchase_stream_join,
         "viterbi_topk": _q_viterbi_topk,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "dq_report_orders": _q_dq_report,
@@ -1467,7 +1488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "doc_quality": _q_doc_quality,
         "event_pivot": _q_event_pivot,
-        "events_cube": _q_events_cube,
         # ---- driver's 50-entry window ends here (lang_id, minhash_lsh and
         # pack_sequences were displaced to #51-53 by the three new r11 faces
         # prepare_training_corpus / windowed_counts_stream / sessions_stream
@@ -1476,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-verified green in r8-r10 and is code-unchanged since its
         # last check (face-hash manifest). Next-stalest first: these head
         # the r12 rotation list.
+        "events_cube": _q_events_cube,
         "events_rollup": _q_events_rollup,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "lang_id": _q_lang_id,
@@ -1596,6 +1617,12 @@ def _sessions_stream_sql() -> str:
     from baum_welch_spark.streaming.sessionize import sessions_stream_sql
 
     return sessions_stream_sql(gap_minutes=30)
+
+
+def _view_purchase_join_sql() -> str:
+    from baum_welch_spark.streaming.join import view_purchase_join_sql
+
+    return view_purchase_join_sql(window_minutes=120)
 
 
 def _cdc_apply_batch_sql() -> str:
@@ -1810,10 +1837,12 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": dedup.leakage_split_sql(),
         "skew_report_events": skew.skew_report_sql("events", ["user_id", "event_type"]),
         "spend_alerts_stream": SPEND_ALERTS_SQL,
-        # r11 streaming graduations: windowed counts + gap sessions through
-        # the real readStream path, batch twins in streaming/sessionize.py
+        # r11 streaming graduations: windowed counts + gap sessions +
+        # stream-stream interval join through the real readStream path,
+        # batch twins in streaming/sessionize.py and streaming/join.py
         "windowed_counts_stream": _windowed_counts_stream_sql(),
         "sessions_stream": _sessions_stream_sql(),
+        "view_purchase_stream_join": _view_purchase_join_sql(),
         "dq_report_orders": dq.dq_report_sql(
             "orders",
             [dict(r, ref="customer") if r["rule"] == "fk" else r for r in _DQ_RULES],

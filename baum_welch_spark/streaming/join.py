@@ -48,3 +48,22 @@ def view_purchase_stream_join(
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id", "v_ts", "p_ts")
+
+
+#: DuckDB-exact oracle for the view_purchase_stream_join face (r11): an
+#: INNER stream-stream join emits each qualifying pair as soon as both
+#: sides have arrived (the watermark only bounds buffered state, it gates
+#: nothing on the output path), so over a finite source the appended set
+#: is exactly the batch interval join — strict/inclusive bounds compared
+#: at integer-microsecond resolution on both engines, timestamps emitted
+#: as BIGINT micros so no timestamp canonicalization is involved.
+def view_purchase_join_sql(window_minutes: int = 5) -> str:
+    return f"""
+SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+       epoch_us(v.ts) AS v_ts_us, epoch_us(p.ts) AS p_ts_us
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts > p.ts - INTERVAL {window_minutes} MINUTE AND v.ts <= p.ts
+ORDER BY purchase_id, view_id
+"""

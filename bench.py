@@ -76,6 +76,7 @@ SINGLE_RUN = SELF_EXECUTING | {
     # r11: same class — windowed counts + gap sessions through readStream
     "windowed_counts_stream",
     "sessions_stream",
+    "view_purchase_stream_join",
     # r11: five-stage corpus build (pair-gen + components twice + gate)
     "prepare_training_corpus",
 }
