@@ -1304,8 +1304,6 @@ def _q_windowed_counts_stream(spark, sf):
     source); DuckDB-exact against the epoch-floor batch twin — window
     starts emitted as BIGINT micros so no timestamp canonicalization is
     involved (r11 graduation, same recipe as spend_alerts_stream)."""
-    from pyspark.sql import functions as F
-
     from baum_welch_spark.streaming.sessionize import (
         run_to_memory,
         stream_events,

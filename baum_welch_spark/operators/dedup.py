@@ -921,13 +921,19 @@ def minhash_lsh_pairs_incremental(
     alongside the index and rebuild on mismatch.
     """
     if base_index is not None:
-        nb = base_index.select(F.count_distinct("band").alias("nb")).first().nb
-        if nb not in (0, bands):
+        chk = base_index.agg(
+            F.count_distinct("band").alias("nb"), F.max("band").alias("hi")
+        ).first()
+        # both predicates, one bounded aggregate: the distinct count catches
+        # a NARROWER banding (built with fewer bands), the max-ordinal bound
+        # catches shifted/filtered indexes whose distinct count happens to
+        # equal `bands` but whose ordinals are out of range (review r11)
+        if chk.nb not in (0, bands) or (chk.hi is not None and chk.hi >= bands):
             raise ValueError(
-                f"base_index carries {nb} distinct band ordinals but the "
-                f"banding parameters say bands={bands} — it was built under "
-                "a different (num_hashes, bands); rebuild it with "
-                "banded_signatures(base_docs, num_hashes, bands)"
+                f"base_index carries {chk.nb} distinct band ordinals "
+                f"(max {chk.hi}) but the banding parameters say bands={bands} "
+                "— it was built under a different (num_hashes, bands); "
+                "rebuild it with banded_signatures(base_docs, num_hashes, bands)"
             )
     a = banded_signatures(new_docs, num_hashes, bands).alias("a")
     b = (

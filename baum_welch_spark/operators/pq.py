@@ -671,6 +671,12 @@ def knn_ivfpq_query(
     centroids, books, codes = ivfpq_read_index(spark, index_path)
     q_rows = _normalized(query_embeddings).orderBy("vec_id").collect()
     q_ids = [int(r.vec_id) for r in q_rows]
+    if not q_rows:
+        # empty query batch: the chunk loop would never run (review r11) —
+        # return the empty result frame the pre-chunking path produced
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cos double, rk int"
+        )
     scored = None
     for lo in range(0, len(q_rows), chunk_size):
         part = _ivfpq_score_chunk(

@@ -178,7 +178,10 @@ def skew_report(df: DataFrame, key_cols: Sequence[str], p: float = 0.99) -> Data
     - ``top_key`` / ``top_count`` / ``top_share`` — the single hottest key
       (ties broken by min key string, so the row is deterministic and the
       face DuckDB-exact; NULL keys count as the sentinel string ``<NULL>``
-      so both engines group and order them identically).
+      so both engines group and order them identically — an in-band
+      sentinel, so a column whose LEGITIMATE values include the literal
+      string ``<NULL>`` merges those rows with the true NULLs; pick key
+      columns accordingly).
 
     Plan: per column one map-side-combined count shuffle (the same shape the
     eventual aggregation would take, so profiling cost ~= one pass of the

@@ -126,16 +126,23 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 #: can't be breaks), and HUGEINT is pinned to BIGINT as in SESSIONIZE_SQL.
 def sessions_stream_sql(gap_minutes: int = 30) -> str:
     gap_us = gap_minutes * 60 * 1_000_000
+    # the running-sum window orders by (us, event_id) — the SAME total
+    # order as the brk lag window. Ordering by us alone left tied
+    # timestamps straddling a break nondeterministic: with e1/e2 tied 1us
+    # past a session end, e1 carries brk=1; a sum frame that happened to
+    # enumerate e2 first would assign e2 to the PREVIOUS session (review
+    # r11). Ties carry brk=0 beyond the first, so under the shared total
+    # order both land in the new session, matching session_window.
     return f"""
 WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS us, value,
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
               WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us} THEN 1
               ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
-  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )
