@@ -1362,6 +1362,31 @@ def _q_view_purchase_stream_join(spark, sf):
     )
 
 
+def _q_score_stream(spark, sf):
+    """Incremental HMM scoring through the real readStream path
+    (applyInPandasWithState: per-user scaled-forward alpha held in O(N)
+    state, update mode) — the streaming twin of the reference's core
+    scoring surface, DuckDB-exact against the SAME recursive forward-CTE
+    oracle as the batch seq_scores face (r11 graduation). The final
+    per-user row (max t_len) must equal the batch forward log-likelihood;
+    n_late is 0 on the in-order finite source."""
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.operators.sequences import symbol_dict
+    from baum_welch_spark.sources.io import load_table
+    from baum_welch_spark.streaming.score import score_stream
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    sym = symbol_dict(load_table(spark, sf, "events"))
+    model = HMM.random(4, len(sym), seed=42)
+    stream = score_stream(stream_events(spark, sf), model, sym)
+    run_to_memory(stream, "score_stream_face", output_mode="update")
+    return spark.sql(
+        "SELECT user_id, t_len, round(loglik, 6) AS loglik, n_late FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t_len DESC) AS rn"
+        "  FROM score_stream_face) WHERE rn = 1 ORDER BY user_id"
+    )
+
+
 def _q_spend_alerts(spark, sf):
     """Stateful streaming alerts (streaming/alerts.py spend_alert_stream:
     applyInPandasWithState) driven to completion over the finite file
@@ -1442,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts_stream": _q_windowed_counts_stream,
         "sessions_stream": _q_sessions_stream,
         "view_purchase_stream_join": _q_view_purchase_stream_join,
+        "score_stream": _q_score_stream,
         "viterbi_topk": _q_viterbi_topk,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
         "dq_report_orders": _q_dq_report,
@@ -1485,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
         "doc_quality": _q_doc_quality,
-        "event_pivot": _q_event_pivot,
         # ---- driver's 50-entry window ends here (lang_id, minhash_lsh and
         # pack_sequences were displaced to #51-53 by the three new r11 faces
         # prepare_training_corpus / windowed_counts_stream / sessions_stream
@@ -1494,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-verified green in r8-r10 and is code-unchanged since its
         # last check (face-hash manifest). Next-stalest first: these head
         # the r12 rotation list.
+        "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
         "events_rollup": _q_events_rollup,
         "fingerprint_clusters": _q_fingerprint_clusters,
@@ -1615,6 +1641,17 @@ def _sessions_stream_sql() -> str:
     from baum_welch_spark.streaming.sessionize import sessions_stream_sql
 
     return sessions_stream_sql(gap_minutes=30)
+
+
+def _score_stream_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.decode import score_oracle_sql
+
+    inner = score_oracle_sql(HMM.random(4, 5, seed=42))
+    return (
+        "SELECT seq_id AS user_id, t_len, loglik, CAST(0 AS BIGINT) AS n_late "
+        f"FROM ({inner}) ORDER BY user_id"
+    )
 
 
 def _view_purchase_join_sql() -> str:
@@ -1841,6 +1878,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts_stream": _windowed_counts_stream_sql(),
         "sessions_stream": _sessions_stream_sql(),
         "view_purchase_stream_join": _view_purchase_join_sql(),
+        # the streaming scorer shares the batch forward-CTE oracle
+        "score_stream": _score_stream_oracle(),
         "dq_report_orders": dq.dq_report_sql(
             "orders",
             [dict(r, ref="customer") if r["rule"] == "fk" else r for r in _DQ_RULES],

@@ -77,6 +77,7 @@ SINGLE_RUN = SELF_EXECUTING | {
     "windowed_counts_stream",
     "sessions_stream",
     "view_purchase_stream_join",
+    "score_stream",
     # r11: five-stage corpus build (pair-gen + components twice + gate)
     "prepare_training_corpus",
 }
