@@ -463,6 +463,18 @@ def _q_approx_distinct_users(spark, sf):
     return approx_distinct_users(*_tables(spark, sf, "events"))
 
 
+def _q_hll_distinct_users(spark, sf):
+    from baum_welch_spark.operators.sketches import hll_distinct_users
+
+    return hll_distinct_users(*_tables(spark, sf, "events"))
+
+
+def _q_value_sampled_quantiles(spark, sf):
+    from baum_welch_spark.operators.sampling import sampled_quantiles
+
+    return sampled_quantiles(*_tables(spark, sf, "events"))
+
+
 def _q_knn_ivf_kmeans(spark, sf):
     from baum_welch_spark.operators.clustering import knn_ivf_kmeans
 
@@ -1461,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_distinct_users, knn_ivf_kmeans, value_approx_quantiles), and
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
+        # Late-r11 additions (portable-sketch pair — new faces, so in-window):
+        "hll_distinct_users": _q_hll_distinct_users,
+        "value_sampled_quantiles": _q_value_sampled_quantiles,
         "prepare_training_corpus": _q_prepare_training_corpus,
         "clean_corpus": _q_clean_corpus,
         "leakage_split": _q_leakage_split,
@@ -1764,6 +1779,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
+        "hll_distinct_users": sketches.hll_distinct_users_sql(),
+        "value_sampled_quantiles": _sampled_quantiles_sql(),
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "emb_standardize": linalg.EMB_STANDARDIZE_SQL,
@@ -1842,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         # (-score, flat-ordinal) structs reproduces the kernel's stable
         # argsort bitwise (viterbi_topk_oracle_sql)
         "viterbi_topk": _viterbi_topk_oracle(),
+        "hmm_generate": _hmm_generate_oracle(),
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
@@ -1893,7 +1911,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup_lsh": similarity.cosine_lsh_oracle_sql(),
         # remaining rows-only by design: hmm_fit / knn_ivf_kmeans (iterative
         # EM / Lloyd loops) and approx_distinct_users /
-        # value_approx_quantiles (engine-specific sketches)
+        # value_approx_quantiles (engine-specific sketches — their PORTABLE
+        # twins hll_distinct_users / value_sampled_quantiles are hash-exact)
     }
 
 
@@ -1901,6 +1920,12 @@ def _sampling_sql() -> str:
     from baum_welch_spark.operators.sampling import STRATIFIED_SAMPLE_SQL
 
     return STRATIFIED_SAMPLE_SQL
+
+
+def _sampled_quantiles_sql() -> str:
+    from baum_welch_spark.operators.sampling import SAMPLED_QUANTILES_SQL
+
+    return SAMPLED_QUANTILES_SQL
 
 
 def _cap_sql() -> str:
@@ -1947,6 +1972,15 @@ def _viterbi_reestimate_oracle() -> str:
     from baum_welch_spark.hmm.viterbi_train import viterbi_reestimate_oracle_sql
 
     return viterbi_reestimate_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _hmm_generate_oracle() -> str:
+    # same model/params as _q_hmm_generate; the SQL replays the counter-RNG
+    # chains exactly (generate.py docstring has the bit-stability argument)
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.generate import generate_oracle_sql
+
+    return generate_oracle_sql(HMM.random(4, 5, seed=42), 200, 20, 7)
 
 
 def _em_reestimate_oracle() -> str:

@@ -157,6 +157,70 @@ WHERE (('0x' || substr(md5(event_id::VARCHAR || ':5'), 1, 15))::BIGINT % 1000000
 """
 
 
+def sampled_quantiles(
+    events: DataFrame, rate: float = 0.2, seed: int = 23
+) -> DataFrame:
+    """Portable sample-based quantile sketch: exact interpolated quantiles
+    over a deterministic hash sample, next to the full-data truth —
+    (event_type, p50, p95, p50_est, p95_est), ordered by event_type.
+
+    The quantile story in one face: ``value_quantiles`` is the exact
+    operator (full sort-agg), ``value_approx_quantiles`` is the engine-
+    native sketch (engine-private internals, rows-only checkable), and THIS
+    is the portable sketch — because membership is the MD5 hash of the row
+    key, any engine reconstructs the identical sample and hence the
+    identical estimate, so an *approximate* quantile gets a DuckDB-exact
+    oracle (same trick as the portable HLL in ``sketches.py``).
+
+    Scale: the full-data sort-agg you cannot afford at 100 TB shrinks to
+    ``rate`` of the rows before the shuffle (the filter sits on the scan);
+    sample error is O(1/sqrt(rate * n_group)) — at 100 TB even rate = 1e-4
+    leaves millions of rows per group, far tighter than any fixed-memory
+    sketch. The exact twin columns here are sf-scale evidence of that bound.
+    """
+    est = (
+        events.filter(_bucket("event_id", seed) < F.lit(int(rate * _BUCKETS)))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_est"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    return exact.join(est, "event_type").orderBy("event_type")
+
+
+# driver face: quantiles over the seed-23, 20% hash sample of events vs the
+# full-data truth. DuckDB rebuilds the identical sample row set (portable
+# MD5 membership), and interpolated quantiles over identical rows agree to
+# 6 dp (same cross-engine contract value_quantiles already pins).
+SAMPLED_QUANTILES_SQL = """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE (('0x' || substr(md5(event_id::VARCHAR || ':23'), 1, 15))::BIGINT % 1000000)
+        < 200000
+),
+est AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_est,
+         round(quantile_cont(value, 0.95), 6) AS p95_est
+  FROM s GROUP BY event_type
+),
+ex AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.95), 6) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.p50, ex.p95, est.p50_est, est.p95_est
+FROM ex JOIN est ON est.event_type = ex.event_type
+ORDER BY ex.event_type
+"""
+
+
 def mixture_sample(
     df: DataFrame, group_col: str, weights: dict, key_col: str, seed: int = 7
 ) -> DataFrame:
