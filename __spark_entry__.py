@@ -989,9 +989,10 @@ def _q_rolling_user_spend(spark, sf):
 
 
 def _q_posterior_sample(spark, sf):
-    # rows-only by nature (posterior draws are sampling, not SQL); pytest
-    # pins empirical marginals to the exact gammas at 4 sigma, structural
-    # zeros under masked models, and partition-invariant determinism
+    # DuckDB-exact since late r11: the counter-RNG uniforms make every FFBS
+    # draw replayable in SQL (hmm/sample.py ffbs_oracle_sql); pytest
+    # additionally pins empirical marginals to the exact gammas at 4 sigma,
+    # structural zeros under masked models, and partition determinism
     from baum_welch_spark.hmm import HMM
     from baum_welch_spark.hmm.sample import posterior_sample
     from baum_welch_spark.operators.sequences import build_sequences
@@ -1860,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         # argsort bitwise (viterbi_topk_oracle_sql)
         "viterbi_topk": _viterbi_topk_oracle(),
         "hmm_generate": _hmm_generate_oracle(),
+        "posterior_sample": _posterior_sample_oracle(),
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
@@ -1981,6 +1983,16 @@ def _hmm_generate_oracle() -> str:
     from baum_welch_spark.hmm.generate import generate_oracle_sql
 
     return generate_oracle_sql(HMM.random(4, 5, seed=42), 200, 20, 7)
+
+
+def _posterior_sample_oracle() -> str:
+    # same model/n_samples/seed as _q_posterior_sample; the descending
+    # recursive CTE redraws every FFBS sample with the identical counter
+    # uniforms (hmm/sample.py module docstring has the risk argument)
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.sample import ffbs_oracle_sql
+
+    return ffbs_oracle_sql(HMM.random(4, 5, seed=42), n_samples=3)
 
 
 def _em_reestimate_oracle() -> str:

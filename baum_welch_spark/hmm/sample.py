@@ -18,10 +18,16 @@ s_t ~ alpha_hat[t] * A[:, s_{t+1}] (normalized). All ``n_samples`` draws
 for a sequence vectorize across the sample axis (one categorical draw per
 (t, sample) via inverse-CDF on a shared uniform block).
 
-Determinism: the per-sequence RNG is seeded with (seed, seq_id), so output
-is reproducible, independent of partitioning, and independent of which
-Arrow batch a sequence lands in — the sampling analogue of the engine's
-no-rand() discipline.
+Determinism: every uniform is the counter-based portable hash
+``portable_hash60(seed:seq_id:sample_id:t) / 2^60`` (same convention as
+`hmm/generate.py`), so output is reproducible, independent of partitioning,
+independent of which Arrow batch a sequence lands in — and replayable in
+ANSI SQL: :func:`ffbs_oracle_sql` reruns the identical forward filter and
+backward draws in DuckDB. The only cross-engine gap is the forward pass's
+float-summation order (~1e-12, same as every γ-based oracle here); a draw
+flips only if a uniform lands within that margin of a CDF threshold —
+probability ~1e-12 per draw, the same accepted risk class as the rounded
+entropy/γ faces.
 
 Scale: identical to viterbi_decode — model broadcast, narrow mapInPandas,
 no shuffle; output is n_samples rows per sequence.
@@ -29,6 +35,7 @@ no shuffle; output is n_samples rows per sequence.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -40,21 +47,47 @@ from baum_welch_spark.hmm.model import HMM
 
 SAMPLE_SCHEMA = "seq_id bigint, sample_id int, path_str string"
 
+#: 2^60 — the portable hash is 60 bits (see functions/columns.portable_hash60)
+_HASH_SCALE = float(1 << 60)
+
+
+def _u01_block(seed: int, seq_id: int, n_samples: int, t_len: int) -> np.ndarray:
+    """(n_samples, T) counter-RNG uniforms: MD5(seed:seq:k:t)[:15 hex]/2^60,
+    the exact convention ffbs_oracle_sql replays in SQL."""
+    return np.array(
+        [
+            [
+                int(
+                    hashlib.md5(f"{seed}:{seq_id}:{k}:{t}".encode()).hexdigest()[:15],
+                    16,
+                )
+                / _HASH_SCALE
+                for t in range(t_len)
+            ]
+            for k in range(n_samples)
+        ]
+    )
+
 
 def _ffbs_one(
     pi: np.ndarray, A: np.ndarray, B: np.ndarray, obs: np.ndarray,
-    n_samples: int, rng: np.random.Generator,
+    u: np.ndarray,
 ) -> np.ndarray:
-    """(n_samples, T) posterior path draws for one sequence."""
+    """(n_samples, T) posterior path draws for one sequence, from the
+    (n_samples, T) uniform block ``u``."""
     from baum_welch_spark.hmm.kernel import forward_backward
 
     alpha, _, _, _ = forward_backward(pi, A, B, obs)
     T = obs.shape[0]
-    out = np.empty((n_samples, T), dtype=np.int32)
-    u = rng.random((n_samples, T))
-    # s_T ~ filtered marginal at T-1 (alpha_hat rows are normalized)
+    N = pi.shape[0]
+    out = np.empty((u.shape[0], T), dtype=np.int32)
+    # s_T ~ filtered marginal at T-1 (alpha_hat rows are normalized); the
+    # clip guards u == 1.0 (possible for counter uniforms: 2^60-adjacent
+    # hashes round up), which searchsorted would map to N
     cdf = np.cumsum(alpha[T - 1])
-    out[:, T - 1] = np.searchsorted(cdf, u[:, T - 1] * cdf[-1], side="right")
+    out[:, T - 1] = np.minimum(
+        np.searchsorted(cdf, u[:, T - 1] * cdf[-1], side="right"), N - 1
+    )
     for t in range(T - 2, -1, -1):
         # w[k] proportional to alpha[t] * A[:, s_{t+1}[k]], per sample k
         w = alpha[t][None, :] * A[:, out[:, t + 1]].T  # (n_samples, N)
@@ -82,10 +115,8 @@ def posterior_sample(
             for seq_id, obs in zip(pdf["seq_id"], pdf["obs"]):
                 if obs is None or len(obs) == 0:
                     continue
-                rng = np.random.default_rng([seed, int(seq_id)])
-                draws = _ffbs_one(
-                    pi, A, B, np.asarray(obs, dtype=np.int64), n_samples, rng
-                )
+                u = _u01_block(seed, int(seq_id), n_samples, len(obs))
+                draws = _ffbs_one(pi, A, B, np.asarray(obs, dtype=np.int64), u)
                 for k in range(n_samples):
                     ids.append(int(seq_id))
                     sids.append(k)
@@ -93,6 +124,74 @@ def posterior_sample(
             yield pd.DataFrame({"seq_id": ids, "sample_id": sids, "path_str": paths})
 
     return sequences.mapInPandas(sample, schema=SAMPLE_SCHEMA)
+
+
+def ffbs_oracle_sql(model: HMM, n_samples: int = 1, seed: int = 42) -> str:
+    """ANSI-SQL (DuckDB) replay of :func:`posterior_sample`: the shared
+    alpha CTE (decode._fb_ctes — the same scaled forward filter) plus a
+    DESCENDING recursive CTE that redraws every backward sample with the
+    identical counter uniforms and the identical left-associated CDF sums.
+
+    Threshold semantics mirror the NumPy ops exactly: the t = T-1 draw is
+    ``searchsorted(side='right')`` == first threshold strictly above u'
+    (``WHEN u' < c_k``); the backward draws count strict-less thresholds
+    (``WHEN u' <= c_k``). Thresholds are products/sums of alpha values that
+    agree across engines to ~1e-12 (see module docstring for the accepted
+    flip-risk argument)."""
+    from baum_welch_spark.hmm.decode import _fb_ctes, _lit
+
+    model = model.validate()
+    N = model.pi.shape[0]
+    A = model.A
+    j1 = range(1, N + 1)
+
+    def u_expr(t_expr: str) -> str:
+        key = f"'{seed}:' || s.user_id || ':' || s.sample_id || ':' || {t_expr}"
+        return f"(('0x' || substr(md5({key}), 1, 15))::BIGINT / {_HASH_SCALE!r})"
+
+    def u_top(t_expr: str) -> str:
+        key = f"'{seed}:' || a.user_id || ':' || k.sample_id || ':' || {t_expr}"
+        return f"(('0x' || substr(md5({key}), 1, 15))::BIGINT / {_HASH_SCALE!r})"
+
+    # t = T-1 pick: u' = u * (p1+..+pN); searchsorted-right over the cumsum
+    top_total = " + ".join(f"a.p{i}" for i in j1)
+    top_branches = " ".join(
+        f"WHEN ({u_top('a.t')} * ({top_total})) < ({' + '.join(f'a.p{m}' for m in range(1, i + 1))}) THEN {i - 1}"
+        for i in range(1, N)
+    )
+    top_pick = f"CASE {top_branches} ELSE {N - 1} END"
+
+    # backward pick conditioned on the next state j: w_i = alpha_t(i)·A_ij,
+    # strict-less count over the left-assoc cumsum
+    def back_pick(j: int) -> str:
+        w = [f"a.p{i} * {_lit(A[i - 1][j - 1])}" for i in j1]
+        total = " + ".join(w)
+        branches = " ".join(
+            f"WHEN ({u_expr('a.t')} * ({total})) <= ({' + '.join(w[:i])}) THEN {i - 1}"
+            for i in range(1, N)
+        )
+        return f"CASE {branches} ELSE {N - 1} END"
+
+    back = " ".join(f"WHEN s.s = {j - 1} THEN ({back_pick(j)})" for j in j1)
+    return (
+        _fb_ctes(model)
+        + f"""
+samples AS (SELECT range::INTEGER AS sample_id FROM range(0, {n_samples})),
+samp AS MATERIALIZED (
+  WITH RECURSIVE samp_r AS (
+    SELECT a.user_id, k.sample_id, a.t, ({top_pick}) AS s
+    FROM alpha a JOIN lens l ON l.user_id = a.user_id AND a.t = l.t_len - 1
+    CROSS JOIN samples k
+    UNION ALL
+    SELECT s.user_id, s.sample_id, a.t, (CASE {back} END) AS s
+    FROM samp_r s JOIN alpha a ON a.user_id = s.user_id AND a.t = s.t - 1
+  ) SELECT * FROM samp_r
+)
+SELECT user_id AS seq_id, sample_id,
+       string_agg(s::VARCHAR, ',' ORDER BY t) AS path_str
+FROM samp GROUP BY 1, 2
+"""
+    )
 
 
 ENTROPY_SCHEMA = "seq_id bigint, t_len int, loglik double, entropy double, entropy_rate double"
