@@ -946,6 +946,42 @@ def _q_hmm_fit_grouped(spark, sf):
     return fit_per_event_class(*_tables(spark, sf, "events"), max_iter=3)
 
 
+def _seg_sequences(spark, sf):
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 3).cast("string"))
+    )
+
+
+def _q_hmm_fit_grouped_dist(spark, sf):
+    # rows-only (iterative EM); pinned at 1e-8 against fit_grouped's
+    # sequential-per-group oracle in tests/test_grouped.py — the large-group
+    # trainer: one distributed E-step job per iteration over ALL groups
+    from baum_welch_spark.hmm.grouped import fit_grouped_distributed
+    from baum_welch_spark.operators.sequences import symbol_dictionary
+
+    (events,) = _tables(spark, sf, "events")
+    n_obs = symbol_dictionary(events, "event_type").count()
+    return fit_grouped_distributed(
+        spark, _seg_sequences(spark, sf), 3, n_obs, max_iter=3
+    ).orderBy("group", "kind", "i", "j")
+
+
+def _q_em_reestimate_grouped(spark, sf):
+    # DuckDB-exact: one grouped soft-EM step under a fixed model — pins the
+    # grouped count shuffle + per-(group,kind,i) normalize end-to-end
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_reestimate_grouped
+
+    return em_reestimate_grouped(
+        spark, _seg_sequences(spark, sf), HMM.random(4, 5, seed=42)
+    )
+
+
 def _q_user_spend_deciles(spark, sf):
     from baum_welch_spark.operators.relational import user_spend_deciles
 
@@ -1474,9 +1510,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_distinct_users, knn_ivf_kmeans, value_approx_quantiles), and
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
-        # Late-r11 additions (portable-sketch pair — new faces, so in-window):
+        # Late-r11 additions (new faces, so in-window): the portable-sketch
+        # pair and the grouped-trainer pair (distributed large-group EM +
+        # its exact one-step pin)
         "hll_distinct_users": _q_hll_distinct_users,
         "value_sampled_quantiles": _q_value_sampled_quantiles,
+        "em_reestimate_grouped": _q_em_reestimate_grouped,
+        "hmm_fit_grouped_dist": _q_hmm_fit_grouped_dist,
         "prepare_training_corpus": _q_prepare_training_corpus,
         "clean_corpus": _q_clean_corpus,
         "leakage_split": _q_leakage_split,
@@ -1865,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
+        "em_reestimate_grouped": _em_reestimate_grouped_oracle(),
         # posterior decode: forward+backward recursions as recursive CTEs,
         # same literal-model convention (hmm_generate stays rows-only —
         # sampling from λ is not SQL-expressible)
@@ -1983,6 +2024,15 @@ def _hmm_generate_oracle() -> str:
     from baum_welch_spark.hmm.generate import generate_oracle_sql
 
     return generate_oracle_sql(HMM.random(4, 5, seed=42), 200, 20, 7)
+
+
+def _em_reestimate_grouped_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_reestimate_oracle_sql
+
+    return em_reestimate_oracle_sql(
+        HMM.random(4, 5, seed=42), group_expr="('seg' || ({u} % 3))"
+    )
 
 
 def _posterior_sample_oracle() -> str:

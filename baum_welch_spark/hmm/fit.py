@@ -145,6 +145,109 @@ def expected_counts(
     return raw.groupBy("kind", "i", "j").agg(F.sum("weight").alias("weight"))
 
 
+GROUPED_COUNTS_SCHEMA = "group string, kind string, i int, j int, weight double"
+
+
+def grouped_e_step_udf(bc_models):
+    """mapInPandas function for one E-step pass over (group, obs) rows with
+    a PER-GROUP model: ``bc_models.value`` is {group: (pi, A, B)}, with an
+    optional ``None`` key as the shared default (every group not frozen out
+    uses it — the one-step re-estimate case). Groups absent from the dict
+    (and no default) are skipped — that is how the driver loop freezes
+    converged groups without repartitioning the corpus.
+
+    Emits one flattened count block per (Arrow batch, group): the same
+    in-UDF map-side combine as ``e_step_udf``, so per-iteration shuffle
+    volume is O(partitions × groups-per-partition × N(N+M)) — corpus-size
+    independent, exactly the single-model posture with a group key added.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        models = bc_models.value
+        default = models.get(None)
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for group, sub in pdf.groupby("group", sort=False):
+                triple = models.get(group, default)
+                if triple is None:
+                    continue
+                pi, A, B = triple
+                obs_list = [
+                    np.asarray(o, dtype=np.int64)
+                    for o in sub["obs"]
+                    if o is not None and len(o) > 0
+                ]
+                if not obs_list:
+                    continue
+                a = acc.setdefault(
+                    str(group),
+                    [np.zeros_like(pi), np.zeros_like(A), np.zeros(B.shape), 0.0],
+                )
+                a[3] += e_step_counts_batch(pi, A, B, obs_list, a[0], a[1], a[2])
+        if not acc:
+            return
+        groups, kinds, iis, jjs, weights = [], [], [], [], []
+        for group, (cpi, cA, cB, ll) in acc.items():
+            n, m = cA.shape[0], cB.shape[1]
+            block_kinds = [KIND_INITIAL] * n
+            block_i = [0] * n
+            block_j = list(range(n))
+            block_w = list(cpi)
+            for i in range(n):
+                block_kinds += [KIND_TRANSITION] * n
+                block_i += [i] * n
+                block_j += list(range(n))
+                block_w += list(cA[i])
+            for i in range(n):
+                block_kinds += [KIND_EMISSION] * m
+                block_i += [i] * m
+                block_j += list(range(m))
+                block_w += list(cB[i])
+            block_kinds.append(KIND_LOGLIK)
+            block_i.append(0)
+            block_j.append(0)
+            block_w.append(ll)
+            groups += [group] * len(block_kinds)
+            kinds += block_kinds
+            iis += block_i
+            jjs += block_j
+            weights += block_w
+        yield pd.DataFrame(
+            {"group": groups, "kind": kinds,
+             "i": np.array(iis, dtype=np.int32),
+             "j": np.array(jjs, dtype=np.int32), "weight": weights}
+        )
+
+    return compute
+
+
+def expected_counts_grouped(sequences_with_group: DataFrame, bc_models) -> DataFrame:
+    """One grouped E-step over (group, obs) rows -> aggregated counts
+    (group, kind, i, j, weight) including each group's loglik row."""
+    raw = sequences_with_group.select("group", "obs").mapInPandas(
+        grouped_e_step_udf(bc_models), schema=GROUPED_COUNTS_SCHEMA
+    )
+    return raw.groupBy("group", "kind", "i", "j").agg(F.sum("weight").alias("weight"))
+
+
+def em_reestimate_grouped(
+    spark: SparkSession, sequences_with_group: DataFrame, model: HMM
+) -> DataFrame:
+    """One grouped soft-EM re-estimation step: every group's counts under
+    the same FIXED ``model``, normalized per (group, kind, i) — the grouped
+    twin of :func:`em_reestimate`, and the DuckDB-exact pin for the grouped
+    count shuffle itself (the aggregation path ``fit_grouped_distributed``
+    iterates). Output: (group, kind, i, j, prob) rounded to 6 dp."""
+    bc = spark.sparkContext.broadcast({None: (model.pi, model.A, model.B)})
+    counts = expected_counts_grouped(sequences_with_group, bc)
+    w = Window.partitionBy("group", "kind", "i")
+    return (
+        counts.filter((F.col("kind") != KIND_LOGLIK) & (F.col("weight") > 0))
+        .withColumn("prob", F.col("weight") / F.sum("weight").over(w))
+        .select("group", "kind", "i", "j", F.round(F.col("prob"), 6).alias("prob"))
+    )
+
+
 def normalize_counts(counts: DataFrame) -> DataFrame:
     """M-step normalize as a Catalyst window — the DuckDB-checkable face of
     the reference reducer's normalize (BaumWelchReducer.java:133-149)."""
@@ -352,14 +455,19 @@ def em_reestimate(
     )
 
 
-def em_reestimate_oracle_sql(model: HMM) -> str:
+def em_reestimate_oracle_sql(model: HMM, group_expr: str | None = None) -> str:
     """ANSI-SQL (DuckDB) oracle for em_reestimate: the shared scaled
     forward/backward CTEs (decode._fb_ctes), γ as alpha_hat * beta_hat
     (the kernel's own convention — NOT per-step renormalized, it already
     sums to 1), ξ_t(i,j) = p_i(t) · A_ij · B_j(o_{t+1}) · b_j(t+1) / s(t+1)
     (kernel.py module doc), summed by plain GROUP BYs and normalized with
     the same count/Σcount window as the Spark side. The two engines sum γ/ξ
-    in different float orders (~1e-12 agreement); both round to 6 dp."""
+    in different float orders (~1e-12 agreement); both round to 6 dp.
+
+    ``group_expr``: optional SQL expression with a ``{u}`` placeholder for
+    the sequence id — when given, the oracle becomes the grouped twin
+    (em_reestimate_grouped): every branch additionally groups by it and
+    the normalize window partitions by (group, kind, i)."""
     from baum_welch_spark.hmm.decode import _blist, _fb_ctes, _lit
     from baum_welch_spark.hmm.model import (
         KIND_EMISSION,
@@ -377,23 +485,34 @@ def em_reestimate_oracle_sql(model: HMM) -> str:
         for i in j1
         for j in j1
     )
+
+    def grp(alias: str) -> str:
+        # leading select-list / group-by fragments for the grouped variant
+        if group_expr is None:
+            return ""
+        return group_expr.format(u=f"{alias}user_id") + " AS grp, "
+
+    gby1 = "GROUP BY 1 " if group_expr is not None else ""
+    gby1c = "GROUP BY 1, " if group_expr is not None else "GROUP BY "
     # HAVING > 0 on every branch: the Spark face drops exactly-zero count
     # cells (sparse-output contract), so the oracle must too — an initial/
     # transition branch with no WHERE would otherwise always emit a row
     init_branches = "\n  UNION ALL\n".join(
-        f"  SELECT '{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0 HAVING sum(g{j}) > 0"
+        f"  SELECT {grp('')}'{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g WHERE t = 0 {gby1}HAVING sum(g{j}) > 0"
         for j in j1
     )
     trans_branches = "\n  UNION ALL\n".join(
-        f"  SELECT '{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi HAVING sum(x{i}_{j}) > 0"
+        f"  SELECT {grp('')}'{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi {gby1}HAVING sum(x{i}_{j}) > 0"
         for i in j1
         for j in j1
     )
     emit_branches = "\n  UNION ALL\n".join(
-        f"  SELECT '{KIND_EMISSION}', {j - 1}, c.sym, sum(g.g{j})"
-        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t GROUP BY c.sym HAVING sum(g.g{j}) > 0"
+        f"  SELECT {grp('g.')}'{KIND_EMISSION}', {j - 1}, c.sym, sum(g.g{j})"
+        f" FROM g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t {gby1c}c.sym HAVING sum(g.g{j}) > 0"
         for j in j1
     )
+    out_group = 'grp AS "group", ' if group_expr is not None else ""
+    win_group = "grp, " if group_expr is not None else ""
     return (
         _fb_ctes(model)
         + f"""
@@ -417,8 +536,8 @@ raw AS (
   UNION ALL
 {emit_branches}
 )
-SELECT kind, i::INTEGER AS i, j::INTEGER AS j,
-       round(weight / sum(weight) OVER (PARTITION BY kind, i), 6) AS prob
+SELECT {out_group}kind, i::INTEGER AS i, j::INTEGER AS j,
+       round(weight / sum(weight) OVER (PARTITION BY {win_group}kind, i), 6) AS prob
 FROM raw
 """
     )

@@ -81,6 +81,129 @@ def fit_grouped(
     )
 
 
+def fit_grouped_distributed(
+    spark,
+    sequences_with_group: DataFrame,
+    n_hidden: int,
+    n_observed: int,
+    max_iter: int = 5,
+    tol: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Train one HMM per group with a DISTRIBUTED E-step — the large-group
+    complement of :func:`fit_grouped`.
+
+    ``fit_grouped`` shuffles each group's whole corpus into one task and
+    runs sequential EM there: parallelism = group count, wall = the largest
+    group. That is right for many small groups, and exactly wrong when a
+    few groups hold most of the data (per-domain models over a 100 TB
+    corpus with 10 domains: 10 tasks do all the work). This variant keeps
+    the single-model ``fit`` posture — per iteration ONE job over ALL
+    groups' sequences (parallelism = partitions, wherever the data sits),
+    an in-UDF map-side combine per (batch, group), a
+    groupBy(group, kind, i, j) count shuffle that is model×groups-sized,
+    and a driver M-step per group on the collected tiny counts. Converged
+    groups freeze out of later iterations (their sequences are filtered
+    before the E-step, so finished groups cost nothing).
+
+    Same init contract as fit_grouped (every group starts from
+    ``HMM.random(n_hidden, n_observed, seed)``); per-group results match
+    fit_grouped to float-summation order (pinned at 1e-8 in
+    tests/test_grouped.py — the grouped analogue of the fit-vs-sequential
+    pin). Driver memory is O(groups × N(N+M)): fine for the per-domain /
+    per-segment cardinalities this targets; for millions of tiny groups use
+    fit_grouped.
+
+    Output: the same tidy GROUPED_MODEL_SCHEMA rows as fit_grouped.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from baum_welch_spark.hmm.fit import expected_counts_grouped
+    from baum_welch_spark.hmm.kernel import m_step
+    from baum_welch_spark.hmm.model import (
+        KIND_EMISSION,
+        KIND_INITIAL,
+        KIND_TRANSITION,
+    )
+    from baum_welch_spark.hmm.fit import KIND_LOGLIK
+
+    init = HMM.random(n_hidden, n_observed, seed=seed)
+    data = sequences_with_group.select("group", "seq_id", "obs")
+    caller_persisted = data.storageLevel.useMemory or data.storageLevel.useDisk
+    if not caller_persisted:
+        data = data.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # group inventory + sequence counts: one group-cardinality-sized
+        # collect (the trainer's output is per-group models, so group count
+        # bounds driver memory by definition)
+        meta = data.groupBy("group").agg(F.count(F.lit(1)).alias("n_seqs")).collect()
+        models: dict[str, HMM] = {str(r.group): init for r in meta}
+        n_seqs = {str(r.group): int(r.n_seqs) for r in meta}
+        last_ll: dict[str, float] = {}
+        active = set(models)
+        sc = spark.sparkContext
+        for _ in range(max_iter):
+            if not active:
+                break
+            src = (
+                data
+                if len(active) == len(models)
+                else data.filter(F.col("group").isin(sorted(active)))
+            )
+            bc = sc.broadcast(
+                {g: (models[g].pi, models[g].A, models[g].B) for g in active}
+            )
+            try:
+                rows = expected_counts_grouped(src, bc).collect()
+            finally:
+                bc.unpersist()
+            acc: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            ll_now: dict[str, float] = {}
+            for r in rows:
+                g = str(r.group)
+                if r.kind == KIND_LOGLIK:
+                    ll_now[g] = r.weight
+                    continue
+                if g not in acc:
+                    acc[g] = (
+                        np.zeros(n_hidden),
+                        np.zeros((n_hidden, n_hidden)),
+                        np.zeros((n_hidden, n_observed)),
+                    )
+                cpi, cA, cB = acc[g]
+                if r.kind == KIND_INITIAL:
+                    cpi[r.j] += r.weight
+                elif r.kind == KIND_TRANSITION:
+                    cA[r.i, r.j] += r.weight
+                elif r.kind == KIND_EMISSION:
+                    cB[r.i, r.j] += r.weight
+            for g, tri in acc.items():
+                new_model = m_step(*tri)
+                delta = models[g].distance(new_model)
+                models[g] = new_model
+                last_ll[g] = ll_now.get(g, float("nan"))
+                if tol > 0 and delta < tol:
+                    active.discard(g)
+    finally:
+        if not caller_persisted:
+            data.unpersist()
+
+    out_rows = []
+    for g in sorted(models):
+        m = models[g]
+        ll = last_ll.get(g, float("nan"))
+        ns = n_seqs[g]
+        for i in range(n_hidden):
+            out_rows.append((g, "pi", i, -1, float(m.pi[i]), ll, ns))
+        for i in range(n_hidden):
+            for j in range(n_hidden):
+                out_rows.append((g, "A", i, j, float(m.A[i, j]), ll, ns))
+        for i in range(n_hidden):
+            for j in range(n_observed):
+                out_rows.append((g, "B", i, j, float(m.B[i, j]), ll, ns))
+    return spark.createDataFrame(out_rows, schema=GROUPED_MODEL_SCHEMA)
+
+
 def decode_grouped(
     sequences_with_group: DataFrame, grouped_models: DataFrame
 ) -> DataFrame:

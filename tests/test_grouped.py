@@ -114,3 +114,80 @@ def test_decode_grouped_inner_semantics(spark):
     models = fit_grouped(seqs.filter(F.col("group") == "a"), 2, 2, max_iter=1)
     out = decode_grouped(seqs, models).collect()
     assert {r.group for r in out} == {"a"}
+
+
+def test_distributed_grouped_fit_matches_sequential_per_group(spark, events):
+    """fit_grouped_distributed is the large-group twin: same init, same
+    per-group EM semantics, distributed E-step — models must agree with
+    fit_grouped to float-summation order (1e-8, the same tolerance as the
+    single-model fit-vs-sequential pin)."""
+    from baum_welch_spark.hmm.grouped import fit_grouped_distributed
+
+    n_obs = symbol_dictionary(events, "event_type").count()
+    seqs = build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 3).cast("string"))
+    )
+    a = {
+        (r.group, r.kind, r.i, r.j): (r.weight, r.loglik, r.n_seqs)
+        for r in fit_grouped(seqs, 3, n_obs, max_iter=4).collect()
+    }
+    b = {
+        (r.group, r.kind, r.i, r.j): (r.weight, r.loglik, r.n_seqs)
+        for r in fit_grouped_distributed(spark, seqs, 3, n_obs, max_iter=4).collect()
+    }
+    assert set(a) == set(b)
+    assert all(a[k][2] == b[k][2] for k in a)  # n_seqs exact
+    assert max(abs(a[k][0] - b[k][0]) for k in a) < 1e-8
+    assert max(abs(a[k][1] - b[k][1]) for k in a) < 1e-6  # loglik magnitudes
+
+
+def test_distributed_grouped_fit_freezes_converged_groups(spark, events):
+    """With a loose tol every group converges early and freezes out of the
+    loop; the output must still carry one full model per group, and each
+    model must equal its sequential run with the same tol."""
+    from baum_welch_spark.hmm.grouped import fit_grouped_distributed
+
+    n_obs = symbol_dictionary(events, "event_type").count()
+    seqs = build_sequences(events).withColumn(
+        "group", F.concat(F.lit("seg"), (F.col("seq_id") % 2).cast("string"))
+    )
+    out = fit_grouped_distributed(
+        spark, seqs, 3, n_obs, max_iter=50, tol=1e-3
+    ).collect()
+    assert {r.group for r in out} == {"seg0", "seg1"}
+    local = seqs.select("group", "seq_id", "obs").collect()
+    for g in ("seg0", "seg1"):
+        obs = [
+            np.asarray(r["obs"])
+            for r in sorted(local, key=lambda r: r["seq_id"])
+            if r["group"] == g
+        ]
+        model, _ = sequential_baum_welch(
+            HMM.random(3, n_obs, seed=42), obs, max_iter=50, tol=1e-3
+        )
+        rows = {(r.kind, r.i, r.j): r.weight for r in out if r.group == g}
+        for i in range(3):
+            assert abs(rows[("pi", i, -1)] - model.pi[i]) < 1e-8
+            for j in range(3):
+                assert abs(rows[("A", i, j)] - model.A[i, j]) < 1e-8
+            for k in range(n_obs):
+                assert abs(rows[("B", i, k)] - model.B[i, k]) < 1e-8
+
+
+def test_grouped_reestimate_rows_match_ungrouped_on_single_group(spark, events):
+    """em_reestimate_grouped with ONE group must reproduce em_reestimate's
+    probabilities exactly (same kernel, same normalize, plus a constant
+    group key)."""
+    from baum_welch_spark.hmm.fit import em_reestimate, em_reestimate_grouped
+
+    seqs = build_sequences(events)
+    m = HMM.random(4, symbol_dictionary(events, "event_type").count(), seed=7)
+    single = {
+        (r.kind, r.i, r.j): r.prob for r in em_reestimate(spark, seqs, m).collect()
+    }
+    grouped = em_reestimate_grouped(
+        spark, seqs.withColumn("group", F.lit("all")), m
+    ).collect()
+    assert {r.group for r in grouped} == {"all"}
+    got = {(r.kind, r.i, r.j): r.prob for r in grouped}
+    assert got == single

@@ -40,6 +40,11 @@ ALLOWED = {
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
     "hmm/fit.py": {"collect": 1, "toPandas": 0},
+    # distributed grouped EM: one group-cardinality meta collect + the
+    # per-iteration (groups x model)-sized count-stripe collect — the
+    # grouped analogue of fit.py's site (groups bound driver memory by
+    # the trainer's own output contract)
+    "hmm/grouped.py": {"collect": 2, "toPandas": 0},
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
     # Gaussian-emission EM: model-sized stripe collect (fit loop) + the
@@ -123,13 +128,14 @@ def test_driver_window_stays_oracle_dense():
         # vs sequential NumPy oracles, bit-exact restarts, monotone loglik
         # (tests/test_fit.py, test_grouped.py, test_generate.py,
         # test_sample.py, test_classifier.py, test_bpe.py)
-        "hmm_generate",
+        # (hmm_generate and posterior_sample graduated to DuckDB-exact in
+        # late r11 via the counter-RNG replay oracles)
         "emb_pca",  # eigh-based PCA — sign/rotation not SQL-canonical
         "quality_classifier",
         "bpe_merges",
         "hmm_fit_grouped",
+        "hmm_fit_grouped_dist",  # distributed large-group EM, 1e-8 parity pin
         "grouped_decode",
-        "posterior_sample",
         "compression_ratio",  # zlib byte-stream ratio — engine-specific
         # ANN serving family: k-means/PQ training inside; recall-vs-brute
         # + partition-pruning + chunk-invariance pytests (tests/test_pq.py)
