@@ -128,7 +128,12 @@ def fit_grouped_distributed(
     from baum_welch_spark.hmm.fit import KIND_LOGLIK
 
     init = HMM.random(n_hidden, n_observed, seed=seed)
-    data = sequences_with_group.select("group", "seq_id", "obs")
+    # cast the group key to string up front: the broadcast model dict is
+    # keyed by str, and a non-string group column would otherwise miss the
+    # lookup inside the E-step UDF and silently drop the group
+    data = sequences_with_group.select(
+        F.col("group").cast("string").alias("group"), "seq_id", "obs"
+    )
     caller_persisted = data.storageLevel.useMemory or data.storageLevel.useDisk
     if not caller_persisted:
         data = data.persist(StorageLevel.MEMORY_AND_DISK)
@@ -177,11 +182,24 @@ def fit_grouped_distributed(
                     cA[r.i, r.j] += r.weight
                 elif r.kind == KIND_EMISSION:
                     cB[r.i, r.j] += r.weight
-            for g, tri in acc.items():
+            # iterate over ACTIVE groups, not just groups that produced
+            # counts: a group whose sequences are all empty emits nothing,
+            # and sequential EM (fit_grouped) still runs its M-step on zero
+            # counts (-> uniform model, loglik 0.0) — parity demands the
+            # same here
+            for g in sorted(active):
+                tri = acc.get(
+                    g,
+                    (
+                        np.zeros(n_hidden),
+                        np.zeros((n_hidden, n_hidden)),
+                        np.zeros((n_hidden, n_observed)),
+                    ),
+                )
                 new_model = m_step(*tri)
                 delta = models[g].distance(new_model)
                 models[g] = new_model
-                last_ll[g] = ll_now.get(g, float("nan"))
+                last_ll[g] = ll_now.get(g, 0.0)
                 if tol > 0 and delta < tol:
                     active.discard(g)
     finally:

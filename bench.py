@@ -80,6 +80,9 @@ SINGLE_RUN = SELF_EXECUTING | {
     "score_stream",
     # r11: five-stage corpus build (pair-gen + components twice + gate)
     "prepare_training_corpus",
+    # late r11: distributed grouped EM — a multi-job driver loop like
+    # hmm_fit_grouped
+    "hmm_fit_grouped_dist",
 }
 
 HEADLINE = [

@@ -191,3 +191,40 @@ def test_grouped_reestimate_rows_match_ungrouped_on_single_group(spark, events):
     assert {r.group for r in grouped} == {"all"}
     got = {(r.kind, r.i, r.j): r.prob for r in grouped}
     assert got == single
+
+
+def test_distributed_grouped_fit_edge_parity(spark):
+    """Two edges the sf tables can't produce: a group whose sequences are
+    all empty (sequential EM still M-steps zero counts -> uniform model,
+    loglik 0.0) and a non-string group column (must be cast, not silently
+    dropped by the broadcast-dict lookup)."""
+    from baum_welch_spark.hmm.grouped import fit_grouped, fit_grouped_distributed
+
+    df = spark.createDataFrame(
+        [
+            ("g0", 1, [0, 1, 0]),
+            ("g0", 2, [1, 1]),
+            ("gE", 3, []),
+        ],
+        "group string, seq_id long, obs array<int>",
+    )
+    a = {
+        (r.group, r.kind, r.i, r.j): (r.weight, r.loglik)
+        for r in fit_grouped(df, 2, 2, max_iter=2).collect()
+    }
+    b = {
+        (r.group, r.kind, r.i, r.j): (r.weight, r.loglik)
+        for r in fit_grouped_distributed(spark, df, 2, 2, max_iter=2).collect()
+    }
+    assert set(a) == set(b)
+    assert max(abs(a[k][0] - b[k][0]) for k in a) < 1e-12
+    for k in a:
+        if k[0] == "gE":
+            assert a[k][1] == 0.0 and b[k][1] == 0.0
+
+    df_int = spark.createDataFrame(
+        [(7, 1, [0, 1, 0]), (7, 2, [1, 1]), (9, 3, [1, 0])],
+        "group int, seq_id long, obs array<int>",
+    )
+    out = fit_grouped_distributed(spark, df_int, 2, 2, max_iter=2).collect()
+    assert {r.group for r in out} == {"7", "9"}
