@@ -469,6 +469,16 @@ def _q_hll_distinct_users(spark, sf):
     return hll_distinct_users(*_tables(spark, sf, "events"))
 
 
+def _q_hll_distinct_stream(spark, sf):
+    # the streaming twin: registers built through the real readStream path
+    # (complete-mode stateful max, HLL_M rows of state per group forever);
+    # hash-exact on the SAME oracle as the batch face — max is
+    # order-insensitive, so streaming == batch == SQL
+    from baum_welch_spark.streaming.heavyhitters import streaming_hll_distinct
+
+    return streaming_hll_distinct(spark, sf)
+
+
 def _q_value_sampled_quantiles(spark, sf):
     from baum_welch_spark.operators.sampling import sampled_quantiles
 
@@ -1514,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair and the grouped-trainer pair (distributed large-group EM +
         # its exact one-step pin)
         "hll_distinct_users": _q_hll_distinct_users,
+        "hll_distinct_stream": _q_hll_distinct_stream,
         "value_sampled_quantiles": _q_value_sampled_quantiles,
         "em_reestimate_grouped": _q_em_reestimate_grouped,
         "hmm_fit_grouped_dist": _q_hmm_fit_grouped_dist,
@@ -1821,6 +1832,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
         "hll_distinct_users": sketches.hll_distinct_users_sql(),
+        # the streaming twin shares the batch oracle verbatim (registers
+        # are order-insensitive maxes)
+        "hll_distinct_stream": sketches.hll_distinct_users_sql(),
         "value_sampled_quantiles": _sampled_quantiles_sql(),
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,

@@ -42,3 +42,54 @@ def windowed_cms(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("w_start"), "row", "bucket", "cnt")
     )
+
+
+def streaming_hll_registers(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming HLL register table per event type: one stateful
+    ``groupBy(event_type, bucket).max(rho)`` — the streaming-distinct
+    design. State is at most HLL_M rows per group FOREVER (vs exact
+    distinct whose state grows with key cardinality), max is mergeable so
+    late/out-of-order data folds in unchanged, and the streaming registers
+    equal the batch registers on the same data exactly (max is
+    order-insensitive) — which is what lets the face below share the batch
+    face's DuckDB oracle verbatim."""
+    from baum_welch_spark.functions.columns import portable_hash60
+    from baum_welch_spark.operators.sketches import HLL_M, _hll_rho
+
+    h = portable_hash60(key)
+    return (
+        events.select(
+            "event_type",
+            (h % HLL_M).alias("bucket"),
+            _hll_rho(F.shiftright(h, 6)).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def streaming_hll_distinct(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract face: portable-HLL distinct users per event type
+    with the REGISTERS built through the real Structured Streaming path
+    (file-source micro-batches, complete mode over the finite source),
+    then estimated with the same bit-reproducible arithmetic as the batch
+    face — hash-exact on the SAME oracle SQL as ``hll_distinct_users``
+    (registers are order-insensitive maxes, so streaming == batch == SQL).
+    """
+    from baum_welch_spark.operators.sketches import hll_estimate
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    run_to_memory(streaming_hll_registers(ev), "hll_registers_stream")
+    reg = spark.table("hll_registers_stream")
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        hll_estimate(reg, ["event_type"])
+        .join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_est")
+        .orderBy("event_type")
+    )

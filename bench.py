@@ -81,8 +81,9 @@ SINGLE_RUN = SELF_EXECUTING | {
     # r11: five-stage corpus build (pair-gen + components twice + gate)
     "prepare_training_corpus",
     # late r11: distributed grouped EM — a multi-job driver loop like
-    # hmm_fit_grouped
+    # hmm_fit_grouped — and the streaming HLL (readStream micro-batches)
     "hmm_fit_grouped_dist",
+    "hll_distinct_stream",
 }
 
 HEADLINE = [

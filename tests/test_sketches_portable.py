@@ -79,3 +79,26 @@ def test_sampled_quantiles_accuracy_and_determinism(spark, events):
         assert abs(r.p95_est - r.p95) <= 0.3 * max(abs(r.p95), 1.0), r
     again = sampled_quantiles(events).collect()
     assert rows == again
+
+
+def test_streaming_hll_registers_equal_batch(spark, events):
+    """The streaming register table must equal the batch one exactly (max
+    is order-insensitive), which is what lets the streaming face share the
+    batch face's DuckDB oracle verbatim."""
+    from baum_welch_spark.operators.sketches import hll_registers
+    from baum_welch_spark.streaming.heavyhitters import streaming_hll_registers
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    run_to_memory(
+        streaming_hll_registers(stream_events(spark, f"{SF001}")),
+        "hll_reg_stream_test",
+    )
+    got = {
+        (r.event_type, r.bucket): r.rho
+        for r in spark.table("hll_reg_stream_test").collect()
+    }
+    want = {
+        (r.event_type, r.bucket): r.rho
+        for r in hll_registers(events, "user_id", ["event_type"]).collect()
+    }
+    assert got == want
