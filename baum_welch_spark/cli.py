@@ -352,6 +352,34 @@ def cmd_outliers(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Portable-sketch reports over the events table (operators/sketches.py
+    / sampling.py): 'distinct' prints per-type HLL user-cardinality
+    estimates beside exact counts; 'quantiles' prints hash-sample quantile
+    estimates beside the full-data truth. Both sketches are the
+    engine-portable variants (MD5-derived), so the same numbers are
+    reproducible in any engine."""
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-sketch")
+    events = load_table(spark, args.input, "events")
+    if args.what == "distinct":
+        from baum_welch_spark.operators.sketches import hll_distinct_users
+
+        out = hll_distinct_users(events)
+    else:
+        from baum_welch_spark.operators.sampling import sampled_quantiles
+
+        out = sampled_quantiles(events, rate=args.rate)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.limit, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_split(args) -> int:
     """Leakage-safe train/valid/test assignment (operators/dedup.py
     leakage_safe_split): every near-dup cluster lands whole in one split."""
@@ -889,6 +917,16 @@ def main(argv: list[str] | None = None) -> int:
     dqp.add_argument("-i", "--input", required=True)
     dqp.add_argument("--fail-on-violations", action="store_true")
     dqp.set_defaults(fn=cmd_dq)
+
+    skt = sub.add_parser(
+        "sketch", help="portable sketches: HLL distinct counts or sampled quantiles"
+    )
+    skt.add_argument("what", choices=["distinct", "quantiles"])
+    skt.add_argument("-i", "--input", required=True)
+    skt.add_argument("--rate", type=float, default=0.2, help="quantile sample rate")
+    skt.add_argument("-o", "--output")
+    skt.add_argument("--limit", type=int, default=20, help="rows to show without -o")
+    skt.set_defaults(fn=cmd_sketch)
 
     ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
     ol.add_argument("-i", "--input", required=True)

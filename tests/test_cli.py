@@ -426,3 +426,18 @@ def test_cli_prepare_training_corpus(spark, tmp_path, capsys):
     assert got.filter("doc_id % 50 = 0").count() == 0
     train_only = spark.read.parquet(f"{out}/split=train")
     assert 0 < train_only.count() <= n
+
+
+def test_cli_sketch_reports(spark, tmp_path):
+    out = str(tmp_path / "hll")
+    assert main(["sketch", "distinct", "-i", SF0001, "-o", out]) == 0
+    hll = spark.read.parquet(out)
+    assert set(hll.columns) == {"event_type", "n_exact", "hll_est"}
+    rows = hll.collect()
+    assert rows and all(r.hll_est > 0 for r in rows)
+
+    out2 = str(tmp_path / "quant")
+    assert main(["sketch", "quantiles", "-i", SF0001, "-o", out2]) == 0
+    q = spark.read.parquet(out2)
+    assert set(q.columns) == {"event_type", "p50", "p95", "p50_est", "p95_est"}
+    assert q.count() > 0
