@@ -485,6 +485,20 @@ def _q_value_sampled_quantiles(spark, sf):
     return sampled_quantiles(*_tables(spark, sf, "events"))
 
 
+def _q_q12_late_priority(spark, sf):
+    from baum_welch_spark.operators.relational import q12_late_priority
+
+    return q12_late_priority(*_tables(spark, sf, "orders", "lineitem"))
+
+
+def _q_q21_waiting_suppliers(spark, sf):
+    from baum_welch_spark.operators.relational import q21_waiting_suppliers
+
+    return q21_waiting_suppliers(
+        *_tables(spark, sf, "supplier", "nation", "orders", "lineitem")
+    )
+
+
 def _q_knn_ivf_kmeans(spark, sf):
     from baum_welch_spark.operators.clustering import knn_ivf_kmeans
 
@@ -1528,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_sampled_quantiles": _q_value_sampled_quantiles,
         "em_reestimate_grouped": _q_em_reestimate_grouped,
         "hmm_fit_grouped_dist": _q_hmm_fit_grouped_dist,
+        "q12_late_priority": _q_q12_late_priority,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "prepare_training_corpus": _q_prepare_training_corpus,
         "clean_corpus": _q_clean_corpus,
         "leakage_split": _q_leakage_split,
@@ -1836,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
         # are order-insensitive maxes)
         "hll_distinct_stream": sketches.hll_distinct_users_sql(),
         "value_sampled_quantiles": _sampled_quantiles_sql(),
+        "q12_late_priority": relational.Q12_SQL,
+        "q21_waiting_suppliers": relational.Q21_SQL,
         # emb_pca: rows-only by design (driver-side eigh is not SQL-expressible)
         "emb_covariance": linalg.EMB_COVARIANCE_SQL,
         "emb_standardize": linalg.EMB_STANDARDIZE_SQL,

@@ -379,6 +379,121 @@ ORDER BY o_orderpriority
 """
 
 
+def q12_late_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: join + two-grade conditional aggregation. The
+    testdata has no l_shipmode/l_commitdate (TESTDATA column adaptation,
+    same precedent as q4_late_orders' 30-day lateness), so the face counts
+    urgent-or-high vs lower-priority orders per RETURNFLAG among lineitems
+    shipped more than 60 days after their order date.
+
+    Scale: one equi-join shuffled on the order key, then a returnflag-sized
+    CASE-sum aggregate — the conditional counts fold map-side; no second
+    pass per grade.
+    """
+    late = lineitem.filter(F.col("l_shipdate").isNotNull())
+    joined = late.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame, nation: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape — the hardest join pattern in the suite: a lineitem
+    self-semi-join (the order is multi-supplier) AND a self-anti-join (this
+    supplier is the ONLY late one), over finished orders, per supplier in
+    one nation. Lateness adapts to the testdata columns (shipped > 60 days
+    after order date; no l_receiptdate/l_commitdate — q4 precedent).
+
+    Scale: lateness is computed ONCE (lineitem⋈orders on the order key);
+    the semi and anti sides then join on the order key only — Catalyst
+    runs them as LeftSemi/LeftAnti hash joins with the supplier-inequality
+    as residual condition, never materializing pair multiplicity. The
+    supplier/nation dims broadcast.
+    """
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        lineitem.join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    dim = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_9")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_9'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+"""
+
+
 def daily_revenue_ma7(orders: DataFrame) -> DataFrame:
     """Window-frame surface: daily gross revenue with a 7-row trailing moving
     average (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over the day order).
