@@ -1535,8 +1535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (D) r8 hash-exact fill. Everything below the boundary is
         # code-unchanged since its last green driver check (manifest-enforced).
         # Late-r11 additions (new faces, so in-window): the portable-sketch
-        # pair and the grouped-trainer pair (distributed large-group EM +
-        # its exact one-step pin)
+        # trio, the grouped-trainer pair (distributed large-group EM + its
+        # exact one-step pin), and the q12/q21 TPC-H shapes. Window budget
+        # note: these 7 new slots displace the 7 tail rotation targets
+        # (copy_spans, customers_without_orders, daily_revenue_ma7,
+        # decontaminate_spans, dedup_exact, doc_fingerprint, doc_quality)
+        # below the driver's 50 — a deliberate trade (new faces MUST be
+        # in-window; the displaced are code-unchanged, manifest-enforced,
+        # and green on this round's full local boards at sf0.01 AND
+        # sf0.001). r12 rotates them in.
         "hll_distinct_users": _q_hll_distinct_users,
         "hll_distinct_stream": _q_hll_distinct_stream,
         "value_sampled_quantiles": _q_value_sampled_quantiles,
