@@ -121,3 +121,40 @@ def test_posterior_entropy_zero_for_deterministic_chain(spark):
     df = spark.createDataFrame([(1, [0, 1, 0, 1])], "seq_id bigint, obs array<int>")
     r = posterior_entropy(spark, df, model).collect()[0]
     assert abs(r.entropy) < 1e-12 and abs(r.entropy_rate) < 1e-12
+
+
+def test_ffbs_kernel_clips_unit_uniform():
+    """Counter uniforms CAN be exactly 1.0 (a hash in the top 2^7 of 2^60
+    rounds up in the int->double conversion); the t = T-1 draw must clip to
+    N-1 instead of indexing out of range, and the backward draws' strict-
+    less count already tops out at N-1."""
+    import numpy as np
+
+    from baum_welch_spark.hmm.sample import _ffbs_one
+
+    pi = np.array([0.5, 0.5])
+    A = np.array([[0.9, 0.1], [0.1, 0.9]])
+    B = np.array([[0.7, 0.3], [0.2, 0.8]])
+    obs = np.array([0, 1, 0, 1])
+    u = np.ones((3, 4))  # every draw at the extreme
+    draws = _ffbs_one(pi, A, B, obs, u)
+    assert draws.shape == (3, 4)
+    assert ((draws >= 0) & (draws <= 1)).all()
+    # u = 0 hits the other edge (first bucket everywhere)
+    draws0 = _ffbs_one(pi, A, B, obs, np.zeros((2, 4)))
+    assert ((draws0 >= 0) & (draws0 <= 1)).all()
+
+
+def test_generate_kernel_clips_unit_uniform():
+    import numpy as np
+
+    from baum_welch_spark.hmm.generate import _sample_one
+
+    cum_pi = np.array([0.5, 1.0])
+    cum_A = np.array([[0.9, 1.0], [0.1, 1.0]])
+    cum_B = np.array([[0.7, 1.0], [0.2, 1.0]])
+    states, obs = _sample_one(np.ones(6), np.ones(6), cum_pi, cum_A, cum_B)
+    assert ((states >= 0) & (states <= 1)).all()
+    assert ((obs >= 0) & (obs <= 1)).all()
+    states0, obs0 = _sample_one(np.zeros(6), np.zeros(6), cum_pi, cum_A, cum_B)
+    assert ((states0 >= 0) & (states0 <= 1)).all()
