@@ -485,6 +485,43 @@ def _q_value_sampled_quantiles(spark, sf):
     return sampled_quantiles(*_tables(spark, sf, "events"))
 
 
+def _q_hybrid_search(spark, sf):
+    # RRF fusion of the BM25 lexical list and the cosine semantic list —
+    # ranks are integers and each fused score is a 2-term IEEE sum
+    # (commutative), so the face is hash-exact end-to-end
+    from baum_welch_spark.operators.fusion import hybrid_search
+
+    return hybrid_search(*_tables(spark, sf, "documents", "embeddings"))
+
+
+def _q_label_prop_docs(spark, sf):
+    # deterministic self-inclusive label propagation over the near-dup
+    # graph (4 unrolled rounds; all-integer arithmetic — hash-exact)
+    from baum_welch_spark.operators.communities import label_prop_docs
+
+    return label_prop_docs(*_tables(spark, sf, "documents"))
+
+
+def _q_ewma_user_spend(spark, sf):
+    # per-user sequential EWMA (applyInPandas chains); UNROUNDED output —
+    # the raw recursion is bit-identical across engines, rounding is the
+    # hazard here (see operators/timeseries.py docstring)
+    from baum_welch_spark.operators.timeseries import ewma_user_spend
+
+    return ewma_user_spend(*_tables(spark, sf, "events"))
+
+
+def _q_bucketed_segment_spend(spark, sf):
+    # the bucketed-layout lifecycle: write both sides bucketed on the
+    # customer key, run the exchange-free co-bucketed join (zero-shuffle
+    # plan pinned in tests/test_bucketing.py + test_fusion_communities_ts),
+    # values pinned here against the plain-join oracle
+    from baum_welch_spark.sources.bucketing import bucketed_segment_spend
+
+    orders, customer = _tables(spark, sf, "orders", "customer")
+    return bucketed_segment_spend(spark, orders, customer)
+
+
 def _q_q12_late_priority(spark, sf):
     from baum_welch_spark.operators.relational import q12_late_priority
 
@@ -1536,14 +1573,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-unchanged since its last green driver check (manifest-enforced).
         # Late-r11 additions (new faces, so in-window): the portable-sketch
         # trio, the grouped-trainer pair (distributed large-group EM + its
-        # exact one-step pin), and the q12/q21 TPC-H shapes. Window budget
-        # note: these 7 new slots displace the 7 tail rotation targets
-        # (copy_spans, customers_without_orders, daily_revenue_ma7,
-        # decontaminate_spans, dedup_exact, doc_fingerprint, doc_quality)
-        # below the driver's 50 — a deliberate trade (new faces MUST be
-        # in-window; the displaced are code-unchanged, manifest-enforced,
-        # and green on this round's full local boards at sf0.01 AND
-        # sf0.001). r12 rotates them in.
+        # exact one-step pin), the q12/q21 TPC-H shapes, and the late-r11
+        # continuation quartet — hybrid_search (RRF fusion of BM25 +
+        # cosine), label_prop_docs (deterministic community detection),
+        # ewma_user_spend (recursive-state time series), and
+        # bucketed_segment_spend (the bucketBy layout lifecycle, zero-
+        # shuffle join plan pinned in pytest). Window budget note: these 11
+        # new slots displace 11 tail rotation targets (copy_spans,
+        # customers_without_orders, daily_revenue_ma7, decontaminate_spans,
+        # dedup_exact, doc_fingerprint, doc_quality, plus bpe_token_stats/
+        # cap_per_source/chunk_documents/copy_pairs now at #51-54) below
+        # the driver's 50 — a deliberate trade (new faces MUST be in-window;
+        # the displaced are code-unchanged, manifest-enforced, and green
+        # on this round's full local boards at sf0.01 AND sf0.001). r12
+        # rotates them in.
+        "hybrid_search": _q_hybrid_search,
+        "label_prop_docs": _q_label_prop_docs,
+        "ewma_user_spend": _q_ewma_user_spend,
+        "bucketed_segment_spend": _q_bucketed_segment_spend,
         "hll_distinct_users": _q_hll_distinct_users,
         "hll_distinct_stream": _q_hll_distinct_stream,
         "value_sampled_quantiles": _q_value_sampled_quantiles,
@@ -1590,6 +1637,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "value_approx_quantiles": _q_value_approx_quantiles,
         "asof_purchase_view": _q_asof,
+        # ---- driver's 50-entry window ends here after the late-r11
+        # continuation quartet (hybrid_search/label_prop_docs/
+        # ewma_user_spend/bucketed_segment_spend) displaced bpe_token_stats,
+        # cap_per_source, chunk_documents, and copy_pairs to #51-54; all
+        # four displaced faces are code-unchanged (manifest-enforced) and
+        # green on this session's full 166-face local board at sf0.01.
+        # Everything below heads the r12 rotation, stalest first.
         "bpe_token_stats": _q_bpe_token_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_documents": _q_chunk_documents,
@@ -1601,14 +1655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
         "doc_quality": _q_doc_quality,
-        # ---- driver's 50-entry window ends here (lang_id, minhash_lsh and
-        # pack_sequences were displaced to #51-53 by the three new r11 faces
-        # prepare_training_corpus / windowed_counts_stream / sessions_stream
-        # — all three displaced faces unchanged since their r8 in-window
-        # checks, heading the r12 rotation); everything below was
-        # driver-verified green in r8-r10 and is code-unchanged since its
-        # last check (face-hash manifest). Next-stalest first: these head
-        # the r12 rotation list.
+        # (historical r11 boundary marker — the window now ends at
+        # asof_purchase_view above.) Everything below was driver-verified
+        # green in r8-r10 and is code-unchanged since its last check
+        # (face-hash manifest). Next-stalest first: these head the r12
+        # rotation list.
         "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
         "events_rollup": _q_events_rollup,
@@ -1791,9 +1842,11 @@ def oracle_sql() -> dict[str, str]:
         anomaly,
         asof,
         clustering,
+        communities,
         corpus,
         dedup,
         dq,
+        fusion,
         graph,
         layout,
         linalg,
@@ -1808,7 +1861,9 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         skew,
         text,
+        timeseries,
     )
+    from baum_welch_spark.sources import bucketing
 
     return {
         "q6_forecast_revenue": relational.Q6_SQL,
@@ -1854,6 +1909,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
+        "hybrid_search": fusion.HYBRID_SEARCH_SQL,
+        "label_prop_docs": communities.LABEL_PROP_DOCS_SQL,
+        "ewma_user_spend": timeseries.EWMA_USER_SPEND_SQL,
+        "bucketed_segment_spend": bucketing.BUCKETED_SEGMENT_SPEND_SQL,
         "hll_distinct_users": sketches.hll_distinct_users_sql(),
         # the streaming twin shares the batch oracle verbatim (registers
         # are order-insensitive maxes)

@@ -1,0 +1,196 @@
+"""Community detection by synchronous label propagation (Raghavan et al.
+2007) over an edge list — the companion of :mod:`.graph`'s PageRank and
+:mod:`.dedup`'s connected components: where components answer "which docs
+are transitively linked at all", label propagation finds DENSE regions
+inside a component (a big weakly-joined blob splits into its duplicate
+families), which is the granularity a dedup reviewer actually wants.
+
+The reference has no graph surface (SURVEY §2.5); beyond-reference §2.7.
+
+Determinism: textbook LPA breaks count ties randomly and updates
+asynchronously; this implementation is the DETERMINISTIC variant —
+synchronous rounds, FIXED iteration count, SELF-INCLUSIVE plurality
+(the node's own label votes once beside its neighbors') with ties broken
+by the smallest label — so the result is a pure function of the edge set
+and both engines replay it bit-for-bit (all arithmetic is integer). The
+self-vote is load-bearing, not a style choice: without it a synchronous
+round on an isolated duplicate PAIR swaps the two labels every round (the
+classic sync-LPA 2-cycle), so pairs — the most common duplicate family —
+would never converge; with it, both endpoints tie {a:1+1, b:1+1} round 1
+and the min-label rule settles them together immediately.
+
+Scale posture (100 TB near-dup graph):
+
+- One round = ONE shuffled aggregation: neighbor labels grouped by
+  (dst, label) with map-side partial counts, then a per-dst top-1 window
+  (dst-count parallelism, never a global sort). Edge frame is persisted
+  hash-partitioned on ``src`` once, so per-round work re-uses the same
+  co-location exactly like :func:`.graph.pagerank`.
+- Label frames are node-count-sized and localCheckpoint'ed per round
+  (truncates lineage; both the join and next round read materialized
+  partitions).
+- Iterations are FIXED (default 4): on near-dup graphs the diameter of a
+  duplicate family is tiny, and fixed rounds keep the DuckDB oracle a
+  plain unrolled CTE chain (same trick as ``pagerank_docs_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lp_step(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One synchronous round: (node, label) -> (node, label).
+
+    New label of v = the plurality over {v's own label} union {labels of
+    v's in-neighbors} (edges are symmetrized by the callers, so in == out),
+    smallest label on count ties. Exactly one shuffled count + a per-node
+    window; the self-vote rides the same aggregation as one extra row per
+    node (node-count-sized, dwarfed by the edge stream).
+    """
+    votes = edges.join(labels, edges.src == labels.node).select(
+        F.col("dst"), "label"
+    ).unionByName(labels.select(F.col("node").alias("dst"), "label"))
+    counted = votes.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("dst").alias("node"), "label")
+    )
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 4) -> DataFrame:
+    """Deterministic synchronous LPA over directed ``(src, dst)`` edges
+    (symmetrize first for the undirected reading; parallel edges count
+    once — dedup is applied here). Nodes = union of srcs and dsts; initial
+    label = own node id. Isolated nodes cannot exist in an edge list; a
+    node with no IN-edges keeps its previous label through the self-vote.
+
+    Returns ``(node, label)`` where ``label`` is the smallest-id convention
+    community representative after ``max_iter`` rounds.
+    """
+    edges = edges.select("src", "dst").distinct().repartition("src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    try:
+        for _ in range(max_iter):
+            labels = labels.localCheckpoint(eager=True)
+            # the self-vote guarantees every node appears in the step output
+            # (no-in-edge nodes keep their label by winning their own
+            # single-vote plurality), so no keep-previous join is needed
+            labels = _lp_step(labels, edges)
+        return labels.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+
+
+def label_prop_docs(
+    documents: DataFrame,
+    threshold: float = 0.4,
+    max_iter: int = 4,
+    pair_generator=None,
+) -> DataFrame:
+    """Duplicate-family communities of the near-dup similarity graph: the
+    same symmetrized exact-trigram-Jaccard edges as
+    :func:`.graph.pagerank_docs` (``pair_generator`` swaps in the banded
+    MinHash path for the 100 TB corpus, same convention), labels propagated
+    ``max_iter`` deterministic rounds. Isolated docs are absent (no edges).
+
+    Output: ``(doc_id, community)`` ordered by (community, doc_id).
+    """
+    from baum_welch_spark.operators.dedup import neardup_jaccard
+
+    if pair_generator is None:
+        pairs = neardup_jaccard(documents, threshold=threshold)
+    else:
+        pairs = pair_generator(documents)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return (
+        label_propagation(edges, max_iter=max_iter)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+        .orderBy("community", "doc_id")
+    )
+
+
+def label_prop_docs_sql(max_iter: int = 4, threshold: float = 0.4) -> str:
+    """DuckDB oracle for :func:`label_prop_docs`: the fixed-round
+    propagation UNROLLED into plain CTE stages (the ``pagerank_docs_sql``
+    trick — recursive CTEs cannot aggregate over the recursive reference,
+    fixed rounds do not need one). Every stage is the same self-inclusive
+    integer count + (count DESC, label ASC) top-1 the Spark window runs
+    (the self-vote rides a UNION ALL of the previous stage); the edge
+    chain is
+    dedup.NEARDUP_JACCARD_SQL's committed trigram-Jaccard math at this
+    face's threshold, symmetrized. All arithmetic is integer, so the two
+    engines agree bit-for-bit.
+    """
+    stages = []
+    for r in range(1, max_iter + 1):
+        stages.append(f"""l{r} AS (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label, count(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY dst ORDER BY count(*) DESC, label ASC
+           ) AS rk
+    FROM (
+      SELECT e.dst, l.label
+      FROM edges e JOIN l{r - 1} l ON l.node = e.src
+      UNION ALL
+      SELECT node AS dst, label FROM l{r - 1}
+    )
+    GROUP BY dst, label
+  ) WHERE rk = 1
+)""")
+    unrolled = ",\n".join(stages)
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cold ON cold.s = a.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{unrolled}
+SELECT node AS doc_id, label AS community
+FROM l{max_iter}
+ORDER BY community, doc_id
+"""
+
+
+#: the face's oracle (driver-contract parameters)
+LABEL_PROP_DOCS_SQL = label_prop_docs_sql()

@@ -1,0 +1,198 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical (BM25) and a
+semantic (embedding cosine) ranked list — the retrieval composition an
+LLM-data pipeline actually serves (targeted corpus slicing, RAG indexing,
+decontamination probes), and the standard way to combine incomparable
+scoring scales without tuning (Cormack/Clarke/Buettcher, SIGIR'09:
+``score(d) = sum over lists of 1 / (k + rank_list(d))``).
+
+The reference has no retrieval surface (SURVEY §2.5); this extends the
+§2.7 north-star retrieval pair (:mod:`.retrieval` BM25, :mod:`.similarity`
+cosine top-k) into the fused operator.
+
+Scale posture (100 TB corpus):
+
+- The two branch operators carry the scale story (query-term-filtered
+  postings for BM25; broadcast-query brute force or IVF/LSH candidate
+  pruning for the embedding side — both audited on their own faces). The
+  fusion itself only ever touches Q x depth rows per list (user-sized),
+  grouped on (q_id, doc_id) — a KB-scale shuffle regardless of corpus size.
+- RRF needs RANKS, not scores, so the branches' per-query top-``depth``
+  windows (query-count parallelism) are the only ordering work; no global
+  sort exists anywhere in the plan.
+
+Exactness: ranks are integers, each fused score is a sum of AT MOST ONE
+term per list (two lists here) — IEEE addition of two doubles is
+commutative, so the fused score is bit-identical across engines regardless
+of aggregation order; ties break on doc_id after 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: RRF smoothing constant (the SIGIR'09 default; large enough that a
+#: rank-1-vs-2 gap cannot dominate an appears-in-both-lists signal)
+RRF_K = 60
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k_const: int = RRF_K,
+    k: int = 10,
+) -> DataFrame:
+    """Fuse ranked lists by reciprocal rank.
+
+    Each input frame must carry ``(q_id, doc_id, rk)`` with ``rk`` starting
+    at 1 per query (extra columns are dropped). Output:
+    ``(q_id, doc_id, rrf, rk)`` — top-``k`` per query by fused score,
+    6-dp-rounded with doc_id tiebreak so the membership is reproducible
+    across engines.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    tagged = lists[0].select("q_id", "doc_id", "rk")
+    for other in lists[1:]:
+        tagged = tagged.unionByName(other.select("q_id", "doc_id", "rk"))
+    fused = tagged.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k_const) + F.col("rk"))), 6).alias("rrf")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "doc_id", "rrf", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    depth: int = 20,
+    k: int = 10,
+    k_const: int = RRF_K,
+) -> DataFrame:
+    """Hybrid search over the shared corpus id space (``doc_id`` and
+    ``vec_id`` both index the same 0..N-1 synthetic corpus): for queries
+    0..n_queries-1, fuse
+
+    - the lexical list — :func:`..retrieval.bm25_topk` over the
+      driver-contract term queries (q_id 0..2), depth ``depth``;
+    - the semantic list — exact cosine top-``depth`` where query q's vector
+      is ``vec_id == q`` and candidates are ``vec_id >= n_queries`` (the
+      :func:`..similarity.knn_brute` convention).
+
+    Returns the RRF top-``k`` per query: ``(q_id, doc_id, rrf, rk)``.
+    """
+    from baum_welch_spark.operators.retrieval import DEFAULT_QUERIES, bm25_topk
+    from baum_welch_spark.operators.similarity import knn_brute
+
+    if n_queries > len(DEFAULT_QUERIES):
+        raise ValueError(
+            f"n_queries={n_queries} exceeds the {len(DEFAULT_QUERIES)}-entry "
+            "driver-contract term-query set"
+        )
+    lexical = bm25_topk(documents, queries=DEFAULT_QUERIES[:n_queries], k=depth)
+    semantic = knn_brute(embeddings, n_queries=n_queries, k=depth).select(
+        "q_id", F.col("c_id").alias("doc_id"), "rk"
+    )
+    return rrf_fuse([lexical, semantic], k_const=k_const, k=k)
+
+
+def hybrid_search_sql(
+    n_queries: int = 3,
+    depth: int = 20,
+    k: int = 10,
+    k_const: int = RRF_K,
+) -> str:
+    """DuckDB-exact oracle for :func:`hybrid_search`: the BM25 chain
+    (:data:`..retrieval.BM25_TOPK_SQL`'s math, re-emitted at this face's
+    ``depth`` and query subset) plus the brute-force cosine chain
+    (:data:`..similarity.KNN_BRUTE_SQL`'s math at this ``n_queries``/
+    ``depth``), fused with the same two-term reciprocal-rank sum. Both
+    branch chains keep their committed 6-dp rank determinism, so the rank
+    integers — and therefore the fused sums — are bit-identical.
+    """
+    from baum_welch_spark.operators.retrieval import BM25_B, BM25_K1, DEFAULT_QUERIES
+
+    rows = []
+    for qid, qtext in DEFAULT_QUERIES[:n_queries]:
+        for t in dict.fromkeys(qtext.lower().split()):
+            rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH terms(q_id, token) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+doc_len AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(len_d) AS avgdl FROM doc_len),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN (SELECT DISTINCT token FROM terms)
+  GROUP BY doc_id, token
+),
+df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+bm25_scored AS (
+  SELECT t.q_id, f.doc_id,
+         round(sum(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * f.tf * ({BM25_K1} + 1)
+           / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.len_d / c.avgdl))
+         ), 6) AS score
+  FROM tf f
+  JOIN terms t ON f.token = t.token
+  JOIN df_t d ON f.token = d.token
+  JOIN doc_len l ON f.doc_id = l.doc_id
+  CROSS JOIN consts c
+  GROUP BY t.q_id, f.doc_id
+),
+lexical AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rk
+  FROM bm25_scored
+  QUALIFY rk <= {depth}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {n_queries}
+),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id >= {n_queries}
+),
+cos_scored AS (
+  SELECT q_id, c_id,
+         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
+  FROM c, q
+),
+semantic AS (
+  SELECT q_id, c_id AS doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk
+  FROM cos_scored
+  QUALIFY rk <= {depth}
+),
+fused AS (
+  SELECT q_id, doc_id,
+         round(sum(CAST(1 AS DOUBLE) / ({k_const} + rk)), 6) AS rrf
+  FROM (
+    SELECT q_id, doc_id, rk FROM lexical
+    UNION ALL
+    SELECT q_id, doc_id, rk FROM semantic
+  )
+  GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, rrf,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+FROM fused
+QUALIFY rk <= {k}
+ORDER BY q_id, rk
+"""
+
+
+#: the face's oracle (driver-contract parameters)
+HYBRID_SEARCH_SQL = hybrid_search_sql()

@@ -55,3 +55,62 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     prunes 364/365ths of the input before a single byte is read.
     """
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def bucketed_segment_spend(
+    spark: SparkSession,
+    orders: DataFrame,
+    customer: DataFrame,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Driver-contract face for the bucketed layout: land ``orders`` and
+    ``customer`` bucketed on the customer key (the write-time shuffle a
+    warehouse pays once), then run the canonical downstream job — per-
+    market-segment customer spend — as the exchange-free co-bucketed join
+    (``tests/test_bucketing.py`` pins the zero-shuffle plan; this face pins
+    the VALUES against the plain-join DuckDB oracle, proving the layout
+    path is a pure physical rewrite).
+
+    The join key is a renamed copy of ``c_custkey`` on the orders side —
+    ``cobucketed_join`` joins on a shared column name, the same convention
+    its lineitem test uses.
+
+    Output: ``(c_mktsegment, n_customers, n_orders, revenue)`` ordered by
+    segment; revenue 2-dp-rounded.
+    """
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.session import scratch_dir
+
+    base = scratch_dir("bucketed_face")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "bw_face_orders_b",
+        "c_custkey",
+        n_buckets,
+        f"{base}/orders_b",
+    )
+    write_bucketed(
+        customer, "bw_face_customer_b", "c_custkey", n_buckets, f"{base}/customer_b"
+    )
+    joined = cobucketed_join(spark, "bw_face_orders_b", "bw_face_customer_b", "c_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_SEGMENT_SPEND_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -1,0 +1,268 @@
+"""Late-r11 additions: RRF hybrid retrieval (operators/fusion.py),
+deterministic label propagation (operators/communities.py), per-key EWMA
+(operators/timeseries.py), and the bucketed-layout driver face
+(sources/bucketing.bucketed_segment_spend)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from baum_welch_spark.sources.io import load_table
+
+from conftest import SF0001
+
+
+# --------------------------------------------------------------- fusion ----
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, schema="q_id int, doc_id bigint, rk bigint")
+
+
+def test_rrf_fuse_matches_hand_computed_scores(spark):
+    from baum_welch_spark.operators.fusion import rrf_fuse
+
+    lex = _ranked(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    sem = _ranked(spark, [(0, 11, 1), (0, 13, 2)])
+    got = {r.doc_id: (r.rrf, r.rk) for r in rrf_fuse([lex, sem], k_const=60, k=10).collect()}
+    # doc 11 appears in both lists: 1/62 + 1/61
+    assert got[11][0] == round(1 / 62 + 1 / 61, 6)
+    assert got[11][1] == 1  # fused winner despite rank-1 in only one list
+    assert got[10][0] == round(1 / 61, 6)
+    assert got[13][0] == round(1 / 62, 6)
+    assert got[12][0] == round(1 / 63, 6)
+    # tie between doc 10 (lex rank 1) and doc 13 (sem... different ks) — no
+    # tie here; but ordering must be by (rrf desc, doc_id asc)
+    order = [r.doc_id for r in rrf_fuse([lex, sem]).collect()]
+    assert order == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_tiebreaks_on_doc_id(spark):
+    from baum_welch_spark.operators.fusion import rrf_fuse
+
+    lex = _ranked(spark, [(0, 20, 1), (0, 5, 2)])
+    sem = _ranked(spark, [(0, 5, 1), (0, 20, 2)])
+    rows = rrf_fuse([lex, sem]).collect()
+    # both docs score 1/61 + 1/62 — identical; smaller doc_id must rank first
+    assert [r.doc_id for r in rows] == [5, 20]
+    assert rows[0].rrf == rows[1].rrf
+
+
+def test_hybrid_search_face_shape_and_branch_containment(spark):
+    from baum_welch_spark.operators.fusion import hybrid_search
+    from baum_welch_spark.operators.retrieval import bm25_topk
+    from baum_welch_spark.operators.similarity import knn_brute
+
+    docs = load_table(spark, SF0001, "documents")
+    embs = load_table(spark, SF0001, "embeddings")
+    got = hybrid_search(docs, embs, n_queries=3, depth=20, k=10).collect()
+    assert {r.q_id for r in got} == {0, 1, 2}
+    for q in (0, 1, 2):
+        rks = [r.rk for r in got if r.q_id == q]
+        assert rks == list(range(1, len(rks) + 1))
+    # every fused doc must come from one of the two branch top-20 lists
+    lex = {(r.q_id, r.doc_id) for r in bm25_topk(docs, k=20).collect()}
+    sem = {(r.q_id, r.c_id) for r in knn_brute(embs, n_queries=3, k=20).collect()}
+    assert all((r.q_id, r.doc_id) in (lex | sem) for r in got)
+    # a doc in BOTH branches outranks the same-single-list doc one rank up:
+    # rrf in [1/61, 1/61+1/80] per branch membership — verify score bounds
+    for r in got:
+        in_both = (r.q_id, r.doc_id) in lex and (r.q_id, r.doc_id) in sem
+        if in_both:
+            assert r.rrf >= round(2 / 80.0, 6) - 1e-9
+
+
+# ---------------------------------------------------------- communities ----
+
+
+def _numpy_lpa(edge_list, iters):
+    """Sequential replica of the deterministic synchronous self-inclusive
+    rule: plurality over {own label} + in-neighbor labels, ties -> min."""
+    edges = set(edge_list)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    labels = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            votes = [labels[v]] + [labels[a] for (a, b) in edges if b == v]
+            counts = {}
+            for l in votes:
+                counts[l] = counts.get(l, 0) + 1
+            top = max(counts.values())
+            new[v] = min(l for l, c in counts.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_sequential_replica(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    # two triangles joined by one bridge edge — LPA should find two families
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edge_list = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(edge_list, schema="src bigint, dst bigint")
+    for iters in (1, 2, 4):
+        got = {r.node: r.label for r in label_propagation(edges, max_iter=iters).collect()}
+        assert got == _numpy_lpa(edge_list, iters), iters
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    # two 4-cliques with a single bridge: components would merge them,
+    # label propagation keeps them separate
+    def clique(base):
+        ns = list(range(base, base + 4))
+        return [(a, b) for a in ns for b in ns if a != b]
+
+    edge_list = clique(0) + clique(10) + [(3, 10), (10, 3)]
+    edges = spark.createDataFrame(edge_list, schema="src bigint, dst bigint")
+    got = {r.node: r.label for r in label_propagation(edges, max_iter=4).collect()}
+    left = {got[v] for v in range(0, 4)}
+    right = {got[v] for v in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_no_in_edge_node_keeps_label(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    # purely directed: node 1 has no in-edges and must keep its own label
+    # (self-vote); node 2 ties {1, 2} -> min = 1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], schema="src bigint, dst bigint")
+    got = {r.node: r.label for r in label_propagation(edges, max_iter=3).collect()}
+    assert got[1] == 1
+    assert got[2] == 1
+
+
+def test_label_propagation_isolated_pair_converges(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    # THE motivating case for the self-vote: a symmetrized isolated pair
+    # must converge to the min label, not oscillate (sync-LPA 2-cycle)
+    edges = spark.createDataFrame(
+        [(7, 9), (9, 7)], schema="src bigint, dst bigint"
+    )
+    for iters in (1, 2, 3, 4):
+        got = {r.node: r.label for r in label_propagation(edges, max_iter=iters).collect()}
+        assert got == {7: 7, 9: 7}, iters
+
+
+def test_label_prop_docs_face_consistent_with_components(spark):
+    from baum_welch_spark.operators.communities import label_prop_docs
+    from baum_welch_spark.operators.dedup import neardup_jaccard
+
+    docs = load_table(spark, SF0001, "documents")
+    got = label_prop_docs(docs).collect()
+    assert len(got) > 0
+    by_doc = {r.doc_id: r.community for r in got}
+    # every near-dup EDGE's endpoints ended in the same community after 4
+    # rounds on this corpus (families are tight cliques), and community ids
+    # are member doc ids
+    pairs = neardup_jaccard(docs, threshold=0.4).collect()
+    assert {p.doc_a for p in pairs} | {p.doc_b for p in pairs} == set(by_doc)
+    for p in pairs:
+        assert by_doc[p.doc_a] == by_doc[p.doc_b]
+    assert set(by_doc.values()) <= set(by_doc)
+
+
+# ------------------------------------------------------------ timeseries ----
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    from baum_welch_spark.operators.timeseries import ewma_user_spend
+
+    events = load_table(spark, SF0001, "events")
+    got = ewma_user_spend(events, alpha=0.5).collect()
+    assert len(got) > 0
+    # replica: daily sums (4dp) then the recursion, per user
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("spend"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(daily, key=lambda r: (r.user_id, r.day)):
+        series.setdefault(r.user_id, []).append((r.day, r.spend))
+    expect = {}
+    for uid, xs in series.items():
+        y = xs[0][1]
+        expect[(uid, xs[0][0])] = y
+        for day, x in xs[1:]:
+            y = 0.5 * y + 0.5 * x
+            expect[(uid, day)] = y
+    assert len(got) == len(expect)
+    for r in got:
+        assert r.ewma_spend == expect[(r.user_id, r.day)], (r.user_id, r.day)
+
+
+def test_ewma_alpha_one_is_identity_and_bad_alpha_raises(spark):
+    from baum_welch_spark.operators.timeseries import ewma_user_spend
+
+    events = load_table(spark, SF0001, "events")
+    rows = ewma_user_spend(events, alpha=1.0).collect()
+    for r in rows:
+        assert r.ewma_spend == r.spend
+    with pytest.raises(ValueError):
+        ewma_user_spend(events, alpha=0.0)
+
+
+def test_ewma_smooths_toward_history(spark):
+    from baum_welch_spark.operators.timeseries import ewma_user_spend
+
+    events = load_table(spark, SF0001, "events")
+    rows = ewma_user_spend(events).collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.day)):
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for series in by_user.values():
+        for prev, cur in zip(series, series[1:]):
+            lo = min(prev.ewma_spend, cur.spend) - 1e-9
+            hi = max(prev.ewma_spend, cur.spend) + 1e-9
+            assert lo <= cur.ewma_spend <= hi
+            checked += 1
+    assert checked > 10
+
+
+# ----------------------------------------------------------- bucketed face ----
+
+
+def test_bucketed_segment_spend_matches_plain_join(spark):
+    from baum_welch_spark.sources.bucketing import bucketed_segment_spend
+
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    got = bucketed_segment_spend(spark, orders, customer).collect()
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in plain]
+
+
+def test_bucketed_segment_spend_join_is_exchange_free(spark):
+    from baum_welch_spark.plans.audit import plan_report
+    from baum_welch_spark.sources.bucketing import bucketed_segment_spend, cobucketed_join
+
+    orders = load_table(spark, SF0001, "orders")
+    customer = load_table(spark, SF0001, "customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # materialize the face's bucketed tables, then audit the join stage
+        bucketed_segment_spend(spark, orders, customer).collect()
+        joined = cobucketed_join(
+            spark, "bw_face_orders_b", "bw_face_customer_b", "c_custkey"
+        )
+        rep = plan_report(joined)
+        assert rep["shuffles"] == 0, rep
+        assert rep["sortmerge_joins"] == 1, rep
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
