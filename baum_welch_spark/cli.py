@@ -595,7 +595,18 @@ def cmd_search(args) -> int:
 
     spark, _own = _session("baum-welch-search")
     docs = load_table(spark, args.input, "documents")
-    out = bm25_topk(docs, queries=[(0, args.query)], k=args.k)
+    if getattr(args, "hybrid_vec", None) is not None:
+        # hybrid: RRF-fuse the lexical list with the cosine list of the
+        # named pre-embedded query row (no embedding model ships here)
+        from baum_welch_spark.operators.fusion import rrf_fuse, semantic_topk
+
+        depth = max(args.k, 20)
+        lexical = bm25_topk(docs, queries=[(0, args.query)], k=depth)
+        embs = load_table(spark, args.input, "embeddings")
+        semantic = semantic_topk(embs, args.hybrid_vec, depth=depth)
+        out = rrf_fuse([lexical, semantic], k=args.k)
+    else:
+        out = bm25_topk(docs, queries=[(0, args.query)], k=args.k)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
@@ -988,10 +999,21 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("-o", "--output")
     co.set_defaults(fn=cmd_corpus)
 
-    se = sub.add_parser("search", help="BM25 top-k lexical search over documents")
+    se = sub.add_parser(
+        "search",
+        help="top-k search over documents: BM25 lexical, or hybrid "
+        "(BM25 + embedding cosine, RRF-fused) via --hybrid-vec",
+    )
     se.add_argument("-i", "--input", required=True)
     se.add_argument("-q", "--query", required=True)
     se.add_argument("-k", type=int, default=10)
+    se.add_argument(
+        "--hybrid-vec",
+        type=int,
+        default=None,
+        metavar="VEC_ID",
+        help="fuse with the cosine top-k of this pre-embedded query row",
+    )
     se.add_argument("-o", "--output")
     se.set_defaults(fn=cmd_search)
 

@@ -101,6 +101,40 @@ def hybrid_search(
     return rrf_fuse([lexical, semantic], k_const=k_const, k=k)
 
 
+def semantic_topk(
+    embeddings: DataFrame, q_vec_id: int, depth: int = 20, q_id: int = 0
+) -> DataFrame:
+    """Cosine top-``depth`` for ONE query vector given by corpus id (the
+    CLI's hybrid mode: the caller names the pre-embedded query row; this
+    engine ships no embedding model). Returns ``(q_id, doc_id, rk)`` in
+    :func:`rrf_fuse`'s input shape. Query row broadcast, corpus scan
+    shuffle-free — the ``knn_brute`` posture for a single query.
+    """
+    from baum_welch_spark.functions.columns import as_double_array as _as_double
+    from baum_welch_spark.functions.columns import dot as _dot
+    from baum_welch_spark.functions.columns import l2_norm as _norm
+
+    q = embeddings.filter(F.col("vec_id") == q_vec_id).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    c = embeddings.filter(F.col("vec_id") != q_vec_id).select(
+        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(F.lit(q_id)).orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= depth)
+        .select(F.lit(q_id).cast("int").alias("q_id"), "doc_id", "rk")
+    )
+
+
 def hybrid_search_sql(
     n_queries: int = 3,
     depth: int = 20,

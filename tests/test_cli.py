@@ -139,6 +139,30 @@ def test_cli_search_bpe_zorder(spark, tmp_path):
     assert zo.count() == spark.read.parquet(f"{SF0001}/events.parquet").count()
 
 
+def test_cli_hybrid_search(spark, tmp_path):
+    out = str(tmp_path / "hybrid_hits")
+    assert (
+        main(
+            ["search", "-i", SF0001, "-q", "spark join", "-k", "5",
+             "--hybrid-vec", "0", "-o", out]
+        )
+        == 0
+    )
+    hits = spark.read.parquet(out)
+    assert hits.count() == 5
+    assert set(hits.columns) == {"q_id", "doc_id", "rrf", "rk"}
+    rows = {r.rk: r for r in hits.collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    # fused scores are bounded by two rank-1 contributions
+    assert all(0 < rows[rk].rrf <= round(2 / 61, 6) for rk in rows)
+    # the query row itself (vec_id 0) is not a candidate on the semantic side
+    from baum_welch_spark.operators.fusion import semantic_topk
+    from baum_welch_spark.sources.io import load_table
+
+    sem = semantic_topk(load_table(spark, SF0001, "embeddings"), 0, depth=20)
+    assert all(r.doc_id != 0 for r in sem.collect())
+
+
 def test_cli_knn_pq_and_filter(spark, tmp_path):
     kn = str(tmp_path / "knn_pq_out")
     assert main(["knn", "-i", SF0001, "--method", "pq", "--n-queries", "2", "-k", "3", "-o", kn]) == 0
