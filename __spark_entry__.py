@@ -485,6 +485,15 @@ def _q_value_sampled_quantiles(spark, sf):
     return sampled_quantiles(*_tables(spark, sf, "events"))
 
 
+def _q_hll_overlap_custs(spark, sf):
+    # HLL set algebra: pairwise audience overlap by inclusion-exclusion
+    # over max-merged registers — one corpus scan for the whole pair
+    # matrix; exact twin carried in-face; bit-exact estimator arithmetic
+    from baum_welch_spark.operators.sketches import hll_overlap_custs
+
+    return hll_overlap_custs(*_tables(spark, sf, "orders"))
+
+
 def _q_hybrid_search(spark, sf):
     # RRF fusion of the BM25 lexical list and the cosine semantic list —
     # ranks are integers and each fused score is a 2-term IEEE sum
@@ -1576,17 +1585,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact one-step pin), the q12/q21 TPC-H shapes, and the late-r11
         # continuation quartet — hybrid_search (RRF fusion of BM25 +
         # cosine), label_prop_docs (deterministic community detection),
-        # ewma_user_spend (recursive-state time series), and
+        # ewma_user_spend (recursive-state time series),
         # bucketed_segment_spend (the bucketBy layout lifecycle, zero-
-        # shuffle join plan pinned in pytest). Window budget note: these 11
-        # new slots displace 11 tail rotation targets (copy_spans,
-        # customers_without_orders, daily_revenue_ma7, decontaminate_spans,
-        # dedup_exact, doc_fingerprint, doc_quality, plus bpe_token_stats/
-        # cap_per_source/chunk_documents/copy_pairs now at #51-54) below
+        # shuffle join plan pinned in pytest), and hll_overlap_custs (HLL
+        # set algebra: pairwise audience overlap by inclusion-exclusion).
+        # Window budget note: these 12 new slots displace 12 tail rotation
+        # targets (copy_spans, customers_without_orders, daily_revenue_ma7,
+        # decontaminate_spans, dedup_exact, doc_fingerprint, doc_quality,
+        # plus asof_purchase_view/bpe_token_stats/cap_per_source/
+        # chunk_documents/copy_pairs now at #51-55) below
         # the driver's 50 — a deliberate trade (new faces MUST be in-window;
         # the displaced are code-unchanged, manifest-enforced, and green
         # on this round's full local boards at sf0.01 AND sf0.001). r12
         # rotates them in.
+        "hll_overlap_custs": _q_hll_overlap_custs,
         "hybrid_search": _q_hybrid_search,
         "label_prop_docs": _q_label_prop_docs,
         "ewma_user_spend": _q_ewma_user_spend,
@@ -1636,14 +1648,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "value_approx_quantiles": _q_value_approx_quantiles,
-        "asof_purchase_view": _q_asof,
         # ---- driver's 50-entry window ends here after the late-r11
-        # continuation quartet (hybrid_search/label_prop_docs/
-        # ewma_user_spend/bucketed_segment_spend) displaced bpe_token_stats,
-        # cap_per_source, chunk_documents, and copy_pairs to #51-54; all
-        # four displaced faces are code-unchanged (manifest-enforced) and
-        # green on this session's full 166-face local board at sf0.01.
-        # Everything below heads the r12 rotation, stalest first.
+        # continuation quintet (hll_overlap_custs/hybrid_search/
+        # label_prop_docs/ewma_user_spend/bucketed_segment_spend) displaced
+        # asof_purchase_view, bpe_token_stats, cap_per_source,
+        # chunk_documents, and copy_pairs to #51-55; all five displaced
+        # faces are code-unchanged (manifest-enforced) and green on this
+        # session's full local boards at sf0.01. Everything below heads
+        # the r12 rotation, stalest first.
+        "asof_purchase_view": _q_asof,
         "bpe_token_stats": _q_bpe_token_stats,
         "cap_per_source": _q_cap_per_source,
         "chunk_documents": _q_chunk_documents,
@@ -1909,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
+        "hll_overlap_custs": sketches.HLL_OVERLAP_CUSTS_SQL,
         "hybrid_search": fusion.HYBRID_SEARCH_SQL,
         "label_prop_docs": communities.LABEL_PROP_DOCS_SQL,
         "ewma_user_spend": timeseries.EWMA_USER_SPEND_SQL,

@@ -264,3 +264,166 @@ est AS (
 )
 SELECT token, tf, tf_est FROM est ORDER BY tf DESC, token ASC
 """
+
+
+
+def hll_overlap(df: DataFrame, key: str, type_col: str) -> DataFrame:
+    """Sketch SET ALGEBRA on the portable HLL: audience overlap between
+    every pair of ``type_col`` values by inclusion-exclusion —
+    ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)`` where ``est(A ∪ B)`` is the
+    estimate of the MERGED register table (per-bucket max — the union of
+    two HLL sketches is exact at sketch level, the property that makes HLL
+    composable where raw distinct counts are not).
+
+    This is the 100 TB design point: the corpus is scanned ONCE into
+    per-type registers (at most ``HLL_M`` rows per type reach the shuffle
+    from each partition); every pairwise union/overlap after that is
+    arithmetic on a types x 64 row table — a 50-type cross-matrix costs no
+    additional corpus scan, while the exact twin (carried in-face as the
+    accuracy oracle) needs a per-pair distinct self-join that grows with
+    key cardinality.
+
+    Exactness: ``est`` values reuse the committed bit-exact estimator
+    (:func:`hll_estimate`); the inclusion-exclusion result is a fixed-order
+    3-term expression over those identical doubles, emitted UNROUNDED (the
+    ewma lesson: identical inputs + identical op order needs no rounding
+    convention, and rounding is itself a cross-engine hazard).
+
+    Output: ``(type_a, type_b, n_exact_overlap, est_a, est_b, est_union,
+    overlap_est)`` for type_a < type_b, ordered by (type_a, type_b).
+    """
+    base = df.select(F.col(key).alias("k"), F.col(type_col).alias("t"))
+    reg = hll_registers(base, "k", ["t"]).persist()
+    est = hll_estimate(reg, ["t"])
+    # every unordered type pair, each carrying both members' registers:
+    # pairs and registers are both types x 64 rows, so these are broadcast
+    # joins over KB-scale frames regardless of corpus size
+    types = reg.select("t").distinct()
+    pairs = types.select(F.col("t").alias("type_a")).join(
+        types.select(F.col("t").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    members = pairs.select(
+        "type_a", "type_b", F.col("type_a").alias("member")
+    ).unionByName(pairs.select("type_a", "type_b", F.col("type_b").alias("member")))
+    union_reg = (
+        reg.join(F.broadcast(members), reg.t == members.member)
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    union_est = hll_estimate(union_reg, ["type_a", "type_b"]).withColumnRenamed(
+        "hll_est", "est_union"
+    )
+    # exact overlap twin: the per-pair distinct self-join this sketch
+    # replaces at scale
+    ut = base.distinct()
+    a = ut.select(F.col("t").alias("type_a"), "k")
+    b = ut.select(F.col("t").alias("type_b"), F.col("k").alias("kb"))
+    exact = (
+        a.join(b, (a.k == b.kb) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+    out = (
+        union_est.join(
+            est.select(F.col("t").alias("type_a"), F.col("hll_est").alias("est_a")),
+            "type_a",
+        )
+        .join(
+            est.select(F.col("t").alias("type_b"), F.col("hll_est").alias("est_b")),
+            "type_b",
+        )
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_exact_overlap", F.lit(0)).alias("n_exact_overlap"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("overlap_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+    reg.unpersist()
+    return out
+
+
+def hll_overlap_custs(orders: DataFrame) -> DataFrame:
+    """Driver-contract face: customer-audience overlap across order
+    priorities (~1100 shared of ~1300 per class at sf0.01 — PARTIAL
+    overlap, so the inclusion-exclusion estimate has real signal to
+    track, unlike the saturated every-user-does-everything events table)."""
+    return hll_overlap(orders, "o_custkey", "o_orderpriority")
+
+
+def hll_overlap_sql(table: str, key: str, type_col: str) -> str:
+    """DuckDB twin of :func:`hll_overlap` — same hash, thresholds,
+    exact-BIGINT harmonic sums, literal linear-counting lookup, and the
+    same fixed-order inclusion-exclusion over the identical doubles."""
+    linear = ", ".join(repr(x) for x in _HLL_LINEAR)
+    est_case = (
+        f"CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0 "
+        f"THEN ([{linear}])[v] ELSE raw END"
+    )
+    harmonic = (
+        f"(sum(1::BIGINT << (32 - rho)) + ({HLL_M} - count(*)) * {1 << 32})"
+        f" / {float(1 << 32)!r}"
+    )
+    return f"""
+WITH h AS (
+  SELECT {type_col} AS t,
+         ('0x' || substr(md5({key}::VARCHAR), 1, 15))::BIGINT AS h
+  FROM {table}
+),
+reg AS (
+  SELECT t, h % {HLL_M} AS bucket,
+         max({_hll_rho_sql(f"(h // {HLL_M})")}) AS rho
+  FROM h GROUP BY 1, 2
+),
+est AS (
+  SELECT t, round({est_case}, 4) AS hll_est
+  FROM (
+    SELECT t, {_HLL_ALPHA_NUM!r} / ({harmonic}) AS raw,
+           {HLL_M} - count(*) AS v
+    FROM reg GROUP BY 1
+  )
+),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM (SELECT DISTINCT t FROM reg) a
+  JOIN (SELECT DISTINCT t FROM reg) b ON a.t < b.t
+),
+union_reg AS (
+  SELECT p.type_a, p.type_b, r.bucket, max(r.rho) AS rho
+  FROM pairs p
+  JOIN reg r ON r.t = p.type_a OR r.t = p.type_b
+  GROUP BY 1, 2, 3
+),
+union_est AS (
+  SELECT type_a, type_b, round({est_case}, 4) AS est_union
+  FROM (
+    SELECT type_a, type_b, {_HLL_ALPHA_NUM!r} / ({harmonic}) AS raw,
+           {HLL_M} - count(*) AS v
+    FROM union_reg GROUP BY 1, 2
+  )
+),
+ut AS (SELECT DISTINCT {key} AS k, {type_col} AS t FROM {table}),
+exact AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_exact_overlap
+  FROM ut a JOIN ut b ON a.k = b.k AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT u.type_a, u.type_b,
+       COALESCE(x.n_exact_overlap, 0) AS n_exact_overlap,
+       ea.hll_est AS est_a, eb.hll_est AS est_b, u.est_union,
+       ea.hll_est + eb.hll_est - u.est_union AS overlap_est
+FROM union_est u
+JOIN est ea ON ea.t = u.type_a
+JOIN est eb ON eb.t = u.type_b
+LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+ORDER BY u.type_a, u.type_b
+"""
+
+
+HLL_OVERLAP_CUSTS_SQL = hll_overlap_sql("orders", "o_custkey", "o_orderpriority")

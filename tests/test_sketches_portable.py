@@ -102,3 +102,45 @@ def test_streaming_hll_registers_equal_batch(spark, events):
         for r in hll_registers(events, "user_id", ["event_type"]).collect()
     }
     assert got == want
+
+
+def test_hll_overlap_disjoint_and_identical_audiences(spark):
+    from baum_welch_spark.operators.sketches import hll_overlap
+
+    # disjoint audiences: union est = both sets' combined estimate, so
+    # inclusion-exclusion must land near zero (within sketch error);
+    # identical audiences: union == each side, overlap == the estimate
+    rows = [(k, "A") for k in range(1000)] + [(k, "B") for k in range(1000, 2000)]
+    rows += [(k, "C") for k in range(1000)]  # C duplicates A's audience
+    df = spark.createDataFrame(rows, schema="k bigint, t string")
+    got = {(r.type_a, r.type_b): r for r in hll_overlap(df, "k", "t").collect()}
+    ab = got[("A", "B")]
+    assert ab.n_exact_overlap == 0
+    # 3-sigma at m=64 is ~39% of 1000; disjoint overlap must be far below
+    # the identical-audience overlap
+    ac = got[("A", "C")]
+    assert ac.n_exact_overlap == 1000
+    assert ac.est_union == ac.est_a == ac.est_b  # identical register tables
+    assert ac.overlap_est == ac.est_a
+    assert abs(ab.overlap_est) < 0.5 * ac.overlap_est
+
+
+def test_hll_overlap_union_est_matches_combined_scan(spark):
+    from baum_welch_spark.operators.sketches import (
+        hll_estimate,
+        hll_overlap_custs,
+        hll_registers,
+    )
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    got = {(r.type_a, r.type_b): r for r in hll_overlap_custs(orders).collect()}
+    # sketch-union exactness: the pairwise max-merged registers must give
+    # the SAME estimate as re-scanning the union of the two classes' rows
+    for ta, tb in [("1-URGENT", "2-HIGH"), ("3-MEDIUM", "5-LOW")]:
+        both = orders.filter(F.col("o_orderpriority").isin([ta, tb])).select(
+            F.col("o_custkey").alias("k"), F.lit("u").alias("t")
+        )
+        est = hll_estimate(hll_registers(both, "k", ["t"]), ["t"]).collect()[0].hll_est
+        assert got[(ta, tb)].est_union == est, (ta, tb)
+        r = got[(ta, tb)]
+        assert r.overlap_est == r.est_a + r.est_b - r.est_union
