@@ -1583,7 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Late-r11 additions (new faces, so in-window): the portable-sketch
         # trio, the grouped-trainer pair (distributed large-group EM + its
         # exact one-step pin), the q12/q21 TPC-H shapes, and the late-r11
-        # continuation quartet — hybrid_search (RRF fusion of BM25 +
+        # continuation quintet — hybrid_search (RRF fusion of BM25 +
         # cosine), label_prop_docs (deterministic community detection),
         # ewma_user_spend (recursive-state time series),
         # bucketed_segment_spend (the bucketBy layout lifecycle, zero-

@@ -72,12 +72,11 @@ def label_propagation(edges: DataFrame, max_iter: int = 4) -> DataFrame:
     community representative after ``max_iter`` rounds.
     """
     edges = edges.select("src", "dst").distinct().repartition("src").persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    # nodes feeds exactly one consumer (the initial label frame, which the
+    # first loop iteration eagerly checkpoints), so it needs no persist
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     try:
         for _ in range(max_iter):
@@ -89,7 +88,6 @@ def label_propagation(edges: DataFrame, max_iter: int = 4) -> DataFrame:
         return labels.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-        nodes.unpersist()
 
 
 def label_prop_docs(
@@ -131,11 +129,12 @@ def label_prop_docs_sql(max_iter: int = 4, threshold: float = 0.4) -> str:
     fixed rounds do not need one). Every stage is the same self-inclusive
     integer count + (count DESC, label ASC) top-1 the Spark window runs
     (the self-vote rides a UNION ALL of the previous stage); the edge
-    chain is
-    dedup.NEARDUP_JACCARD_SQL's committed trigram-Jaccard math at this
-    face's threshold, symmetrized. All arithmetic is integer, so the two
-    engines agree bit-for-bit.
+    chain is the SHARED :func:`..dedup.jaccard_pairs_ctes` fragment (one
+    copy of the committed trigram-Jaccard math), symmetrized. All
+    arithmetic is integer, so the two engines agree bit-for-bit.
     """
+    from baum_welch_spark.operators.dedup import jaccard_pairs_ctes
+
     stages = []
     for r in range(1, max_iter + 1):
         stages.append(f"""l{r} AS (
@@ -155,29 +154,7 @@ def label_prop_docs_sql(max_iter: int = 4, threshold: float = 0.4) -> str:
 )""")
     unrolled = ",\n".join(stages)
     return f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
-),
-sh AS (
-  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
-  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(g)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  JOIN cold ON cold.s = a.s
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id
-  JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
-),
+WITH {jaccard_pairs_ctes(threshold)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL

@@ -248,8 +248,17 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
 
 # shared CTE chain computing (node, component) over the exact Jaccard pair
 # graph at threshold 0.4 — used by DEDUP_CLUSTERS_SQL and corpus.CLEAN_CORPUS_SQL
-JACCARD_COMPONENTS_CTE = """
-WITH RECURSIVE words AS (
+def jaccard_pairs_ctes(threshold: float = 0.4) -> str:
+    """``words`` → ``pairs``: the exact-trigram-Jaccard pair chain as a
+    WITH-body fragment (no leading ``WITH``), shared by every oracle that
+    rides the near-dup pair graph — :data:`JACCARD_COMPONENTS_CTE` (and
+    through it the dedup/corpus faces) and
+    ``communities.label_prop_docs_sql`` — so the committed Jaccard math
+    (hot-shingle cap, 6-dp rounding, the threshold comparison) lives in
+    exactly ONE place. ``graph.pagerank_docs_sql`` predates this fragment
+    and keeps its own byte-frozen copy of the same math (below-window
+    oracle; fold it in when that face next rotates through the window)."""
+    return f"""words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
@@ -273,8 +282,11 @@ pairs AS (
   FROM inter
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.4
-),
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}
+)"""
+
+
+JACCARD_COMPONENTS_CTE = "\nWITH RECURSIVE " + jaccard_pairs_ctes(0.4) + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION

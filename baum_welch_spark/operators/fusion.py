@@ -117,6 +117,11 @@ def semantic_topk(
     q = embeddings.filter(F.col("vec_id") == q_vec_id).select(
         _as_double(F.col("embedding")).alias("qv")
     )
+    # a missing query row would otherwise silently yield an empty semantic
+    # list and the caller's "hybrid" result would be pure-lexical; the
+    # lookup is a pushed-filter single-row probe, so failing fast is cheap
+    if q.limit(1).count() == 0:
+        raise ValueError(f"no embedding row with vec_id={q_vec_id}")
     c = embeddings.filter(F.col("vec_id") != q_vec_id).select(
         F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("cv")
     )
@@ -141,15 +146,25 @@ def hybrid_search_sql(
     k: int = 10,
     k_const: int = RRF_K,
 ) -> str:
-    """DuckDB-exact oracle for :func:`hybrid_search`: the BM25 chain
-    (:data:`..retrieval.BM25_TOPK_SQL`'s math, re-emitted at this face's
-    ``depth`` and query subset) plus the brute-force cosine chain
-    (:data:`..similarity.KNN_BRUTE_SQL`'s math at this ``n_queries``/
-    ``depth``), fused with the same two-term reciprocal-rank sum. Both
+    """DuckDB-exact oracle for :func:`hybrid_search`: the SHARED BM25
+    posting/scoring fragments (:func:`..retrieval.bm25_postings_ctes` /
+    :data:`..retrieval.BM25_SCORE_SUM_SQL`) at this face's ``depth`` and
+    query subset, plus the shared cosine fragments
+    (:func:`..similarity.knn_split_ctes` /
+    :data:`..similarity.COSINE_QC_SQL_EXPR`), fused with the same two-term
+    reciprocal-rank sum — one copy of each branch's committed math. Both
     branch chains keep their committed 6-dp rank determinism, so the rank
     integers — and therefore the fused sums — are bit-identical.
     """
-    from baum_welch_spark.operators.retrieval import BM25_B, BM25_K1, DEFAULT_QUERIES
+    from baum_welch_spark.operators.retrieval import (
+        BM25_SCORE_SUM_SQL,
+        DEFAULT_QUERIES,
+        bm25_postings_ctes,
+    )
+    from baum_welch_spark.operators.similarity import (
+        COSINE_QC_SQL_EXPR,
+        knn_split_ctes,
+    )
 
     rows = []
     for qid, qtext in DEFAULT_QUERIES[:n_queries]:
@@ -157,25 +172,10 @@ def hybrid_search_sql(
             rows.append(f"({qid}, '{t}')")
     values = ", ".join(rows)
     return f"""
-WITH terms(q_id, token) AS (VALUES {values}),
-toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
-),
-doc_len AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY doc_id),
-consts AS (SELECT count(*) AS n_docs, avg(len_d) AS avgdl FROM doc_len),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf FROM toks
-  WHERE token IN (SELECT DISTINCT token FROM terms)
-  GROUP BY doc_id, token
-),
-df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+WITH {bm25_postings_ctes(values)},
 bm25_scored AS (
   SELECT t.q_id, f.doc_id,
-         round(sum(
-           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * f.tf * ({BM25_K1} + 1)
-           / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.len_d / c.avgdl))
-         ), 6) AS score
+         round({BM25_SCORE_SUM_SQL}, 6) AS score
   FROM tf f
   JOIN terms t ON f.token = t.token
   JOIN df_t d ON f.token = d.token
@@ -189,19 +189,10 @@ lexical AS (
   FROM bm25_scored
   QUALIFY rk <= {depth}
 ),
-q AS (
-  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
-  WHERE vec_id < {n_queries}
-),
-c AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings
-  WHERE vec_id >= {n_queries}
-),
+{knn_split_ctes(n_queries)},
 cos_scored AS (
   SELECT q_id, c_id,
-         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
+         {COSINE_QC_SQL_EXPR}
   FROM c, q
 ),
 semantic AS (

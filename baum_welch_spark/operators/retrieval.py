@@ -122,8 +122,12 @@ def _sql_query_values() -> str:
     return ", ".join(rows)
 
 
-BM25_TOPK_SQL = f"""
-WITH terms(q_id, token) AS (VALUES {_sql_query_values()}),
+def bm25_postings_ctes(values: str) -> str:
+    """``terms`` → ``df_t``: the corpus-side posting chain as a WITH-body
+    fragment (no leading ``WITH``) for the given query VALUES — one copy of
+    the committed tokenize/tf/df math, shared by :data:`BM25_TOPK_SQL` and
+    ``fusion.hybrid_search_sql``."""
+    return f"""terms(q_id, token) AS (VALUES {values}),
 toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
 ),
@@ -134,14 +138,23 @@ tf AS (
   WHERE token IN (SELECT DISTINCT token FROM terms)
   GROUP BY doc_id, token
 ),
-df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
-scored AS (
-  SELECT t.q_id, f.doc_id,
-         round(sum(
+df_t AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)"""
+
+
+#: the BM25 scoring sum over the posting chain's aliases (f/t/d/l/c) — the
+#: single copy of the committed idf x tf-norm math; wrap in round(..., 6)
+BM25_SCORE_SUM_SQL = f"""sum(
            ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
            * f.tf * ({BM25_K1} + 1)
            / (f.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.len_d / c.avgdl))
-         ), 6) AS score
+         )"""
+
+
+BM25_TOPK_SQL = f"""
+WITH {bm25_postings_ctes(_sql_query_values())},
+scored AS (
+  SELECT t.q_id, f.doc_id,
+         round({BM25_SCORE_SUM_SQL}, 6) AS score
   FROM tf f
   JOIN terms t ON f.token = t.token
   JOIN df_t d ON f.token = d.token

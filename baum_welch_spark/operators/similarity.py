@@ -102,18 +102,32 @@ ranked AS (
 SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 5
 """
 
-KNN_BRUTE_SQL = """
-WITH q AS (
-  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+def knn_split_ctes(n_queries: int) -> str:
+    """``q``/``c``: the query-vs-candidate corpus split as a WITH-body
+    fragment for the given boundary — one copy shared by
+    :data:`KNN_BRUTE_SQL` and ``fusion.hybrid_search_sql``."""
+    return f"""q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {n_queries}
 ),
 c AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5
-),
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= {n_queries}
+)"""
+
+
+#: the rounded (+0.0 signed-zero-normalized) cosine over the qv/cv aliases —
+#: one copy of the committed cosine math, shared with the fusion oracle
+#: (KNN_IVF_SQL above predates this constant and keeps its byte-frozen
+#: below-window copy of the same text; fold it in when that face rotates)
+COSINE_QC_SQL_EXPR = """round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos"""
+
+
+KNN_BRUTE_SQL = f"""
+WITH {knn_split_ctes(5)},
 scored AS (
   SELECT q_id, c_id,
-         round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) + 0.0 AS cos
+         {COSINE_QC_SQL_EXPR}
   FROM c, q
 ),
 ranked AS (

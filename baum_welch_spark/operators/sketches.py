@@ -195,10 +195,34 @@ def _hll_rho_sql(w: str) -> str:
     return f"CASE {branches} ELSE {HLL_RHO_CAP} END"
 
 
+def _hll_est_case_sql(raw: str = "raw", v: str = "v") -> str:
+    """The estimator's branch expression — raw-vs-linear-counting CASE over
+    the literal lookup table — as ONE shared SQL fragment, so the two HLL
+    oracles in this module (:func:`hll_distinct_users_sql`,
+    :func:`hll_overlap_sql`) cannot drift apart."""
+    linear = ", ".join(repr(x) for x in _HLL_LINEAR)
+    return (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {v} > 0 "
+        f"THEN ([{linear}])[{v}] ELSE {raw} END"
+    )
+
+
+def _hll_raw_v_sql() -> str:
+    """The exact-BIGINT harmonic sum -> raw estimate, plus the empty-bucket
+    count ``v`` — the shared per-group SELECT tail of both HLL oracles."""
+    return (
+        f"{_HLL_ALPHA_NUM!r} /\n"
+        f"             ((sum(1::BIGINT << (32 - rho)) + ({HLL_M} - count(*)) * {1 << 32})\n"
+        f"              / {float(1 << 32)!r}) AS raw,\n"
+        f"           {HLL_M} - count(*) AS v"
+    )
+
+
 def hll_distinct_users_sql() -> str:
     """DuckDB twin of :func:`hll_distinct_users` — same hash, same integer
-    thresholds, same exact-BIGINT harmonic sum, same literal lookup."""
-    linear = ", ".join(repr(x) for x in _HLL_LINEAR)
+    thresholds, same exact-BIGINT harmonic sum, same literal lookup; the
+    estimator arithmetic is the shared fragments (:func:`_hll_est_case_sql`
+    / :func:`_hll_raw_v_sql`) also used by :func:`hll_overlap_sql`."""
     return f"""
 WITH h AS (
   SELECT event_type,
@@ -210,24 +234,17 @@ reg AS (
          max({_hll_rho_sql(f"(h // {HLL_M})")}) AS rho
   FROM h GROUP BY 1, 2
 ),
-agg AS (
-  SELECT event_type,
-         sum(1::BIGINT << (32 - rho)) + ({HLL_M} - count(*)) * {1 << 32} AS s_int,
-         {HLL_M} - count(*) AS v
-  FROM reg GROUP BY 1
-),
 est AS (
-  SELECT event_type, v,
-         {_HLL_ALPHA_NUM!r} / (s_int / {float(1 << 32)!r}) AS raw
-  FROM agg
+  SELECT event_type, round({_hll_est_case_sql()}, 4) AS hll_est
+  FROM (
+    SELECT event_type, {_hll_raw_v_sql()}
+    FROM reg GROUP BY 1
+  )
 ),
 ex AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
 )
-SELECT e.event_type, ex.n_exact,
-       round(CASE WHEN e.raw <= {2.5 * HLL_M!r} AND e.v > 0
-                  THEN ([{linear}])[e.v]
-                  ELSE e.raw END, 4) AS hll_est
+SELECT e.event_type, ex.n_exact, e.hll_est
 FROM est e JOIN ex ON ex.event_type = e.event_type
 ORDER BY e.event_type
 """
@@ -293,7 +310,13 @@ def hll_overlap(df: DataFrame, key: str, type_col: str) -> DataFrame:
     overlap_est)`` for type_a < type_b, ordered by (type_a, type_b).
     """
     base = df.select(F.col(key).alias("k"), F.col(type_col).alias("t"))
-    reg = hll_registers(base, "k", ["t"]).persist()
+    # eager-checkpoint the register table (types x 64 rows): THREE lazy
+    # consumers read it (est, the pair-tagged union registers, and the
+    # distinct type list), and a merely-persisted frame would re-run the
+    # corpus scan per consumer when the caller finally collects (persist
+    # only helps if an action lands while it is still registered, which a
+    # lazily-returned frame cannot guarantee)
+    reg = hll_registers(base, "k", ["t"]).localCheckpoint(eager=True)
     est = hll_estimate(reg, ["t"])
     # every unordered type pair, each carrying both members' registers:
     # pairs and registers are both types x 64 rows, so these are broadcast
@@ -324,7 +347,7 @@ def hll_overlap(df: DataFrame, key: str, type_col: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
     )
-    out = (
+    return (
         union_est.join(
             est.select(F.col("t").alias("type_a"), F.col("hll_est").alias("est_a")),
             "type_a",
@@ -345,8 +368,6 @@ def hll_overlap(df: DataFrame, key: str, type_col: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
-    reg.unpersist()
-    return out
 
 
 def hll_overlap_custs(orders: DataFrame) -> DataFrame:
@@ -360,16 +381,11 @@ def hll_overlap_custs(orders: DataFrame) -> DataFrame:
 def hll_overlap_sql(table: str, key: str, type_col: str) -> str:
     """DuckDB twin of :func:`hll_overlap` — same hash, thresholds,
     exact-BIGINT harmonic sums, literal linear-counting lookup, and the
-    same fixed-order inclusion-exclusion over the identical doubles."""
-    linear = ", ".join(repr(x) for x in _HLL_LINEAR)
-    est_case = (
-        f"CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0 "
-        f"THEN ([{linear}])[v] ELSE raw END"
-    )
-    harmonic = (
-        f"(sum(1::BIGINT << (32 - rho)) + ({HLL_M} - count(*)) * {1 << 32})"
-        f" / {float(1 << 32)!r}"
-    )
+    same fixed-order inclusion-exclusion over the identical doubles; the
+    estimator arithmetic is the shared :func:`_hll_est_case_sql` /
+    :func:`_hll_raw_v_sql` fragments also used by
+    :func:`hll_distinct_users_sql`."""
+    est_case = _hll_est_case_sql()
     return f"""
 WITH h AS (
   SELECT {type_col} AS t,
@@ -384,8 +400,7 @@ reg AS (
 est AS (
   SELECT t, round({est_case}, 4) AS hll_est
   FROM (
-    SELECT t, {_HLL_ALPHA_NUM!r} / ({harmonic}) AS raw,
-           {HLL_M} - count(*) AS v
+    SELECT t, {_hll_raw_v_sql()}
     FROM reg GROUP BY 1
   )
 ),
@@ -403,8 +418,7 @@ union_reg AS (
 union_est AS (
   SELECT type_a, type_b, round({est_case}, 4) AS est_union
   FROM (
-    SELECT type_a, type_b, {_HLL_ALPHA_NUM!r} / ({harmonic}) AS raw,
-           {HLL_M} - count(*) AS v
+    SELECT type_a, type_b, {_hll_raw_v_sql()}
     FROM union_reg GROUP BY 1, 2
   )
 ),

@@ -72,6 +72,14 @@ def test_hybrid_search_face_shape_and_branch_containment(spark):
             assert r.rrf >= round(2 / 80.0, 6) - 1e-9
 
 
+def test_semantic_topk_missing_query_row_fails_fast(spark):
+    from baum_welch_spark.operators.fusion import semantic_topk
+
+    embs = load_table(spark, SF0001, "embeddings")
+    with pytest.raises(ValueError, match="vec_id=999999"):
+        semantic_topk(embs, 999999)
+
+
 # ---------------------------------------------------------- communities ----
 
 
