@@ -302,10 +302,12 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_graph(args) -> int:
-    """Doc-similarity graph analytics (operators/graph.py): build near-dup
-    edges over the documents table and compute --metric pagerank (rank
-    desc), triangles (per-doc triangle counts), or cc (local clustering
-    coefficient)."""
+    """Doc-similarity graph analytics (operators/graph.py /
+    communities.py): build near-dup edges over the documents table and
+    compute --metric pagerank (rank desc), triangles (per-doc triangle
+    counts), communities (deterministic label propagation — duplicate
+    families), or cc (local clustering coefficient)."""
+    from baum_welch_spark.operators.communities import label_prop_docs
     from baum_welch_spark.operators.dedup import neardup_jaccard
     from baum_welch_spark.operators.graph import (
         clustering_coefficient,
@@ -320,6 +322,8 @@ def cmd_graph(args) -> int:
         out = pagerank_docs(docs, threshold=args.threshold)
     elif args.metric == "triangles":
         out = triangle_docs(docs, threshold=args.threshold)
+    elif args.metric == "communities":
+        out = label_prop_docs(docs, threshold=args.threshold)
     else:  # cc
         pairs = neardup_jaccard(docs, threshold=args.threshold)
         edges = pairs.select("doc_a", "doc_b").toDF("src", "dst")
@@ -353,24 +357,28 @@ def cmd_outliers(args) -> int:
 
 
 def cmd_sketch(args) -> int:
-    """Portable-sketch reports over the events table (operators/sketches.py
-    / sampling.py): 'distinct' prints per-type HLL user-cardinality
-    estimates beside exact counts; 'quantiles' prints hash-sample quantile
-    estimates beside the full-data truth. Both sketches are the
-    engine-portable variants (MD5-derived), so the same numbers are
-    reproducible in any engine."""
+    """Portable-sketch reports (operators/sketches.py / sampling.py):
+    'distinct' prints per-event-type HLL user-cardinality estimates beside
+    exact counts; 'quantiles' prints hash-sample quantile estimates beside
+    the full-data truth; 'overlap' prints pairwise customer-audience
+    overlap across order priorities (HLL inclusion-exclusion) beside the
+    exact overlap. All are the engine-portable variants (MD5-derived), so
+    the same numbers are reproducible in any engine."""
     from baum_welch_spark.sources.io import load_table
 
     spark, _own = _session("baum-welch-sketch")
-    events = load_table(spark, args.input, "events")
     if args.what == "distinct":
         from baum_welch_spark.operators.sketches import hll_distinct_users
 
-        out = hll_distinct_users(events)
+        out = hll_distinct_users(load_table(spark, args.input, "events"))
+    elif args.what == "overlap":
+        from baum_welch_spark.operators.sketches import hll_overlap_custs
+
+        out = hll_overlap_custs(load_table(spark, args.input, "orders"))
     else:
         from baum_welch_spark.operators.sampling import sampled_quantiles
 
-        out = sampled_quantiles(events, rate=args.rate)
+        out = sampled_quantiles(load_table(spark, args.input, "events"), rate=args.rate)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:
@@ -898,7 +906,11 @@ def main(argv: list[str] | None = None) -> int:
 
     gr = sub.add_parser("graph", help="doc-similarity graph analytics: pagerank, triangles, clustering coefficient")
     gr.add_argument("-i", "--input", required=True)
-    gr.add_argument("--metric", choices=["pagerank", "triangles", "cc"], default="pagerank")
+    gr.add_argument(
+        "--metric",
+        choices=["pagerank", "triangles", "communities", "cc"],
+        default="pagerank",
+    )
     gr.add_argument("--threshold", type=float, default=0.4, help="near-dup jaccard edge threshold")
     gr.add_argument("-o", "--output")
     gr.add_argument("--limit", type=int, default=20, help="rows to show without -o")
@@ -932,7 +944,7 @@ def main(argv: list[str] | None = None) -> int:
     skt = sub.add_parser(
         "sketch", help="portable sketches: HLL distinct counts or sampled quantiles"
     )
-    skt.add_argument("what", choices=["distinct", "quantiles"])
+    skt.add_argument("what", choices=["distinct", "quantiles", "overlap"])
     skt.add_argument("-i", "--input", required=True)
     skt.add_argument("--rate", type=float, default=0.2, help="quantile sample rate")
     skt.add_argument("-o", "--output")

@@ -401,6 +401,7 @@ def test_cli_graph_metrics(spark, tmp_path):
     for metric, cols in (
         ("pagerank", {"doc_id", "rank"}),
         ("triangles", {"doc_id", "n_triangles"}),
+        ("communities", {"doc_id", "community"}),
         ("cc", {"doc_id", "deg", "n_triangles", "cc"}),
     ):
         out = str(tmp_path / metric)
@@ -465,3 +466,12 @@ def test_cli_sketch_reports(spark, tmp_path):
     q = spark.read.parquet(out2)
     assert set(q.columns) == {"event_type", "p50", "p95", "p50_est", "p95_est"}
     assert q.count() > 0
+
+    out3 = str(tmp_path / "overlap")
+    assert main(["sketch", "overlap", "-i", SF0001, "-o", out3]) == 0
+    ov = spark.read.parquet(out3)
+    assert set(ov.columns) == {
+        "type_a", "type_b", "n_exact_overlap", "est_a", "est_b",
+        "est_union", "overlap_est",
+    }
+    assert ov.count() == 10  # 5 priorities -> C(5,2) pairs
