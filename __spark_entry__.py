@@ -520,6 +520,24 @@ def _q_ewma_user_spend(spark, sf):
     return ewma_user_spend(*_tables(spark, sf, "events"))
 
 
+def _q_ewma_spend_stream(spark, sf):
+    # the streaming twin: the same per-user daily EWMA recursion held as
+    # O(1) streaming state (open-day accumulator + previous smoothed
+    # value), driven through the real readStream path; latest row per
+    # (user, day) equals the batch operator byte-for-byte, so the face
+    # shares EWMA_USER_SPEND_SQL verbatim
+    from baum_welch_spark.streaming.ewma import ewma_stream
+    from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
+
+    stream = ewma_stream(stream_events(spark, sf))
+    run_to_memory(stream, "ewma_stream_face", output_mode="update")
+    return spark.sql(
+        "SELECT user_id, day, spend, ewma_spend FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ver DESC) rn"
+        "  FROM ewma_stream_face) WHERE rn = 1 ORDER BY user_id, day"
+    )
+
+
 def _q_bucketed_segment_spend(spark, sf):
     # the bucketed-layout lifecycle: write both sides bucketed on the
     # customer key, run the exchange-free co-bucketed join (zero-shuffle
@@ -1585,19 +1603,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact one-step pin), the q12/q21 TPC-H shapes, and the late-r11
         # continuation quintet — hybrid_search (RRF fusion of BM25 +
         # cosine), label_prop_docs (deterministic community detection),
-        # ewma_user_spend (recursive-state time series),
-        # bucketed_segment_spend (the bucketBy layout lifecycle, zero-
-        # shuffle join plan pinned in pytest), and hll_overlap_custs (HLL
-        # set algebra: pairwise audience overlap by inclusion-exclusion).
-        # Window budget note: these 12 new slots displace 12 tail rotation
+        # ewma_user_spend (recursive-state time series) and its streaming
+        # twin ewma_spend_stream (same recursion as O(1) streaming state,
+        # same oracle verbatim), bucketed_segment_spend (the bucketBy
+        # layout lifecycle, zero-shuffle join plan pinned in pytest), and
+        # hll_overlap_custs (HLL set algebra: pairwise audience overlap by
+        # inclusion-exclusion).
+        # Window budget note: these 13 new slots displace 13 tail rotation
         # targets (copy_spans, customers_without_orders, daily_revenue_ma7,
         # decontaminate_spans, dedup_exact, doc_fingerprint, doc_quality,
-        # plus asof_purchase_view/bpe_token_stats/cap_per_source/
-        # chunk_documents/copy_pairs now at #51-55) below
+        # plus value_approx_quantiles/asof_purchase_view/bpe_token_stats/
+        # cap_per_source/chunk_documents/copy_pairs now at #51-56) below
         # the driver's 50 — a deliberate trade (new faces MUST be in-window;
         # the displaced are code-unchanged, manifest-enforced, and green
         # on this round's full local boards at sf0.01 AND sf0.001). r12
         # rotates them in.
+        "ewma_spend_stream": _q_ewma_spend_stream,
         "hll_overlap_custs": _q_hll_overlap_custs,
         "hybrid_search": _q_hybrid_search,
         "label_prop_docs": _q_label_prop_docs,
@@ -1647,15 +1668,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ghmm_viterbi": _q_ghmm_viterbi,
         "approx_distinct_users": _q_approx_distinct_users,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
-        "value_approx_quantiles": _q_value_approx_quantiles,
         # ---- driver's 50-entry window ends here after the late-r11
-        # continuation quintet (hll_overlap_custs/hybrid_search/
-        # label_prop_docs/ewma_user_spend/bucketed_segment_spend) displaced
+        # continuation sextet (ewma_spend_stream/hll_overlap_custs/
+        # hybrid_search/label_prop_docs/ewma_user_spend/
+        # bucketed_segment_spend) displaced value_approx_quantiles,
         # asof_purchase_view, bpe_token_stats, cap_per_source,
-        # chunk_documents, and copy_pairs to #51-55; all five displaced
+        # chunk_documents, and copy_pairs to #51-56; all six displaced
         # faces are code-unchanged (manifest-enforced) and green on this
         # session's full local boards at sf0.01. Everything below heads
         # the r12 rotation, stalest first.
+        "value_approx_quantiles": _q_value_approx_quantiles,
         "asof_purchase_view": _q_asof,
         "bpe_token_stats": _q_bpe_token_stats,
         "cap_per_source": _q_cap_per_source,
@@ -1922,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
+        "ewma_spend_stream": timeseries.EWMA_USER_SPEND_SQL,
         "hll_overlap_custs": sketches.HLL_OVERLAP_CUSTS_SQL,
         "hybrid_search": fusion.HYBRID_SEARCH_SQL,
         "label_prop_docs": communities.LABEL_PROP_DOCS_SQL,

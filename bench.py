@@ -84,6 +84,8 @@ SINGLE_RUN = SELF_EXECUTING | {
     # hmm_fit_grouped — and the streaming HLL (readStream micro-batches)
     "hmm_fit_grouped_dist",
     "hll_distinct_stream",
+    # late r11 continuation: the streaming EWMA twin (readStream micro-batches)
+    "ewma_spend_stream",
 }
 
 HEADLINE = [
