@@ -904,7 +904,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("-o", "--output")
     dd.set_defaults(fn=cmd_dedup)
 
-    gr = sub.add_parser("graph", help="doc-similarity graph analytics: pagerank, triangles, clustering coefficient")
+    gr = sub.add_parser(
+        "graph",
+        help="doc-similarity graph analytics: pagerank, triangles, "
+        "communities (label propagation), clustering coefficient",
+    )
     gr.add_argument("-i", "--input", required=True)
     gr.add_argument(
         "--metric",
@@ -942,7 +946,9 @@ def main(argv: list[str] | None = None) -> int:
     dqp.set_defaults(fn=cmd_dq)
 
     skt = sub.add_parser(
-        "sketch", help="portable sketches: HLL distinct counts or sampled quantiles"
+        "sketch",
+        help="portable sketches: HLL distinct counts, sampled quantiles, "
+        "or pairwise audience overlap (HLL inclusion-exclusion)",
     )
     skt.add_argument("what", choices=["distinct", "quantiles", "overlap"])
     skt.add_argument("-i", "--input", required=True)

@@ -11,8 +11,14 @@ batch operator's output row for row — the face shares the batch oracle
 (``EWMA_USER_SPEND_SQL``) verbatim. Two conventions make that exact:
 
 - day sums are rounded HALF_UP at 4 dp like Spark's ``F.round`` — via
-  ``decimal.Decimal(float)`` (exact binary expansion, same as the JVM's
-  BigDecimal-of-double), NOT Python's ``round`` (half-even);
+  ``decimal.Decimal(repr(x))``: Catalyst's Round on doubles goes through
+  ``BigDecimal.valueOf`` (shortest round-trip repr, which Python's
+  ``repr`` reproduces), not the exact binary expansion and not Python's
+  half-even ``round``;
+- NULL purchase values are skipped like ``F.sum`` skips nulls (a NaN
+  reaching the accumulator would poison every later EWMA for the key);
+  the one residual divergence is a day whose EVERY purchase value is
+  NULL — batch emits spend NULL there, the stream emits 0.0;
 - the recursion is the same two-multiplies-one-add on the rounded spends,
   emitted UNROUNDED (the batch module's lesson: identical inputs +
   identical op order needs no rounding convention).
@@ -53,14 +59,20 @@ STATE_SCHEMA = (
 
 
 def _round4_half_up(x: float) -> float:
-    """``F.round(x, 4)`` semantics: HALF_UP over the double's exact decimal
-    expansion (``Decimal(float)`` is exact, like BigDecimal.valueOf-less
-    construction on the JVM)."""
-    return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    """``F.round(x, 4)`` semantics: Catalyst's Round on DoubleType goes
+    through ``BigDecimal.valueOf`` = ``Double.toString`` = the SHORTEST
+    round-trip decimal repr, then HALF_UP — so the match is
+    ``Decimal(repr(x))`` (Python's repr is the same shortest repr), NOT
+    ``Decimal(x)`` (the exact binary expansion, which disagrees on
+    ~1-in-300k 5-dp halfway values like 788.72335: exact expansion
+    ...349999 rounds DOWN, shortest repr rounds UP)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
 def ewma_stream_updater(alpha: float = 0.5):
     """Build the applyInPandasWithState function."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     one_minus = 1.0 - alpha
 
     def update(
@@ -105,7 +117,10 @@ def ewma_stream_updater(alpha: float = 0.5):
                 prev_ewma, has_prev = ewma, True
                 accum = 0.0
             cur_day = day
-            accum += float(val)
+            # F.sum semantics: nulls contribute nothing (the position was
+            # still applied above, and the day is still opened)
+            if not pd.isna(val):
+                accum += float(val)
         if cur_day is not None:
             # provisional row for the (still open) current day
             spend_r = _round4_half_up(accum)

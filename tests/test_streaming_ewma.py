@@ -68,6 +68,42 @@ def test_updater_drops_late_events_counted():
     assert out["spend"].iloc[0] == 4.0
 
 
+def test_round4_matches_spark_f_round_on_halfway_values(spark):
+    """Catalyst's Round(double) goes through BigDecimal.valueOf (shortest
+    repr); Decimal(exact-binary-expansion) disagrees on 5-dp halfway values
+    — 788.72335's nearest double is ...349999 so exact-expansion rounds
+    DOWN while valueOf rounds UP. Pin _round4_half_up to the Spark result
+    on exactly those adversarial inputs."""
+    from pyspark.sql import functions as F
+
+    from baum_welch_spark.streaming.ewma import _round4_half_up
+
+    vals = [788.72335, 539.61745, 168.14495, 0.00005, 2.5, 1.00015, 123.4]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round("x", 4).alias("r")
+    )
+    expect = [r.r for r in df.collect()]
+    got = [_round4_half_up(v) for v in vals]
+    assert got == expect, list(zip(vals, got, expect))
+
+
+def test_updater_rejects_bad_alpha_and_skips_null_values():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        ewma_stream_updater(alpha=0.0)
+    update = ewma_stream_updater(alpha=0.5)
+    state = _FakeState()
+    # a NULL purchase value must not NaN-poison the accumulator
+    out = pd.concat(list(update(
+        (7,),
+        iter([_batch([1, 2], [DAY1, DAY1], [2.0, np.nan])]),
+        state,
+    )))
+    assert out["spend"].iloc[0] == 2.0
+    assert out["ewma_spend"].iloc[0] == 2.0
+
+
 def test_streaming_ewma_matches_batch_exactly(spark):
     stream = ewma_stream(stream_events(spark, SF0001))
     run_to_memory(stream, "ewma_stream_t", output_mode="update")
