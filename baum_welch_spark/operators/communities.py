@@ -61,15 +61,28 @@ def _lp_step(labels: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, max_iter: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_iter: int = 4, stop_when_stable: bool = False
+) -> DataFrame:
     """Deterministic synchronous LPA over directed ``(src, dst)`` edges
     (symmetrize first for the undirected reading; parallel edges count
     once — dedup is applied here). Nodes = union of srcs and dsts; initial
     label = own node id. Isolated nodes cannot exist in an edge list; a
     node with no IN-edges keeps its previous label through the self-vote.
 
+    ``stop_when_stable=True`` ends the loop early once a round changes no
+    label — on a 100 TB graph the rounds ARE the cost, and duplicate
+    families usually settle in 2-3; the stability probe is one
+    node-count-sized join + ``limit(1)`` count per round, cheap next to
+    the round's edge-sized count shuffle. Because the update rule is a
+    pure function of the label frame, a stable round is a FIXPOINT: every
+    later round reproduces it, so early-stop output is identical to
+    running all ``max_iter`` rounds (pytest-pinned). The driver face keeps
+    the default (fixed rounds) so the unrolled-CTE oracle replays the
+    exact same computation.
+
     Returns ``(node, label)`` where ``label`` is the smallest-id convention
-    community representative after ``max_iter`` rounds.
+    community representative after at most ``max_iter`` rounds.
     """
     edges = edges.select("src", "dst").distinct().repartition("src").persist()
     # nodes feeds exactly one consumer (the initial label frame, which the
@@ -84,7 +97,20 @@ def label_propagation(edges: DataFrame, max_iter: int = 4) -> DataFrame:
             # the self-vote guarantees every node appears in the step output
             # (no-in-edge nodes keep their label by winning their own
             # single-vote plurality), so no keep-previous join is needed
-            labels = _lp_step(labels, edges)
+            stepped = _lp_step(labels, edges)
+            if stop_when_stable:
+                stepped = stepped.localCheckpoint(eager=True)
+                changed = (
+                    stepped.join(
+                        labels.withColumnRenamed("label", "prev"), "node"
+                    )
+                    .filter(F.col("label") != F.col("prev"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    return stepped
+            labels = stepped
         return labels.localCheckpoint(eager=True)
     finally:
         edges.unpersist()

@@ -155,6 +155,39 @@ def test_label_propagation_isolated_pair_converges(spark):
         assert got == {7: 7, 9: 7}, iters
 
 
+def test_label_propagation_early_stop_is_a_fixpoint(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    # two 4-cliques + bridge settles in <= 2 rounds; early-stop must return
+    # exactly what a full fixed-round run returns (a stable round is a
+    # fixpoint of the pure update rule)
+    def clique(base):
+        ns = list(range(base, base + 4))
+        return [(a, b) for a in ns for b in ns if a != b]
+
+    edge_list = clique(0) + clique(10) + [(3, 10), (10, 3)]
+    edges = spark.createDataFrame(edge_list, schema="src bigint, dst bigint")
+    fixed = {r.node: r.label for r in label_propagation(edges, max_iter=8).collect()}
+    early = {
+        r.node: r.label
+        for r in label_propagation(edges, max_iter=8, stop_when_stable=True).collect()
+    }
+    assert early == fixed
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from baum_welch_spark.operators.communities import label_propagation
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (8, 9)]
+    edge_list = pairs + [(b, a) for a, b in pairs]
+    base = spark.createDataFrame(edge_list, schema="src bigint, dst bigint")
+    want = {r.node: r.label for r in label_propagation(base, max_iter=4).collect()}
+    for n in (1, 7):
+        shuffled = base.repartition(n)
+        got = {r.node: r.label for r in label_propagation(shuffled, max_iter=4).collect()}
+        assert got == want, n
+
+
 def test_label_prop_docs_face_consistent_with_components(spark):
     from baum_welch_spark.operators.communities import label_prop_docs
     from baum_welch_spark.operators.dedup import neardup_jaccard
