@@ -520,6 +520,15 @@ def _q_ewma_user_spend(spark, sf):
     return ewma_user_spend(*_tables(spark, sf, "events"))
 
 
+def _q_basket_rules(spark, sf):
+    # market-basket association rules over order-baskets of part brands:
+    # support/confidence/lift as UNROUNDED ratios of BIGINT counts
+    # (bit-identical division in any engine), capped-basket pair self-join
+    from baum_welch_spark.operators.basket import basket_rules
+
+    return basket_rules(*_tables(spark, sf, "lineitem", "part"))
+
+
 def _q_ewma_spend_stream(spark, sf):
     # the streaming twin: the same per-user daily EWMA recursion held as
     # O(1) streaming state (open-day accumulator + previous smoothed
@@ -1608,16 +1617,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracle verbatim), bucketed_segment_spend (the bucketBy
         # layout lifecycle, zero-shuffle join plan pinned in pytest), and
         # hll_overlap_custs (HLL set algebra: pairwise audience overlap by
-        # inclusion-exclusion).
-        # Window budget note: these 13 new slots displace 13 tail rotation
+        # inclusion-exclusion), and basket_rules (market-basket
+        # association rules: support/confidence/lift over brand baskets).
+        # Window budget note: these 14 new slots displace 14 tail rotation
         # targets (copy_spans, customers_without_orders, daily_revenue_ma7,
         # decontaminate_spans, dedup_exact, doc_fingerprint, doc_quality,
-        # plus value_approx_quantiles/asof_purchase_view/bpe_token_stats/
-        # cap_per_source/chunk_documents/copy_pairs now at #51-56) below
+        # plus knn_ivf_kmeans/value_approx_quantiles/asof_purchase_view/
+        # bpe_token_stats/cap_per_source/chunk_documents/copy_pairs now at
+        # #51-57) below
         # the driver's 50 — a deliberate trade (new faces MUST be in-window;
         # the displaced are code-unchanged, manifest-enforced, and green
         # on this round's full local boards at sf0.01 AND sf0.001). r12
         # rotates them in.
+        "basket_rules": _q_basket_rules,
         "ewma_spend_stream": _q_ewma_spend_stream,
         "hll_overlap_custs": _q_hll_overlap_custs,
         "hybrid_search": _q_hybrid_search,
@@ -1667,16 +1679,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_append": _q_ivfpq_append,
         "ghmm_viterbi": _q_ghmm_viterbi,
         "approx_distinct_users": _q_approx_distinct_users,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         # ---- driver's 50-entry window ends here after the late-r11
-        # continuation sextet (ewma_spend_stream/hll_overlap_custs/
-        # hybrid_search/label_prop_docs/ewma_user_spend/
-        # bucketed_segment_spend) displaced value_approx_quantiles,
-        # asof_purchase_view, bpe_token_stats, cap_per_source,
-        # chunk_documents, and copy_pairs to #51-56; all six displaced
-        # faces are code-unchanged (manifest-enforced) and green on this
-        # session's full local boards at sf0.01. Everything below heads
-        # the r12 rotation, stalest first.
+        # continuation septet (basket_rules/ewma_spend_stream/
+        # hll_overlap_custs/hybrid_search/label_prop_docs/ewma_user_spend/
+        # bucketed_segment_spend) displaced knn_ivf_kmeans,
+        # value_approx_quantiles, asof_purchase_view, bpe_token_stats,
+        # cap_per_source, chunk_documents, and copy_pairs to #51-57; all
+        # seven displaced faces are code-unchanged (manifest-enforced) and
+        # green on this session's full local boards at sf0.01. Everything
+        # below heads the r12 rotation, stalest first.
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "value_approx_quantiles": _q_value_approx_quantiles,
         "asof_purchase_view": _q_asof,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1876,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
     from baum_welch_spark.operators import (
         anomaly,
         asof,
+        basket,
         clustering,
         communities,
         corpus,
@@ -1944,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
         "zorder_events": layout.ZORDER_EVENTS_SQL,
         "vocab_topk_cms": sketches.VOCAB_TOPK_CMS_SQL,
+        "basket_rules": basket.BASKET_RULES_SQL,
         "ewma_spend_stream": timeseries.EWMA_USER_SPEND_SQL,
         "hll_overlap_custs": sketches.HLL_OVERLAP_CUSTS_SQL,
         "hybrid_search": fusion.HYBRID_SEARCH_SQL,

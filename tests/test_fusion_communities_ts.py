@@ -307,3 +307,62 @@ def test_bucketed_segment_spend_join_is_exchange_free(spark):
         assert rep["sortmerge_joins"] == 1, rep
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# --------------------------------------------------------------- baskets ----
+
+
+def test_basket_rules_hand_computed(spark):
+    from baum_welch_spark.operators.basket import basket_rules
+
+    # baskets: {A,B} x3, {A,C} x1, {B,C} x1, {A} x1  -> n_baskets = 6
+    rows = []
+    parts = {"A": 1, "B": 2, "C": 3}
+    baskets = [["A", "B"], ["A", "B"], ["A", "B"], ["A", "C"], ["B", "C"], ["A"]]
+    for okey, items in enumerate(baskets):
+        for it in items:
+            rows.append((okey, parts[it]))
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    pt = spark.createDataFrame(
+        [(v, f"Brand#{k}") for k, v in parts.items()], "p_partkey bigint, p_brand string"
+    )
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in basket_rules(li, pt, min_pair_count=2, top_k=10).collect()
+    }
+    # only (A,B) passes min_pair_count=2: support 3/6, conf(A->B) 3/5,
+    # conf(B->A) 3/4, lift(A->B) = (3/5)/(4/6), lift(B->A) = (3/4)/(5/6)
+    assert set(got) == {("Brand#A", "Brand#B"), ("Brand#B", "Brand#A")}
+    ab, ba = got[("Brand#A", "Brand#B")], got[("Brand#B", "Brand#A")]
+    assert ab.support == ba.support == 3 / 6
+    assert ab.confidence == 3 / 5 and ba.confidence == 3 / 4
+    assert ab.lift == (3 / 5) / (4 / 6) and ba.lift == (3 / 4) / (5 / 6)
+    # B->A has higher confidence -> rank 1
+    assert ba.rk == 1 and ab.rk == 2
+
+
+def test_basket_rules_mega_basket_cap(spark):
+    from baum_welch_spark.operators.basket import basket_rules
+
+    # one basket with 5 items, cap at 4 -> the basket is dropped entirely
+    li = spark.createDataFrame(
+        [(0, i) for i in range(5)] + [(1, 0), (1, 1)] * 3,
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    pt = spark.createDataFrame(
+        [(i, f"Brand#{i}") for i in range(5)], "p_partkey bigint, p_brand string"
+    )
+    got = basket_rules(li, pt, min_pair_count=1, top_k=100, max_basket_items=4).collect()
+    # only basket 1 survives: single pair (0,1), support 1/1
+    assert {(r.antecedent, r.consequent) for r in got} == {
+        ("Brand#0", "Brand#1"), ("Brand#1", "Brand#0")
+    }
+    assert all(r.support == 1.0 for r in got)
+
+
+def test_basket_rules_empty_input(spark):
+    from baum_welch_spark.operators.basket import basket_rules
+
+    li = spark.createDataFrame([], "l_orderkey bigint, l_partkey bigint")
+    pt = spark.createDataFrame([], "p_partkey bigint, p_brand string")
+    assert basket_rules(li, pt).count() == 0
