@@ -366,3 +366,58 @@ def test_basket_rules_empty_input(spark):
     li = spark.createDataFrame([], "l_orderkey bigint, l_partkey bigint")
     pt = spark.createDataFrame([], "p_partkey bigint, p_brand string")
     assert basket_rules(li, pt).count() == 0
+
+
+def test_basket_rules_matches_bruteforce_on_random_baskets(spark):
+    """Randomized oracle: 60 seeded random baskets over 6 items; every rule
+    basket_rules emits must equal the brute-force Python computation, and
+    no qualifying rule may be missing (top_k set above the rule count)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    items = list(range(6))
+    rows = []
+    for okey in range(60):
+        k = rng.randint(1, 4)
+        for it in rng.sample(items, k):
+            rows.append((okey, it))
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    pt = spark.createDataFrame(
+        [(i, f"Brand#{i}") for i in items], "p_partkey bigint, p_brand string"
+    )
+    min_pc = 3
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in basket_rules_import()(li, pt, min_pair_count=min_pc, top_k=1000).collect()
+    }
+    # brute force
+    baskets = {}
+    for okey, it in rows:
+        baskets.setdefault(okey, set()).add(f"Brand#{it}")
+    n = len(baskets)
+    item_cnt = {}
+    pair_cnt = {}
+    for s in baskets.values():
+        for it in s:
+            item_cnt[it] = item_cnt.get(it, 0) + 1
+        for a, b in itertools.combinations(sorted(s), 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), c in pair_cnt.items():
+        if c < min_pc:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            expect[(ante, cons)] = (
+                c, c / n, c / item_cnt[ante], (c / item_cnt[ante]) / (item_cnt[cons] / n)
+            )
+    assert set(got) == set(expect)
+    for key, (c, sup, conf, lift) in expect.items():
+        r = got[key]
+        assert (r.pair_baskets, r.support, r.confidence, r.lift) == (c, sup, conf, lift), key
+
+
+def basket_rules_import():
+    from baum_welch_spark.operators.basket import basket_rules
+
+    return basket_rules
