@@ -1703,10 +1703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "doc_quality": _q_doc_quality,
         # (historical r11 boundary marker — the window now ends at
-        # asof_purchase_view above.) Everything below was driver-verified
-        # green in r8-r10 and is code-unchanged since its last check
-        # (face-hash manifest). Next-stalest first: these head the r12
-        # rotation list.
+        # approx_distinct_users; see the authoritative boundary comment
+        # above.) Everything below was driver-verified green in r8-r10 and
+        # is code-unchanged since its last check (face-hash manifest).
+        # Next-stalest first: these head the r12 rotation list.
         "event_pivot": _q_event_pivot,
         "events_cube": _q_events_cube,
         "events_rollup": _q_events_rollup,

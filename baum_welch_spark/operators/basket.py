@@ -67,6 +67,12 @@ def basket_rules(
     items = items.join(
         sizes.filter(F.col("k") <= max_basket_items).select("basket"), "basket"
     )
+    # eager-checkpoint the deduped item table: FOUR consumers read it (the
+    # n_baskets count action below, item_cnt, and both sides of the pair
+    # self-join) — without materialization the line-scale dedup chain
+    # re-runs per consumer (the hll_overlap lesson; a persist could not be
+    # safely unpersisted before the caller's lazy collect)
+    items = items.localCheckpoint(eager=True)
     n_baskets = items.select("basket").distinct().count()
     if n_baskets == 0:
         return items.sparkSession.createDataFrame(

@@ -91,9 +91,15 @@ def label_propagation(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
+    labels_materialized = False
     try:
         for _ in range(max_iter):
-            labels = labels.localCheckpoint(eager=True)
+            # each round's label frame is read twice (the step join and, in
+            # stable mode, the stability probe), so it must be materialized
+            # exactly ONCE — the stable path already checkpointed `stepped`
+            # at probe time, so don't pay a second copy here
+            if not labels_materialized:
+                labels = labels.localCheckpoint(eager=True)
             # the self-vote guarantees every node appears in the step output
             # (no-in-edge nodes keep their label by winning their own
             # single-vote plurality), so no keep-previous join is needed
@@ -110,6 +116,7 @@ def label_propagation(
                 )
                 if changed == 0:
                     return stepped
+                labels_materialized = True
             labels = stepped
         return labels.localCheckpoint(eager=True)
     finally:

@@ -386,10 +386,12 @@ def test_basket_rules_matches_bruteforce_on_random_baskets(spark):
     pt = spark.createDataFrame(
         [(i, f"Brand#{i}") for i in items], "p_partkey bigint, p_brand string"
     )
+    from baum_welch_spark.operators.basket import basket_rules
+
     min_pc = 3
     got = {
         (r.antecedent, r.consequent): r
-        for r in basket_rules_import()(li, pt, min_pair_count=min_pc, top_k=1000).collect()
+        for r in basket_rules(li, pt, min_pair_count=min_pc, top_k=1000).collect()
     }
     # brute force
     baskets = {}
@@ -415,9 +417,3 @@ def test_basket_rules_matches_bruteforce_on_random_baskets(spark):
     for key, (c, sup, conf, lift) in expect.items():
         r = got[key]
         assert (r.pair_baskets, r.support, r.confidence, r.lift) == (c, sup, conf, lift), key
-
-
-def basket_rules_import():
-    from baum_welch_spark.operators.basket import basket_rules
-
-    return basket_rules
