@@ -337,6 +337,26 @@ def cmd_graph(args) -> int:
     return 0
 
 
+def cmd_rules(args) -> int:
+    """Market-basket association rules over order-baskets of part brands
+    (operators/basket.py): top rules by confidence with support and lift,
+    thresholded at --min-count co-occurring baskets."""
+    from baum_welch_spark.operators.basket import basket_rules
+    from baum_welch_spark.sources.io import load_table
+
+    spark, _own = _session("baum-welch-rules")
+    lineitem = load_table(spark, args.input, "lineitem")
+    part = load_table(spark, args.input, "part")
+    out = basket_rules(lineitem, part, min_pair_count=args.min_count, top_k=args.k)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        out.show(args.k, truncate=False)
+    if _own:
+        spark.stop()
+    return 0
+
+
 def cmd_outliers(args) -> int:
     """Robust MAD outlier scan over the events table (operators/anomaly.py):
     rows more than --k robust sigmas (1.4826 * MAD) from their group's
@@ -956,6 +976,17 @@ def main(argv: list[str] | None = None) -> int:
     skt.add_argument("-o", "--output")
     skt.add_argument("--limit", type=int, default=20, help="rows to show without -o")
     skt.set_defaults(fn=cmd_sketch)
+
+    ru = sub.add_parser(
+        "rules",
+        help="market-basket association rules (support/confidence/lift) "
+        "over order-baskets of part brands",
+    )
+    ru.add_argument("-i", "--input", required=True)
+    ru.add_argument("--min-count", type=int, default=10, help="min co-occurring baskets")
+    ru.add_argument("-k", type=int, default=20)
+    ru.add_argument("-o", "--output")
+    ru.set_defaults(fn=cmd_rules)
 
     ol = sub.add_parser("outliers", help="robust median/MAD outlier scan over event values")
     ol.add_argument("-i", "--input", required=True)

@@ -360,6 +360,19 @@ def test_basket_rules_mega_basket_cap(spark):
     assert all(r.support == 1.0 for r in got)
 
 
+def test_cli_rules(spark, tmp_path):
+    from baum_welch_spark.cli import main
+
+    out = str(tmp_path / "rules")
+    assert main(["rules", "-i", SF0001, "--min-count", "2", "-k", "5", "-o", out]) == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "antecedent", "consequent", "pair_baskets", "support",
+        "confidence", "lift", "rk",
+    }
+    assert 0 < got.count() <= 5
+
+
 def test_basket_rules_empty_input(spark):
     from baum_welch_spark.operators.basket import basket_rules
 
