@@ -56,6 +56,14 @@ def ewma_user_spend(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     Output: ``(user_id, day, spend, ewma_spend)`` ordered by (user_id, day),
     ``ewma_spend`` unrounded (see the module docstring: the raw recursion is
     bit-identical across engines; rounding is what would diverge).
+
+    NULL convention (ADVICE r11): a day whose purchase values are ALL NULL
+    sums to NULL in both engines; without a defined value it would become
+    NaN in the float64 recursion here (poisoning every later ewma for the
+    user) while DuckDB keeps NULL and the streaming twin emits 0.0 (its
+    accumulator skips NULLs, so an all-NULL day leaves accum at 0.0). All
+    three now agree by coalescing the daily sum to 0.0 — batch here, the
+    oracle via COALESCE, and the stream by construction.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -65,7 +73,7 @@ def ewma_user_spend(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
             "user_id",
             F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
         )
-        .agg(F.round(F.sum("value"), 4).alias("spend"))
+        .agg(F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias("spend"))
     )
     one_minus = 1.0 - alpha
 
@@ -104,7 +112,7 @@ def ewma_user_spend_sql(alpha: float = EWMA_ALPHA) -> str:
 WITH RECURSIVE daily AS (
   SELECT user_id,
          CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
-         round(sum(value), 4) AS spend
+         coalesce(round(sum(value), 4), 0.0) AS spend
   FROM events
   WHERE event_type = 'purchase'
   GROUP BY 1, 2

@@ -57,12 +57,12 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
 
 
-def bucketed_segment_spend(
+def bucketed_segment_spend_with_tables(
     spark: SparkSession,
     orders: DataFrame,
     customer: DataFrame,
     n_buckets: int = 8,
-) -> DataFrame:
+) -> tuple[DataFrame, tuple[str, str]]:
     """Driver-contract face for the bucketed layout: land ``orders`` and
     ``customer`` bucketed on the customer key (the write-time shuffle a
     warehouse pays once), then run the canonical downstream job — per-
@@ -75,6 +75,14 @@ def bucketed_segment_spend(
     ``cobucketed_join`` joins on a shared column name, the same convention
     its lineitem test uses.
 
+    Table names are unique per invocation (suffixed with the scratch-dir
+    basename, ADVICE r11): fixed global names let two concurrent
+    invocations in one session (bench overlapping pytest, parallel test
+    workers) overwrite each other's definition between the write and the
+    lazy co-bucketed read. The definitions are dropped best-effort at
+    process exit alongside the scratch dir; the data files live under the
+    scratch dir and are reclaimed by its atexit cleanup regardless.
+
     Output: ``(c_mktsegment, n_customers, n_orders, revenue)`` ordered by
     segment; revenue 2-dp-rounded.
     """
@@ -82,19 +90,35 @@ def bucketed_segment_spend(
 
     from baum_welch_spark.session import scratch_dir
 
+    import atexit
+    import os
+    import re
+
     base = scratch_dir("bucketed_face")
+    tag = re.sub(r"[^0-9a-zA-Z_]", "_", os.path.basename(base))
+    orders_tbl = f"bw_face_orders_b_{tag}"
+    customer_tbl = f"bw_face_customer_b_{tag}"
     write_bucketed(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
-        "bw_face_orders_b",
+        orders_tbl,
         "c_custkey",
         n_buckets,
         f"{base}/orders_b",
     )
     write_bucketed(
-        customer, "bw_face_customer_b", "c_custkey", n_buckets, f"{base}/customer_b"
+        customer, customer_tbl, "c_custkey", n_buckets, f"{base}/customer_b"
     )
-    joined = cobucketed_join(spark, "bw_face_orders_b", "bw_face_customer_b", "c_custkey")
-    return (
+
+    def _drop() -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {customer_tbl}")
+        except Exception:
+            pass  # session already stopped — data dir cleanup handles the rest
+
+    atexit.register(_drop)
+    joined = cobucketed_join(spark, orders_tbl, customer_tbl, "c_custkey")
+    out = (
         joined.groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
@@ -103,6 +127,20 @@ def bucketed_segment_spend(
         )
         .orderBy("c_mktsegment")
     )
+    return out, (orders_tbl, customer_tbl)
+
+
+def bucketed_segment_spend(
+    spark: SparkSession,
+    orders: DataFrame,
+    customer: DataFrame,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Driver-contract face wrapper: :func:`bucketed_segment_spend_with_tables`
+    minus the table-name handle (the plan-audit pytest uses the handle to
+    re-derive the zero-Exchange join over the same unique tables)."""
+    out, _ = bucketed_segment_spend_with_tables(spark, orders, customer, n_buckets)
+    return out
 
 
 BUCKETED_SEGMENT_SPEND_SQL = """

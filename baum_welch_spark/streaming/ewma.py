@@ -17,8 +17,11 @@ batch operator's output row for row — the face shares the batch oracle
   half-even ``round``;
 - NULL purchase values are skipped like ``F.sum`` skips nulls (a NaN
   reaching the accumulator would poison every later EWMA for the key);
-  the one residual divergence is a day whose EVERY purchase value is
-  NULL — batch emits spend NULL there, the stream emits 0.0;
+  a day whose EVERY purchase value is NULL emits spend 0.0 here (the
+  accumulator never moves), and since ADVICE r11 the batch operator and
+  the shared oracle COALESCE that day's NULL sum to 0.0 too — the
+  formerly-documented residual divergence is closed, all three engines
+  agree;
 - the recursion is the same two-multiplies-one-add on the rounded spends,
   emitted UNROUNDED (the batch module's lesson: identical inputs +
   identical op order needs no rounding convention).

@@ -266,6 +266,43 @@ def test_ewma_smooths_toward_history(spark):
     assert checked > 10
 
 
+def test_ewma_all_null_day_is_zero_three_ways(spark):
+    """ADVICE r11: a day whose EVERY purchase value is NULL must emit
+    spend=0.0 (not NULL, not NaN) and must not poison later days — and the
+    batch engine, the DuckDB oracle, and the streaming updater's convention
+    (accumulator untouched → 0.0) must all agree."""
+    import duckdb
+    import math
+
+    from baum_welch_spark.operators.timeseries import ewma_user_spend, ewma_user_spend_sql
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "purchase", 10.0, None),
+        (2, "2024-01-02 10:00:00", 7, "purchase", None, None),  # all-NULL day
+        (3, "2024-01-03 10:00:00", 7, "purchase", 20.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.day: (r.spend, r.ewma_spend) for r in ewma_user_spend(events).collect()}
+    assert got["2024-01-02"] == (0.0, 5.0)  # 0.5*10 + 0.5*0
+    assert got["2024-01-03"] == (20.0, 12.5)  # no NaN poisoning downstream
+    assert not any(math.isnan(v) for pair in got.values() for v in pair)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 7, 'purchase', 10.0, NULL),"
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 7, 'purchase', NULL, NULL),"
+        "(3, TIMESTAMP '2024-01-03 10:00:00', 7, 'purchase', 20.0, NULL)"
+        ") t(event_id, ts, user_id, event_type, value, props)"
+    )
+    oracle = {
+        d: (s, e) for _, d, s, e in con.execute(ewma_user_spend_sql()).fetchall()
+    }
+    assert oracle == got
+
+
 # ----------------------------------------------------------- bucketed face ----
 
 
@@ -291,17 +328,21 @@ def test_bucketed_segment_spend_matches_plain_join(spark):
 
 def test_bucketed_segment_spend_join_is_exchange_free(spark):
     from baum_welch_spark.plans.audit import plan_report
-    from baum_welch_spark.sources.bucketing import bucketed_segment_spend, cobucketed_join
+    from baum_welch_spark.sources.bucketing import (
+        bucketed_segment_spend_with_tables,
+        cobucketed_join,
+    )
 
     orders = load_table(spark, SF0001, "orders")
     customer = load_table(spark, SF0001, "customer")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         # materialize the face's bucketed tables, then audit the join stage
-        bucketed_segment_spend(spark, orders, customer).collect()
-        joined = cobucketed_join(
-            spark, "bw_face_orders_b", "bw_face_customer_b", "c_custkey"
+        out, (orders_tbl, customer_tbl) = bucketed_segment_spend_with_tables(
+            spark, orders, customer
         )
+        out.collect()
+        joined = cobucketed_join(spark, orders_tbl, customer_tbl, "c_custkey")
         rep = plan_report(joined)
         assert rep["shuffles"] == 0, rep
         assert rep["sortmerge_joins"] == 1, rep
