@@ -688,6 +688,23 @@ def _q_em_reestimate(spark, sf):
     return em_reestimate(spark, build_sequences(events), HMM.random(4, 5, seed=42))
 
 
+def _q_em_trace(spark, sf):
+    # DuckDB-exact (r12): the EM *loop* itself — two CHAINED re-estimation
+    # laps where lap 2's model is lap 1's rounded tidy output (the
+    # modelOut -> modelIn hand-off, BaumWelchDriver.java:114-134). The
+    # oracle computes the chaining entirely inside DuckDB: lap 1's output
+    # CTE is pivoted to a one-row model CTE feeding lap 2's alpha/beta
+    # recursions — no model values cross from the Python driver. This
+    # graduates the core dataflow's last structurally-unpinned piece
+    # (D2's iteration chaining) from NumPy-pinned to driver-exact.
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_trace
+    from baum_welch_spark.operators.sequences import build_sequences
+
+    (events,) = _tables(spark, sf, "events")
+    return em_trace(spark, build_sequences(events), HMM.random(4, 5, seed=42), n_iters=2)
+
+
 def _q_asset_neardup(spark, sf):
     # rows-only by nature (binary payloads have no SQL twin): the full
     # multimodal pipeline under the driver — synthetic WAV/PPM/video
@@ -1629,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the displaced are code-unchanged, manifest-enforced, and green
         # on this round's full local boards at sf0.01 AND sf0.001). r12
         # rotates them in.
+        "em_trace": _q_em_trace,
         "basket_rules": _q_basket_rules,
         "ewma_spend_stream": _q_ewma_spend_stream,
         "hll_overlap_custs": _q_hll_overlap_custs,
@@ -2054,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         # hard-EM re-estimation: shared Viterbi CTEs + relational counting
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
+        "em_trace": _em_trace_oracle(),
         "em_reestimate_grouped": _em_reestimate_grouped_oracle(),
         # posterior decode: forward+backward recursions as recursive CTEs,
         # same literal-model convention (hmm_generate stays rows-only —
@@ -2199,6 +2218,13 @@ def _em_reestimate_oracle() -> str:
     from baum_welch_spark.hmm.fit import em_reestimate_oracle_sql
 
     return em_reestimate_oracle_sql(HMM.random(4, 5, seed=42))
+
+
+def _em_trace_oracle() -> str:
+    from baum_welch_spark.hmm import HMM
+    from baum_welch_spark.hmm.fit import em_trace_oracle_sql
+
+    return em_trace_oracle_sql(HMM.random(4, 5, seed=42), n_iters=2)
 
 
 def _posterior_oracle() -> str:
