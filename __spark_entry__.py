@@ -705,6 +705,27 @@ def _q_em_trace(spark, sf):
     return em_trace(spark, build_sequences(events), HMM.random(4, 5, seed=42), n_iters=2)
 
 
+def _q_ghmm_em_trace(spark, sf):
+    # DuckDB-exact (r12): the GAUSSIAN EM loop's chaining — two chained
+    # re-estimation laps, lap 2's model being lap 1's rounded tidy output,
+    # with the oracle recomputing lap 2's log-density coefficients
+    # c1/c2 INSIDE DuckDB from lap 1's own CTE output (the continuous twin
+    # of em_trace; graduates ghmm_fit's chaining evidence to driver-exact)
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        build_value_sequences,
+        ghmm_em_trace,
+    )
+
+    (events,) = _tables(spark, sf, "events")
+    return ghmm_em_trace(
+        spark,
+        build_value_sequences(events),
+        GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0),
+        n_iters=2,
+    )
+
+
 def _q_asset_neardup(spark, sf):
     # rows-only by nature (binary payloads have no SQL twin): the full
     # multimodal pipeline under the driver — synthetic WAV/PPM/video
@@ -1647,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on this round's full local boards at sf0.01 AND sf0.001). r12
         # rotates them in.
         "em_trace": _q_em_trace,
+        "ghmm_em_trace": _q_ghmm_em_trace,
         "basket_rules": _q_basket_rules,
         "ewma_spend_stream": _q_ewma_spend_stream,
         "hll_overlap_custs": _q_hll_overlap_custs,
@@ -2073,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_reestimate": _viterbi_reestimate_oracle(),
         "em_reestimate": _em_reestimate_oracle(),
         "em_trace": _em_trace_oracle(),
+        "ghmm_em_trace": _ghmm_em_trace_oracle(),
         "em_reestimate_grouped": _em_reestimate_grouped_oracle(),
         # posterior decode: forward+backward recursions as recursive CTEs,
         # same literal-model convention (hmm_generate stays rows-only —
@@ -2225,6 +2248,14 @@ def _em_trace_oracle() -> str:
     from baum_welch_spark.hmm.fit import em_trace_oracle_sql
 
     return em_trace_oracle_sql(HMM.random(4, 5, seed=42), n_iters=2)
+
+
+def _ghmm_em_trace_oracle() -> str:
+    from baum_welch_spark.hmm.gaussian import GaussianHMM, gauss_trace_oracle_sql
+
+    return gauss_trace_oracle_sql(
+        GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0), n_iters=2
+    )
 
 
 def _posterior_oracle() -> str:

@@ -633,9 +633,17 @@ def ghmm_reestimate(
     6-dp-rounded values. Counts are strictly positive for a dense random
     model; the weight>0 filter mirrors the oracle's HAVING (the sparse-
     output contract em_reestimate documents)."""
+    return _ghmm_reestimate_unchecked(spark, sequences, model.validate())
+
+
+def _ghmm_reestimate_unchecked(
+    spark: SparkSession, sequences: DataFrame, model: GaussianHMM
+) -> DataFrame:
+    """ghmm_reestimate body without the validate() gate: the chained trace
+    (ghmm_em_trace) feeds 6-dp-ROUNDED models whose pi/A sums are off by up
+    to ~2e-6 — within the trace contract but outside validate's 1e-8."""
     from pyspark.sql import Window
 
-    model = model.validate()
     bc = spark.sparkContext.broadcast(model)
     counts = (
         sequences.select("obs")
@@ -811,3 +819,239 @@ SELECT 'var', i::INTEGER, 0,
 FROM m
 """
     )
+
+
+def gauss_model_from_tidy(rows, n_hidden: int) -> GaussianHMM:
+    """Rebuild a :class:`GaussianHMM` from tidy ``(kind, i, j, val)`` rows
+    (ghmm_reestimate's output; absent sparse cells are exactly 0). Does NOT
+    validate — rounded rows sum to ~1 only (see ghmm_em_trace)."""
+    pi = np.zeros(n_hidden)
+    A = np.zeros((n_hidden, n_hidden))
+    mu = np.zeros(n_hidden)
+    s2 = np.zeros(n_hidden)
+    for r in rows:
+        if r["kind"] == KIND_INITIAL:
+            pi[r["j"]] = r["val"]
+        elif r["kind"] == KIND_TRANSITION:
+            A[r["i"], r["j"]] = r["val"]
+        elif r["kind"] == "mu":
+            mu[r["i"]] = r["val"]
+        elif r["kind"] == "var":
+            s2[r["i"]] = r["val"]
+    return GaussianHMM(pi=pi, A=A, mu=mu, sigma2=s2)
+
+
+def ghmm_em_trace(
+    spark: SparkSession, sequences: DataFrame, model: GaussianHMM, n_iters: int = 2
+) -> DataFrame:
+    """The Gaussian EM *loop* as a tidy trace — the continuous twin of
+    fit.em_trace: ``n_iters`` chained re-estimation laps, lap k+1's model
+    being lap k's 6-dp-rounded tidy output (modelOut -> modelIn,
+    BaumWelchDriver.java:114-134). Output ``(iter, kind, i, j, val)``.
+
+    Driver-exact pin for the Gaussian chaining: the oracle
+    (:func:`gauss_trace_oracle_sql`) pivots lap k's output CTE into a
+    one-row model CTE — including the log-density coefficients c1/c2
+    recomputed INSIDE DuckDB from the rounded mu/var (`ln` may differ from
+    np.log by ~1 ulp; far inside the 6-dp contract) — and feeds it to lap
+    k+1's recursions, so no model values cross from the Python driver.
+    Per-lap collect is model-sized (N^2 + 3N + N rows)."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    frames = []
+    cur = model.validate()
+    n = cur.pi.shape[0]
+    for it in range(1, n_iters + 1):
+        step = _ghmm_reestimate_unchecked(spark, sequences, cur).persist()
+        frames.append(step.select(F.lit(it).alias("iter"), "kind", "i", "j", "val"))
+        if it < n_iters:
+            cur = gauss_model_from_tidy([r.asDict() for r in step.collect()], n)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def gauss_trace_oracle_sql(model: GaussianHMM, n_iters: int = 2) -> str:
+    """ANSI-SQL (DuckDB) oracle for :func:`ghmm_em_trace`: lap 1 runs the
+    gauss_reestimate_oracle_sql recursions from full-precision literals;
+    every later lap's pi/A/mu/var come from the previous lap's rounded
+    output CTE pivoted into a one-row ``mw{k}`` CTE, with the log-density
+    coefficients c1_j = -0.5 * ln(2*pi*var_j) and c2_j = 1/(2*var_j)
+    computed as lateral columns in the pivot — the identical two-operand
+    expression shapes _log_coeffs uses, so the only cross-engine delta is
+    the ~1-ulp libm ln/exp class the existing exact faces already carry."""
+    from baum_welch_spark.hmm.decode import _lit
+
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    model = model.validate()
+    N = model.pi.shape[0]
+    j1 = range(1, N + 1)
+    two_pi = _lit(2.0 * np.pi)
+
+    sql = f"""
+WITH coded AS MATERIALIZED ({_GCODED_SQL}),
+lens AS MATERIALIZED (SELECT user_id, count(*) AS t_len FROM coded GROUP BY user_id),
+"""
+
+    for k in range(1, n_iters + 1):
+        p = k - 1
+        if k == 1:
+            # literal-model lap
+            def pi_e(j):
+                return _lit(model.pi[j - 1])
+
+            def a_e(i, j):
+                return _lit(model.A[i - 1][j - 1])
+
+            def emis(j, xref):
+                return f"exp({_logb_expr(model, j - 1, xref)})"
+
+            mjoin = ""
+        else:
+            def pi_e(j):
+                return f"m.pi{j}"
+
+            def a_e(i, j):
+                return f"m.a{i}_{j}"
+
+            def emis(j, xref):
+                return (
+                    f"exp(m.c1_{j} - ({xref} - m.mu{j}) * ({xref} - m.mu{j})"
+                    f" * m.c2_{j})"
+                )
+
+            mjoin = f"\n    CROSS JOIN mw{p} m"
+            pivot_pi = ",\n    ".join(
+                f"coalesce(max(CASE WHEN kind = '{KIND_INITIAL}' AND j = {j - 1} THEN val END), 0.0) AS pi{j}"
+                for j in j1
+            )
+            pivot_a = ",\n    ".join(
+                f"coalesce(max(CASE WHEN kind = '{KIND_TRANSITION}' AND i = {i - 1} AND j = {j - 1} THEN val END), 0.0) AS a{i}_{j}"
+                for i in j1
+                for j in j1
+            )
+            pivot_muvar = ",\n    ".join(
+                f"coalesce(max(CASE WHEN kind = 'mu' AND i = {j - 1} THEN val END), 0.0) AS mu{j},\n"
+                f"    coalesce(max(CASE WHEN kind = 'var' AND i = {j - 1} THEN val END), 0.0) AS var{j},\n"
+                f"    ({_lit(-0.5)} * ln({two_pi} * var{j})) AS c1_{j},\n"
+                f"    ({_lit(1.0)} / ({_lit(2.0)} * var{j})) AS c2_{j}"
+                for j in j1
+            )
+            sql += f"""
+mw{p} AS MATERIALIZED (
+  SELECT
+    {pivot_pi},
+    {pivot_a},
+    {pivot_muvar}
+  FROM m{p}
+),
+"""
+        base_u = ",\n           ".join(
+            f"{pi_e(j)} * {emis(j, 'c.x')} AS u{j}" for j in j1
+        )
+        step_u = ",\n           ".join(
+            "(" + " + ".join(f"a.p{i} * {a_e(i, j)}" for i in j1) + f") * {emis(j, 'c.x')} AS nu{j}"
+            for j in j1
+        )
+        usum = " + ".join(f"u{j}" for j in j1)
+        nusum = " + ".join(f"nu{j}" for j in j1)
+        norm = ", ".join(f"u{j} / s AS p{j}" for j in j1)
+        nnorm = ", ".join(f"nu{j} / ns AS np{j}" for j in j1)
+        base_b = ", ".join(f"{_lit(1.0)} AS b{j}" for j in j1)
+        step_b = ",\n           ".join(
+            "("
+            + " + ".join(f"{a_e(i, j)} * {emis(j, 'c.x')} * b.b{j}" for j in j1)
+            + f") / a.s AS nb{i}"
+            for i in j1
+        )
+        gcols = ",\n         ".join(f"al.p{j} * bt.b{j} AS g{j}" for j in j1)
+        xcols = ",\n         ".join(
+            f"al.p{i} * {a_e(i, j)} * {emis(j, 'c.x')} * bt.b{j} / a2.s AS x{i}_{j}"
+            for i in j1
+            for j in j1
+        )
+        init = "\n  UNION ALL\n".join(
+            f"  SELECT '{KIND_INITIAL}' AS kind, 0 AS i, {j - 1} AS j, sum(g{j}) AS weight FROM g{k} WHERE t = 0 HAVING sum(g{j}) > 0"
+            for j in j1
+        )
+        trans = "\n  UNION ALL\n".join(
+            f"  SELECT '{KIND_TRANSITION}', {i - 1}, {j - 1}, sum(x{i}_{j}) FROM xi{k} HAVING sum(x{i}_{j}) > 0"
+            for i in j1
+            for j in j1
+        )
+        moments = "\n  UNION ALL\n".join(
+            f"  SELECT {j - 1} AS i, sum(g.g{j}) AS m0, sum(g.g{j} * c.x) AS m1,"
+            f" sum(g.g{j} * c.x * c.x) AS m2"
+            f" FROM g{k} g JOIN coded c ON c.user_id = g.user_id AND c.t = g.t"
+            for j in j1
+        )
+        xjoin = f"\n  CROSS JOIN mw{p} m" if k > 1 else ""
+        sql += f"""
+alpha{k} AS MATERIALIZED (
+  WITH RECURSIVE alpha{k}_r AS (
+    SELECT c.user_id, 0 AS t,
+           {base_u},
+           ({usum}) AS s, {norm}
+    FROM coded c{mjoin} WHERE c.t = 0
+    UNION ALL
+    SELECT a.user_id, a.t + 1,
+           {step_u},
+           ({nusum}) AS ns, {nnorm}
+    FROM alpha{k}_r a
+    JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1{mjoin}
+  ) SELECT * FROM alpha{k}_r
+),
+beta{k} AS MATERIALIZED (
+  WITH RECURSIVE beta{k}_r AS (
+    SELECT l.user_id, l.t_len - 1 AS t, {base_b}
+    FROM lens l
+    UNION ALL
+    SELECT b.user_id, b.t - 1,
+           {step_b}
+    FROM beta{k}_r b
+    JOIN coded c ON c.user_id = b.user_id AND c.t = b.t
+    JOIN alpha{k} a ON a.user_id = b.user_id AND a.t = b.t{mjoin}
+    WHERE b.t > 0
+  ) SELECT * FROM beta{k}_r
+),
+g{k} AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {gcols}
+  FROM alpha{k} al JOIN beta{k} bt ON bt.user_id = al.user_id AND bt.t = al.t
+),
+xi{k} AS MATERIALIZED (
+  SELECT al.user_id, al.t,
+         {xcols}
+  FROM alpha{k} al
+  JOIN alpha{k} a2 ON a2.user_id = al.user_id AND a2.t = al.t + 1
+  JOIN coded c ON c.user_id = al.user_id AND c.t = al.t + 1
+  JOIN beta{k} bt ON bt.user_id = al.user_id AND bt.t = al.t + 1{xjoin}
+),
+raw{k} AS (
+{init}
+  UNION ALL
+{trans}
+),
+mo{k} AS (
+{moments}
+),
+m{k} AS MATERIALIZED (
+SELECT kind, i::INTEGER AS i, j::INTEGER AS j,
+       round(weight / sum(weight) OVER (PARTITION BY kind, i), 6) AS val
+FROM raw{k}
+UNION ALL
+SELECT 'mu', i::INTEGER, 0, round(m1 / m0, 6) FROM mo{k}
+UNION ALL
+SELECT 'var', i::INTEGER, 0,
+       round(greatest(m2 / m0 - (m1 / m0) * (m1 / m0), {_lit(VAR_FLOOR)}), 6)
+FROM mo{k}
+),
+"""
+
+    sql = sql.rstrip().rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS iter, kind, i, j, val FROM m{k}" for k in range(1, n_iters + 1)
+    )
+    return sql + f"\n{union}\n"

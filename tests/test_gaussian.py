@@ -226,3 +226,47 @@ def test_ghmm_reestimate_matches_numpy_estep(spark):
         for i in range(N):
             assert got[("transition", i, j)] == pytest.approx(A[i][j], abs=1e-6)
     assert len(got) == N + N * N + 2 * N
+
+
+def test_ghmm_em_trace_chains_rounded_models_and_matches_duckdb(spark):
+    """Gaussian twin of the EM-loop pin: lap 2 of ghmm_em_trace must equal a
+    fresh re-estimation step from lap 1's rounded model, and the trace must
+    be bit-equal to the composed DuckDB oracle that recomputes lap 2's
+    c1/c2 density coefficients from lap 1's own CTE output."""
+    import duckdb
+
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        _ghmm_reestimate_unchecked,
+        build_value_sequences,
+        gauss_model_from_tidy,
+        gauss_trace_oracle_sql,
+        ghmm_em_trace,
+    )
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events)
+    model = GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    trace = ghmm_em_trace(spark, seqs, model, n_iters=2).collect()
+    it1 = [r for r in trace if r.iter == 1]
+    it2 = {(r.kind, r.i, r.j): r.val for r in trace if r.iter == 2}
+    assert it1 and it2
+
+    m1 = gauss_model_from_tidy([r.asDict() for r in it1], 4)
+    fresh = {
+        (r.kind, r.i, r.j): r.val
+        for r in _ghmm_reestimate_unchecked(spark, seqs, m1).collect()
+    }
+    assert fresh == it2
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF0001}/events.parquet'")
+    want = {
+        (it, k, i, j): v
+        for it, k, i, j, v in con.execute(gauss_trace_oracle_sql(model, 2)).fetchall()
+    }
+    got = {(r.iter, r.kind, r.i, r.j): r.val for r in trace}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        ghmm_em_trace(spark, seqs, model, n_iters=0)
