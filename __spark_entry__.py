@@ -1669,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates them in.
         "em_trace": _q_em_trace,
         "ghmm_em_trace": _q_ghmm_em_trace,
+        "ghmm_reestimate": _q_ghmm_reestimate,
         "basket_rules": _q_basket_rules,
         "ewma_spend_stream": _q_ewma_spend_stream,
         "hll_overlap_custs": _q_hll_overlap_custs,
@@ -1823,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_reestimate": _q_em_reestimate,
         "emb_covariance": _q_emb_covariance,
         "emb_standardize": _q_emb_standardize,
-        "ghmm_reestimate": _q_ghmm_reestimate,
         "hmm_fit": _q_hmm_fit,
         "hmm_fit_bakis": _q_hmm_fit_bakis,
         "hmm_fit_restarts": _q_hmm_fit_restarts,
