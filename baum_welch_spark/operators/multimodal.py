@@ -4,12 +4,14 @@ Arrow-batched mapInPandas operators.
 
 Real decode is implemented IN-CONTAINER for the formats whose codecs need
 nothing beyond the stdlib + NumPy: WAV (stdlib ``wave``), binary PPM (P6),
-and 8-bit PNG (stdlib ``zlib`` inflate + hand-rolled scanline unfilters —
-the dominant real image format in web corpora, r8). ``decode_stub=False``
-decodes those for real (bytes -> samples/pixels -> band features); formats
-that genuinely need a codec library (mp4, jpeg, mp3...) still raise
-NotImplementedError at the point it would run — a clearly-marked stub,
-since the container has no ffmpeg/PIL.
+8-bit PNG (stdlib ``zlib`` inflate + hand-rolled scanline unfilters —
+the dominant real image format in web corpora, r8), and uncompressed
+YUV4MPEG2 video (Y4M: ASCII stream/frame headers + raw planar YUV, r12 —
+every modality now has a real in-container codec). ``decode_stub=False``
+decodes those for real (bytes -> samples/pixels/frames -> band features);
+formats that genuinely need a codec library (mp4, jpeg, mp3...) still
+raise NotImplementedError at the point it would run — a clearly-marked
+stub, since the container has no ffmpeg/PIL.
 ``decode_stub=True`` (default) derives deterministic fake features from the
 payload digest for any modality.
 
@@ -120,6 +122,111 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(…, 3) uint8 RGB -> (…, 3) uint8 YCbCr (BT.601 full-range, the JPEG
+    convention — the common one for C444/C420jpeg Y4M content)."""
+    x = rgb.astype(np.float64)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """(…, 3) uint8 YCbCr -> (…, 3) uint8 RGB (inverse of _rgb_to_ycbcr)."""
+    x = ycc.astype(np.float64)
+    y, cb, cr = x[..., 0], x[..., 1] - 128.0, x[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 4) -> bytes:
+    """(T, h, w, 3) uint8 RGB frames -> YUV4MPEG2 (Y4M) bytes, C444 planar.
+
+    Y4M is the standard UNCOMPRESSED video container (mjpegtools/ffmpeg
+    interchange): a one-line ASCII stream header, then per frame a FRAME
+    marker line followed by raw planar YUV — header parsing + NumPy only,
+    the same difficulty class as the WAV/PPM paths (VERDICT r11 #4)."""
+    t, h, w, _ = frames.shape
+    header = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)
+    out = [header]
+    for f in range(t):
+        ycc = _rgb_to_ycbcr(frames[f])
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(ycc.transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, str, int]:
+    """Parse the Y4M stream header -> (width, height, fps, colorspace,
+    data_start). Colorspaces beyond C444/C420(jpeg/mpeg2/paldv) raise
+    NotImplementedError at the point of use (the honest-boundary rule)."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    cspace = "420jpeg"  # the spec default when no C tag is present
+    for tok in payload[len(Y4M_MAGIC) : nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = max(1, round(int(num) / int(den)))
+        elif tag == "C":
+            cspace = val
+        # Ip/A/X tags carry no layout information — ignored
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cspace not in ("444", "420", "420jpeg", "420mpeg2", "420paldv"):
+        raise NotImplementedError(f"Y4M colorspace C{cspace} not supported")
+    return w, h, fps or 25, cspace, nl + 1
+
+
+def _y4m_planes(payload: bytes):
+    """Yield (y, cb, cr) uint8 planes per frame (chroma at stored
+    resolution); shared by decode_y4m and the luma-only feature path."""
+    w, h, _, cspace, pos = _y4m_header(payload)
+    ysz = w * h
+    csz = ysz if cspace == "444" else (w // 2) * (h // 2)
+    ch, cw = (h, w) if cspace == "444" else (h // 2, w // 2)
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or not payload[pos:nl].startswith(b"FRAME"):
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        pos = nl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        cb = np.frombuffer(payload, np.uint8, csz, pos + ysz).reshape(ch, cw)
+        cr = np.frombuffer(payload, np.uint8, csz, pos + ysz + csz).reshape(ch, cw)
+        pos += ysz + 2 * csz
+        yield y, cb, cr
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Y4M bytes -> ((T, h, w, 3) uint8 RGB frames, fps). C420* chroma is
+    upsampled by pixel-doubling (nearest neighbor)."""
+    w, h, fps, cspace, _ = _y4m_header(payload)
+    frames = []
+    for y, cb, cr in _y4m_planes(payload):
+        if cspace != "444":
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        frames.append(_ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1)))
+    if not frames:
+        raise ValueError("Y4M stream contains no frames")
+    return np.stack(frames), fps
+
+
 def _wav_features(payload: bytes, dim: int) -> np.ndarray:
     """Band-RMS envelope: dim equal time bands, RMS per band (in [0, 1])."""
     x, _ = decode_wav(payload)
@@ -140,6 +247,19 @@ def _image_features(payload: bytes, dim: int) -> np.ndarray:
     )
 
 
+def _video_features(payload: bytes, dim: int) -> np.ndarray:
+    """Temporal luminance envelope over dim time bands (in [0, 1]): the
+    video twin of the audio band-RMS / image band-luma features — mean Y
+    (luma plane, no chroma upsample needed) per frame, edge-padded to dim
+    bands. Decodes the REAL Y4M payload; short clips (T < dim) repeat their
+    tail frame, mirroring _image_features' degenerate-band clamp."""
+    luma = np.array([y.mean() for y, _, _ in _y4m_planes(payload)], dtype=np.float64)
+    if len(luma) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    luma = np.pad(luma, (0, (-len(luma)) % dim), mode="edge") / 255.0
+    return luma.reshape(dim, -1).mean(axis=1).astype(np.float32)
+
+
 def _synthesize_asset(i: int, seed: int) -> tuple:
     """One deterministic asset row. Randomness is seeded per-row
     (``default_rng([seed, i])``), so the output is independent of which
@@ -151,9 +271,10 @@ def _synthesize_asset(i: int, seed: int) -> tuple:
     unrelated assets' band features are well-spread (mean cross-cosine
     ~0.8, P(cos >= 0.98) ~ 0) — and every ``i % 10 == 9`` asset is a
     PLANTED near-duplicate of asset ``i - 9`` (same modality; 9 ≡ 0 mod 3):
-    audio/image re-use the base's profile under fresh low-amplitude noise,
-    video copies the payload byte-for-byte (the digest stub needs identical
-    bytes). True near-dup pairs are therefore ~n/10 — LINEAR in corpus
+    every modality re-uses the base's profile under fresh low-amplitude
+    noise (r12: video graduated from byte-copy-for-the-digest-stub to a
+    REAL Y4M payload whose per-frame luminance profile is the shared
+    part). True near-dup pairs are therefore ~n/10 — LINEAR in corpus
     size — which is what makes the near-dup face's 10x scale ladder measure
     plan behavior instead of quadratic output volume (the pre-r9 corpus
     gave every audio asset an identical flat band-RMS profile, so the
@@ -180,16 +301,32 @@ def _synthesize_asset(i: int, seed: int) -> tuple:
         payload = encode_ppm(px)
         meta = {"mime": "image/x-portable-pixmap", "width": 16, "height": 16, "duration_ms": None}
     else:
-        payload = rng_base.integers(0, 256, size=128 + (base % 5) * 64, dtype=np.uint8).tobytes()
-        meta = {"mime": "video/mp4", "width": 64, "height": 64, "duration_ms": 1000 + i}
+        # real uncompressed video: T frames of 16x16, per-frame luminance
+        # from the base's log-uniform profile (the shared near-dup part),
+        # per-pixel noise from rng_i. duration_ms is the true clip length
+        # (T frames at 4 fps), so the frame-plan face plans real frames.
+        n_frames = 4 + (base % 5)
+        prof = np.exp(rng_base.uniform(np.log(8.0), np.log(235.0), n_frames))
+        frames = np.clip(
+            prof[:, None, None, None] + rng_i.integers(-4, 5, (n_frames, 16, 16, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        payload = encode_y4m(frames, fps=4)
+        meta = {
+            "mime": "video/x-yuv4mpeg",
+            "width": 16,
+            "height": 16,
+            "duration_ms": 250 * n_frames,
+        }
     return (i, modality, payload, meta)
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic asset table with REAL payloads where the container can
-    encode them: audio rows are genuine 16-bit WAV (sine + seeded noise),
-    image rows are genuine binary PPM (seeded gradient); video rows are
-    opaque bytes (no in-container mp4 encoder).
+    """Deterministic asset table with REAL payloads in every modality:
+    audio rows are genuine 16-bit WAV (sine + seeded noise), image rows
+    are genuine binary PPM (seeded gradient), video rows are genuine
+    uncompressed Y4M clips (r12 — the last digest-stub modality closed).
 
     Generation is DISTRIBUTED (``spark.range(n)`` + mapInPandas encoding
     executor-side): the driver never materializes payload bytes, so the
@@ -221,10 +358,13 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> np.ndarray:
         return _wav_features(payload, dim)
     if mime in ("image/x-portable-pixmap", "image/ppm", "image/png"):
         return _image_features(payload, dim)
+    if mime in ("video/x-yuv4mpeg", "video/y4m"):
+        return _video_features(payload, dim)
     raise NotImplementedError(
         f"real media decode for {mime!r} requires PIL/librosa/ffmpeg (not in "
-        "container); in-container codecs cover audio/wav, binary PPM, and "
-        "8-bit PNG — filter to those or run with decode_stub=True"
+        "container); in-container codecs cover audio/wav, binary PPM, "
+        "8-bit PNG, and uncompressed Y4M video — filter to those or run "
+        "with decode_stub=True"
     )
 
 

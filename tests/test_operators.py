@@ -224,13 +224,65 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_multimodal_real_decode_stubbed_only_for_absent_codecs(spark):
-    """Compressed formats (mp4) still hit the declared stub; WAV/PPM do not."""
+    """Compressed formats (mp4) still hit the declared stub; WAV/PPM/Y4M
+    decode for real (r12: every synthetic modality has a real codec)."""
     assets = multimodal.synthetic_assets(spark, n=9)
+    rows = multimodal.extract_features(assets, decode_stub=False).collect()
+    assert len(rows) == 9 and all(len(r.feature) == 8 for r in rows)
+    mp4 = spark.createDataFrame(
+        [(0, "video", b"\x00\x01\x02ftypisom", {"mime": "video/mp4", "width": 64, "height": 64, "duration_ms": 1000})],
+        schema=multimodal.ASSET_SCHEMA,
+    )
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        multimodal.extract_features(assets, decode_stub=False).collect()
-    decodable = assets.filter(F.col("modality") != "video")
-    rows = multimodal.extract_features(decodable, decode_stub=False).collect()
-    assert len(rows) == 6 and all(len(r.feature) == 8 for r in rows)
+        multimodal.extract_features(mp4, decode_stub=False).collect()
+
+
+def test_y4m_roundtrip_and_boundaries():
+    """encode_y4m -> decode_y4m preserves frame count/shape/fps and luma to
+    within the YCbCr round-trip's rounding; unsupported colorspaces and
+    truncated streams raise at the point of use."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (5, 16, 12, 3), dtype=np.uint8)
+    payload = multimodal.encode_y4m(frames, fps=4)
+    assert payload.startswith(b"YUV4MPEG2 W12 H16 F4:1")
+    back, fps = multimodal.decode_y4m(payload)
+    assert back.shape == frames.shape and fps == 4
+    # YCbCr<->RGB round-trip is lossy by ±~2 per channel, mean luma stable
+    luma = lambda f: (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean()
+    for a, b in zip(frames, back):
+        assert abs(luma(a.astype(float)) - luma(b.astype(float))) < 1.5
+    # C420jpeg: synthesize planar 420 directly (half-res chroma)
+    h, w = 4, 4
+    y = np.full(h * w, 90, np.uint8).tobytes()
+    c = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    p420 = b"YUV4MPEG2 W4 H4 F25:1\n" + b"FRAME\n" + y + c + c
+    f420, fps420 = multimodal.decode_y4m(p420)
+    assert f420.shape == (1, 4, 4, 3) and fps420 == 25
+    assert int(f420[0, 0, 0, 0]) == 90  # neutral chroma -> gray at Y
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\n" + b"FRAME\n" + y * 2)
+    with pytest.raises(ValueError, match="truncated|FRAME|no frames"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + y)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFFxxxx")
+
+
+def test_video_planted_neardup_through_real_y4m_path(spark):
+    """The r12 closeout check: a planted video near-dup pair must be found
+    through the REAL Y4M decode (temporal-luma features), not a digest
+    stub — and byte-UNequal payloads must still pair (the stub could only
+    match identical bytes)."""
+    assets = multimodal.synthetic_assets(spark, n=30, seed=42)
+    vids = assets.filter(F.col("modality") == "video")
+    rows = {r.asset_id: bytes(r.payload) for r in vids.collect()}
+    assert rows[29] != rows[20]  # fresh noise: the dup is NOT a byte copy
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in multimodal.neardup_assets_by_feature(
+            vids, threshold=0.995, decode_stub=False
+        ).collect()
+    }
+    assert (20, 29) in pairs
 
 
 def test_wav_codec_roundtrip():
@@ -455,7 +507,7 @@ def test_synthetic_corpus_plants_linear_neardups_and_strategies_agree(spark):
     assets = multimodal.synthetic_assets(spark, n=120, seed=42).persist()
     planted = {(i - 9, i) for i in range(9, 120) if i % 10 == 9}
     got = {}
-    for m, stub in (("image", False), ("audio", False), ("video", True)):
+    for m, stub in (("image", False), ("audio", False), ("video", False)):
         sub = assets.filter(F.col("modality") == m)
         for strat in ("exact", "blocked"):
             got[(m, strat)] = {
