@@ -103,6 +103,16 @@ def read_table(spark: SparkSession, path: str, fmt: str, schema: T.StructType) -
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every core table as a temp view so the whole engine surface
     is reachable from plain ``spark.sql`` — the SQL face of the API
-    (DuckDB-oracle SQL in the driver contract runs near-verbatim here)."""
+    (DuckDB-oracle SQL in the driver contract runs near-verbatim here).
+
+    Also registers the DERIVED ``partsupp`` view (operators/partsupp.py,
+    r12): a deterministic pure function of part x supplier, so the full
+    22-query TPC-H surface runs through the SQL door with no extra
+    fixture — generated-on-read, never materialized."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    from baum_welch_spark.operators.partsupp import derive_partsupp
+
+    derive_partsupp(
+        spark.table("part"), spark.table("supplier")
+    ).createOrReplaceTempView("partsupp")

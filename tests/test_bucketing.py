@@ -100,3 +100,10 @@ def test_register_views_sql_face(spark):
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC LIMIT 1"
     ).first()
     assert top.n > 0
+    # the derived partsupp rides along (r12): 4 suppliers per part, TPC-H
+    # queries over ps_* columns run through the SQL door with no fixture
+    ps = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT ps_partkey) AS parts FROM partsupp"
+    ).first()
+    assert ps.n == 4 * load_table(spark, SF0001, "part").count()
+    assert ps.parts == load_table(spark, SF0001, "part").count()
