@@ -544,12 +544,13 @@ FROM raw
 
 
 def model_from_tidy(rows, n_hidden: int, n_observed: int) -> HMM:
-    """Rebuild an :class:`HMM` from tidy ``(kind, i, j, prob)`` rows (the
-    sparse-output contract: absent cells are exactly 0). Inverse of
-    :meth:`HMM.to_rows` for the re-estimation faces' rounded output; does
-    NOT validate/renormalize — rounded rows sum to ~1, and the chained
-    E-step neither needs nor wants a renormalization the oracle would not
-    perform."""
+    """Rebuild an :class:`HMM` from tidy ``(kind, i, j, prob)`` row dicts
+    (the re-estimation faces' rounded output; absent sparse cells are
+    exactly 0). The UNVALIDATED sibling of :meth:`HMM.from_rows` — keep
+    the two fill loops in sync if the tidy-row convention ever changes.
+    No validate/renormalize here: rounded rows sum to 1 only within ~2e-6
+    (outside validate's 1e-8), and the chained E-step must use the rounded
+    values verbatim — a renormalization the oracle would not perform."""
     pi = np.zeros(n_hidden)
     A = np.zeros((n_hidden, n_hidden))
     B = np.zeros((n_hidden, n_observed))
@@ -584,18 +585,32 @@ def em_trace(
     compounding across laps.
 
     The per-lap ``collect`` is model-sized (N^2 + N*M + N rows) — the same
-    driver-side footprint as :func:`fit`'s convergence test.
+    driver-side footprint as :func:`fit`'s convergence test. Laps before
+    the last are rebuilt as literal frames from their collected rows (they
+    were computed anyway for the chaining), so nothing is persisted and
+    nothing recomputes at the caller's collect — no cache accumulation
+    across repeated bench invocations (review finding, r12).
     """
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     frames = []
     cur = model
+    schema = "iter int, kind string, i int, j int, prob double"
     for it in range(1, n_iters + 1):
-        step = em_reestimate(spark, sequences, cur).persist()
-        frames.append(step.select(F.lit(it).alias("iter"), "kind", "i", "j", "prob"))
+        step = em_reestimate(spark, sequences, cur)
         if it < n_iters:
+            rows = step.collect()
+            frames.append(
+                spark.createDataFrame(
+                    [(it, r.kind, r.i, r.j, r.prob) for r in rows], schema
+                )
+            )
             cur = model_from_tidy(
-                [r.asDict() for r in step.collect()], cur.n_hidden, cur.n_observed
+                [r.asDict() for r in rows], cur.n_hidden, cur.n_observed
+            )
+        else:
+            frames.append(
+                step.select(F.lit(it).alias("iter"), "kind", "i", "j", "prob")
             )
     out = frames[0]
     for f in frames[1:]:

@@ -861,11 +861,24 @@ def ghmm_em_trace(
     frames = []
     cur = model.validate()
     n = cur.pi.shape[0]
+    schema = "iter int, kind string, i int, j int, val double"
     for it in range(1, n_iters + 1):
-        step = _ghmm_reestimate_unchecked(spark, sequences, cur).persist()
-        frames.append(step.select(F.lit(it).alias("iter"), "kind", "i", "j", "val"))
+        step = _ghmm_reestimate_unchecked(spark, sequences, cur)
         if it < n_iters:
-            cur = gauss_model_from_tidy([r.asDict() for r in step.collect()], n)
+            # laps before the last become literal frames from the rows the
+            # chaining collects anyway — no persist, no recompute, no cache
+            # accumulation across bench invocations (fit.em_trace's pattern)
+            rows = step.collect()
+            frames.append(
+                spark.createDataFrame(
+                    [(it, r.kind, r.i, r.j, r.val) for r in rows], schema
+                )
+            )
+            cur = gauss_model_from_tidy([r.asDict() for r in rows], n)
+        else:
+            frames.append(
+                step.select(F.lit(it).alias("iter"), "kind", "i", "j", "val")
+            )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

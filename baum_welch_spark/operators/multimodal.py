@@ -180,6 +180,8 @@ def _y4m_header(payload: bytes) -> tuple[int, int, int, str, int]:
             h = int(val)
         elif tag == "F":
             num, den = val.split(":")
+            if int(den) <= 0:
+                raise ValueError(f"bad Y4M frame rate {val!r}")  # not ZeroDivision
             fps = max(1, round(int(num) / int(den)))
         elif tag == "C":
             cspace = val
@@ -196,8 +198,10 @@ def _y4m_planes(payload: bytes):
     resolution); shared by decode_y4m and the luma-only feature path."""
     w, h, _, cspace, pos = _y4m_header(payload)
     ysz = w * h
-    csz = ysz if cspace == "444" else (w // 2) * (h // 2)
-    ch, cw = (h, w) if cspace == "444" else (h // 2, w // 2)
+    # C420 chroma planes are ceil-half-res (odd dims round UP per the
+    # yuv4mpeg layout), so odd-H/W streams parse instead of mis-slicing
+    ch, cw = (h, w) if cspace == "444" else ((h + 1) // 2, (w + 1) // 2)
+    csz = ch * cw
     while pos < len(payload):
         nl = payload.find(b"\n", pos)
         if nl < 0 or not payload[pos:nl].startswith(b"FRAME"):

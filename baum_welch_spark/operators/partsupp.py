@@ -5,10 +5,12 @@ five TPC-H queries through r11. This module closes the gap WITHOUT a
 fixture: partsupp is a DETERMINISTIC PURE FUNCTION of the part and supplier
 tables both engines can evaluate identically —
 
-  * 4 suppliers per part (dbgen's cardinality), spread by a stride of
-    ``supplier_count div 4`` (collision-free for any supplier_count >= 4:
-    3 * floor(S/4) < S, so the four offsets are distinct mod S); keys are
-    0-based to match the testdata's key domains;
+  * min(4, S) suppliers per part (dbgen's cardinality capped by the
+    supplier count S), spread by a stride of ``S div 4`` floored at 1 —
+    collision-free for EVERY S: for S >= 4, 3 * floor(S/4) < S so the four
+    offsets are distinct mod S; for S < 4 the fanout itself is capped at S
+    with stride 1 (offsets 0..S-1). (ps_partkey, ps_suppkey) is therefore
+    always a key. Keys are 0-based to match the testdata's key domains;
   * ``ps_availqty``   = 1 + (ps_partkey*7 + ps_suppkey*11) % 9999
   * ``ps_supplycost`` = 1.0 + ((ps_partkey*13 + ps_suppkey*17) % 99900)/100.0
 
@@ -49,6 +51,7 @@ partsupp AS (
          1 + (p_partkey * 7 + ((p_partkey + i.i * greatest(s.s_total // 4, 1)) % s.s_total) * 11) % 9999 AS ps_availqty,
          1.0 + ((p_partkey * 13 + ((p_partkey + i.i * greatest(s.s_total // 4, 1)) % s.s_total) * 17) % 99900) / 100.0 AS ps_supplycost
   FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) i(i) CROSS JOIN scnt s
+  WHERE i.i < s.s_total
 ),
 """
 
@@ -65,6 +68,7 @@ def derive_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
         part.select("p_partkey")
         .crossJoin(F.broadcast(i_df))
         .crossJoin(F.broadcast(s_cnt))
+        .filter(F.col("i") < F.col("s_total"))  # S < 4: cap fanout at S
         .withColumn("ps_suppkey", suppkey)
         .select(
             F.col("p_partkey").alias("ps_partkey"),
@@ -160,12 +164,21 @@ def q9_product_profit(
     The lineitem ⋈ partsupp leg joins on BOTH (l_partkey, l_suppkey) —
     only lines whose supplier actually carries the part contribute, the
     Q9 semantics. Spark plan: lineitem shuffles once on the composite key;
-    part/supplier/nation/orders dimension legs broadcast where small."""
+    part/supplier/nation/orders dimension legs broadcast where small.
+
+    Exactness: like q11, the profit sum is computed in EXACT INTEGER
+    1e-4-currency units (every input is a 2-dp decimal: extendedprice and
+    supplycost recover their integer cents via round(x*100), the discount
+    its integer percent) so the BIGINT sum is order-independent and no
+    final rounding is involved — the cancellation-prone revenue-minus-cost
+    sum would otherwise sit in the documented half-even/half-up divergence
+    class near 2-dp boundaries."""
     ps = derive_partsupp(part, supplier)
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity")
-    )
+    ep_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    pct = F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    sc_cents = F.round(F.col("ps_supplycost") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    amount_e4 = ep_cents * pct - sc_cents * qty * 100
     return (
         lineitem.join(
             ps,
@@ -183,7 +196,7 @@ def q9_product_profit(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.sum(amount_e4) / F.lit(10000.0)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -192,7 +205,10 @@ Q9_SQL = PARTSUPP_CTE + """
 profit AS (
   SELECT n.n_name AS nation,
          year(o.o_orderdate) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity AS amount
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+           - CAST(round(ps.ps_supplycost * 100) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT) * 100 AS amount_e4
   FROM lineitem l
   JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
   JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
@@ -200,7 +216,7 @@ profit AS (
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
 )
-SELECT nation, o_year::BIGINT AS o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year::BIGINT AS o_year, sum(amount_e4)::BIGINT / 10000.0 AS sum_profit
 FROM profit GROUP BY nation, o_year ORDER BY nation, o_year DESC
 """
 

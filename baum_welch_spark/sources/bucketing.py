@@ -57,6 +57,27 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
 
 
+#: pending metastore drops — ONE atexit registration for the process (the
+#: session.scratch_dir pattern): per-invocation callbacks would accumulate
+#: unboundedly in a bench loop and pin the SparkSession in each closure
+_PENDING_DROPS: list[tuple] = []
+
+
+def _register_drop(spark: SparkSession, *tables: str) -> None:
+    import atexit
+
+    if not _PENDING_DROPS:
+        def _drop_all() -> None:
+            for sess, tbl in _PENDING_DROPS:
+                try:
+                    sess.sql(f"DROP TABLE IF EXISTS {tbl}")
+                except Exception:
+                    pass  # session already stopped — dir cleanup suffices
+
+        atexit.register(_drop_all)
+    _PENDING_DROPS.extend((spark, t) for t in tables)
+
+
 def bucketed_segment_spend_with_tables(
     spark: SparkSession,
     orders: DataFrame,
@@ -90,7 +111,6 @@ def bucketed_segment_spend_with_tables(
 
     from baum_welch_spark.session import scratch_dir
 
-    import atexit
     import os
     import re
 
@@ -108,15 +128,7 @@ def bucketed_segment_spend_with_tables(
     write_bucketed(
         customer, customer_tbl, "c_custkey", n_buckets, f"{base}/customer_b"
     )
-
-    def _drop() -> None:
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {orders_tbl}")
-            spark.sql(f"DROP TABLE IF EXISTS {customer_tbl}")
-        except Exception:
-            pass  # session already stopped — data dir cleanup handles the rest
-
-    atexit.register(_drop)
+    _register_drop(spark, orders_tbl, customer_tbl)
     joined = cobucketed_join(spark, orders_tbl, customer_tbl, "c_custkey")
     out = (
         joined.groupBy("c_mktsegment")

@@ -302,6 +302,45 @@ def test_ewma_all_null_day_is_zero_three_ways(spark):
     }
     assert oracle == got
 
+    # third engine: the streaming updater on the same three days (driven
+    # directly, the test_streaming_ewma harness pattern) — its all-NULL day
+    # must land on the identical (0.0 spend, 5.0 ewma) row
+    import pandas as pd
+
+    from baum_welch_spark.streaming.ewma import ewma_stream_updater
+
+    class _State:
+        _v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    update = ewma_stream_updater(alpha=0.5)
+    batch = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7],
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-02 10:00:00", "2024-01-03 10:00:00"]
+            ),
+            "value": [10.0, None, 20.0],
+        }
+    )
+    out = pd.concat(list(update((7,), iter([batch]), _State())))
+    latest = out.groupby("day").last()
+    stream_rows = {
+        d: (latest.loc[d, "spend"], latest.loc[d, "ewma_spend"]) for d in latest.index
+    }
+    assert stream_rows == got
+
 
 # ----------------------------------------------------------- bucketed face ----
 
