@@ -39,7 +39,9 @@ ALLOWED = {
     "operators/pq.py": {"collect": 7, "toPandas": 0},
     "operators/sequences.py": {"collect": 1, "toPandas": 0},
     "hmm/model.py": {"collect": 1, "toPandas": 0},
-    "hmm/fit.py": {"collect": 1, "toPandas": 0},
+    # fit loop's model-sized expected-counts collect + em_trace's per-lap
+    # chained-model collect (N^2 + N*M + N rows, r12 EM-loop pin)
+    "hmm/fit.py": {"collect": 2, "toPandas": 0},
     # distributed grouped EM: one group-cardinality meta collect + the
     # per-iteration (groups x model)-sized count-stripe collect — the
     # grouped analogue of fit.py's site (groups bound driver memory by
@@ -48,8 +50,9 @@ ALLOWED = {
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
     # Gaussian-emission EM: model-sized stripe collect (fit loop) + the
-    # model-codec read (tidy model rows)
-    "hmm/gaussian.py": {"collect": 2, "toPandas": 0},
+    # model-codec read (tidy model rows) + ghmm_em_trace's per-lap
+    # chained-model collect (r12 EM-loop pin)
+    "hmm/gaussian.py": {"collect": 3, "toPandas": 0},
     # semi-supervised EM: same model-sized count-stripe collect as fit.py
     "hmm/semisup.py": {"collect": 1, "toPandas": 0},
     # hard EM (segmental k-means): same model-sized count-stripe collect
@@ -119,34 +122,20 @@ def test_driver_window_stays_oracle_dense():
     assert len(qs) == len(set(qs))
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     rows_only_in_window = [q for q in qs[:50] if q not in osql]
-    # r11 window (VERDICT-r10 #1 rotation): the round's EXPLICIT task is
-    # refreshing driver evidence on the r7/r8-vintage rows-only block, so
-    # this window is temporarily rows-only-heavier than usual; r12 rotates
-    # them back out. Every entry carries its own non-SQL oracle:
+    # r12 window (VERDICT-r11 #1 rotation): the window carries this round's
+    # new/changed faces plus 36 r8-vintage exact rotation targets; only
+    # four rows-only faces remain in it, each with its own non-SQL oracle:
     assert set(rows_only_in_window) <= {
-        # iterative trainers: per-group / sampled / EM loops pinned at 1e-8
-        # vs sequential NumPy oracles, bit-exact restarts, monotone loglik
-        # (tests/test_fit.py, test_grouped.py, test_generate.py,
-        # test_sample.py, test_classifier.py, test_bpe.py)
-        # (hmm_generate and posterior_sample graduated to DuckDB-exact in
-        # late r11 via the counter-RNG replay oracles)
-        "emb_pca",  # eigh-based PCA — sign/rotation not SQL-canonical
-        "quality_classifier",
-        "bpe_merges",
-        "hmm_fit_grouped",
-        "hmm_fit_grouped_dist",  # distributed large-group EM, 1e-8 parity pin
-        "grouped_decode",
-        "compression_ratio",  # zlib byte-stream ratio — engine-specific
-        # ANN serving family: k-means/PQ training inside; recall-vs-brute
-        # + partition-pruning + chunk-invariance pytests (tests/test_pq.py)
-        "knn_pq",
-        "knn_ivfpq",
-        "knn_ivfpq_query",
-        "ivfpq_append",
+        # binary-payload multimodal pipeline: planted-duplicate recall and
+        # pixel-exact resize pinned in pytest (tests/test_operators.py);
+        # payload bytes have no SQL twin by nature
+        "asset_neardup",
+        "asset_resize",
+        # ANN serving: k-means training inside; recall-vs-brute +
+        # partition-pruning pytests (tests/test_pq.py, test_clustering.py)
         "knn_ivf_kmeans",
-        # engine-specific sketches: HLL / KLL have no DuckDB twin; pinned
-        # by exact-vs-approx error-bound pytests
-        "approx_distinct_users",
+        # engine-specific sketch: KLL has no DuckDB twin; pinned by the
+        # exact-vs-approx error-bound pytest
         "value_approx_quantiles",
     }, rows_only_in_window
 
