@@ -1591,8 +1591,20 @@ def _q_view_purchase_stream_join(spark, sf):
 
     # 120-minute correlation window: the sparse synthetic stream yields 65
     # pairs at sf0.01 (5 min gives only 2 — too thin to pin the bounds)
-    stream = view_purchase_stream_join(stream_events(spark, sf), window_minutes=120)
-    run_to_memory(stream, "view_purchase_join_face", output_mode="append")
+    #
+    # r12 perf: a stream-stream join spins FOUR state stores per shuffle
+    # partition per micro-batch, so the finite-replay face is state-store-
+    # setup-bound, not data-bound — 32 partitions cost 73 s at sf0.1 where
+    # 8 cost 9 s for the same 713 rows (measured). Pin the stateful-shuffle
+    # width to 8 for the face and restore the session setting after; a real
+    # deployment sizes this to stream volume, not to the session default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = view_purchase_stream_join(stream_events(spark, sf), window_minutes=120)
+        run_to_memory(stream, "view_purchase_join_face", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(
         "SELECT purchase_id, user_id, view_id, unix_micros(v_ts) AS v_ts_us, "
         "unix_micros(p_ts) AS p_ts_us FROM view_purchase_join_face "
@@ -1747,7 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "top_event_per_user": _q_top_event,
         "user_type_stats": _q_user_type_stats,
-        "value_quantiles": _q_value_quantiles,
+        "view_purchase_stream_join": _q_view_purchase_stream_join,
         # ---- driver's 50-entry window ends here (r12). The faces below
         # were driver-verified green in r9-r11 and are code-unchanged since
         # their last check (face-hash manifest). Stalest-first: the r11
@@ -1768,7 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "windowed_counts_stream": _q_windowed_counts_stream,
         "sessions_stream": _q_sessions_stream,
-        "view_purchase_stream_join": _q_view_purchase_stream_join,
+        "value_quantiles": _q_value_quantiles,
         "score_stream": _q_score_stream,
         "viterbi_topk": _q_viterbi_topk,
         "knn_ivfpq_query": _q_knn_ivfpq_query,
