@@ -65,6 +65,9 @@ def main() -> None:
                 row[f"{label}_rows"] = n
             row["ratio"] = round(row["big"] / max(row["small"], 1e-9), 1)
             results[face] = row
+            if args.out:  # incremental: a mid-board JVM death loses nothing
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=1, sort_keys=True)
             print(
                 f"{face:28s} {row['small']:7.2f}s -> {row['big']:8.2f}s "
                 f"{row['ratio']:6.1f}x  (rows {row['small_rows']} -> {row['big_rows']})",
