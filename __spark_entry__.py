@@ -1757,8 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "stratified_sample": _q_stratified_sample,
         "token_stats": _q_token_stats,
-        "top_event_per_user": _q_top_event,
-        "user_type_stats": _q_user_type_stats,
+        "decontaminate": _q_decontaminate,
+        "prepare_training_corpus": _q_prepare_training_corpus,
         "view_purchase_stream_join": _q_view_purchase_stream_join,
         # ---- driver's 50-entry window ends here (r12). The faces below
         # were driver-verified green in r9-r11 and are code-unchanged since
@@ -1775,7 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_fit_grouped_dist": _q_hmm_fit_grouped_dist,
         "q12_late_priority": _q_q12_late_priority,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
-        "prepare_training_corpus": _q_prepare_training_corpus,
+        "top_event_per_user": _q_top_event,
+        "user_type_stats": _q_user_type_stats,
         "clean_corpus": _q_clean_corpus,
         "leakage_split": _q_leakage_split,
         "windowed_counts_stream": _q_windowed_counts_stream,
@@ -1817,7 +1818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "corpus_report": _q_corpus_report,
         "cosine_neardup": _q_cosine_neardup,
-        "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "dup_ngrams": _q_dup_ngrams,
         "emb_norms": _q_emb_norms,

@@ -14,9 +14,13 @@ Scale posture (100 TB corpus):
   (doc_id, bigram) BEFORE the global count, so every later shuffle moves
   distinct-bigram rows, never raw token instances. Count tables join back on
   bigram equi-keys (AQE picks broadcast when the vocabulary is small enough).
-- ``decontaminate`` — the eval n-gram set is benchmark-sized by definition,
-  so it broadcasts; the 100 TB training side is never shuffled except the
-  final per-doc combinable count.
+- ``decontaminate`` — in production the eval n-gram set is benchmark-sized
+  by definition and broadcasts; the join is left UNHINTED so AQE makes that
+  call from the measured build size (r12 100x-half-board lesson: the face's
+  eval slice is a fixed FRACTION of the corpus, and a forced broadcast of a
+  corpus-proportional side stalled a 500k-doc run — the hint encoded an
+  assumption the parameterization didn't keep). The 100 TB training side is
+  never shuffled except the final per-doc combinable count either way.
 
 All three are pure Catalyst (no UDFs) with DuckDB-portable semantics, so
 every operator is oracle-checked exactly.
@@ -166,10 +170,13 @@ def decontaminate(
     ``n_overlap`` counts the doc's distinct n-grams that appear anywhere in
     the eval set.
 
-    The eval n-gram set is benchmark-sized regardless of corpus size, so the
-    join broadcasts: the 100 TB training side streams through a map-side
-    semi-join with no shuffle of n-gram strings, then one combinable
-    per-doc count.
+    Scale: in production the eval side is benchmark-sized regardless of
+    corpus size and the join becomes a map-side semi-join; HERE the eval
+    slice is a fixed fraction of the corpus (doc_id % eval_mod), so the
+    join is deliberately UNHINTED — AQE broadcasts when the built eval set
+    is genuinely small and falls back to a shuffle join when it is not.
+    (r12: a forced F.broadcast here stalled the 100x half-board — the
+    build side was corpus-proportional, exactly what the hint denied.)
     """
     # split materialized as a column before the lambda (else Catalyst
     # re-evaluates it per element_at call — see dedup._shingles)
@@ -191,7 +198,7 @@ def decontaminate(
     )
     train = with_grams.where(F.col("doc_id") % eval_mod != 0)
     return (
-        train.join(F.broadcast(eval_grams), "g")
+        train.join(eval_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
