@@ -446,7 +446,16 @@ def score_gauss(
 ) -> DataFrame:
     """(seq_id, t_len, loglik, avg_loglik): marginal log-likelihood via the
     scaled forward recursion."""
-    model = model.validate()
+    return _score_gauss_unchecked(spark, sequences, model.validate())
+
+
+def _score_gauss_unchecked(
+    spark: SparkSession, sequences: DataFrame, model: GaussianHMM
+) -> DataFrame:
+    """score_gauss body without the validate() gate: the chained loglik
+    trace (ghmm_loglik_trace) scores under 6-dp-ROUNDED models whose pi/A
+    sums are off by up to ~2e-6 — within the trace contract but outside
+    validate's 1e-8 (the _ghmm_reestimate_unchecked convention)."""
     bc = spark.sparkContext.broadcast(model)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -885,6 +894,44 @@ def ghmm_em_trace(
     return out
 
 
+def ghmm_loglik_trace(
+    spark: SparkSession, sequences: DataFrame, model: GaussianHMM, n_iters: int = 2
+) -> DataFrame:
+    """Per-(lap, sequence) marginal log-likelihood under the CHAINED EM
+    models — lap k scores every sequence under the model ghmm_em_trace's
+    lap k uses (lap 1 = the literal init, lap k+1 = lap k's 6-dp-rounded
+    tidy re-estimate; modelOut -> modelIn, BaumWelchDriver.java:114-134,
+    the convergence trace the reference's driver reads per iteration at
+    BaumWelchDriver.java:196-207). Output ``(iter, seq_id, loglik)``.
+
+    This is the driver-exact graduation of ghmm_trace's rows-only evidence
+    (VERDICT-r12 #2): per-sequence logliks are sequential Σ_t ln(s_t)
+    accumulations — the proven gauss_score_oracle_sql contract — so no
+    cross-engine corpus-order float-summation enters, unlike a corpus
+    TOTAL loglik (magnitude ~1e6 at sf0.1, where partition-order noise
+    alone would break round(6)). Per-lap collect is model-sized."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    cur = model.validate()
+    n = cur.pi.shape[0]
+    frames = []
+    for it in range(1, n_iters + 1):
+        frames.append(
+            _score_gauss_unchecked(spark, sequences, cur).select(
+                F.lit(it).alias("iter"),
+                "seq_id",
+                F.round("loglik", 6).alias("loglik"),
+            )
+        )
+        if it < n_iters:
+            rows = _ghmm_reestimate_unchecked(spark, sequences, cur).collect()
+            cur = gauss_model_from_tidy([r.asDict() for r in rows], n)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def gauss_trace_oracle_sql(model: GaussianHMM, n_iters: int = 2) -> str:
     """ANSI-SQL (DuckDB) oracle for :func:`ghmm_em_trace`: lap 1 runs the
     gauss_reestimate_oracle_sql recursions from full-precision literals;
@@ -894,6 +941,34 @@ def gauss_trace_oracle_sql(model: GaussianHMM, n_iters: int = 2) -> str:
     computed as lateral columns in the pivot — the identical two-operand
     expression shapes _log_coeffs uses, so the only cross-engine delta is
     the ~1-ulp libm ln/exp class the existing exact faces already carry."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS iter, kind, i, j, val FROM m{k}"
+        for k in range(1, n_iters + 1)
+    )
+    return _gauss_trace_ctes(model, n_iters) + f"\n{union}\n"
+
+
+def gauss_loglik_trace_oracle_sql(model: GaussianHMM, n_iters: int = 2) -> str:
+    """ANSI-SQL (DuckDB) oracle for :func:`ghmm_loglik_trace`: the shared
+    chained-lap CTE prefix already carries the sequentially-accumulated
+    ``ll`` column (ln(s) at t=0, then a.ll + ln(ns) — the exact
+    gauss_score_oracle_sql accumulation order forward_backward_gauss
+    uses), so each lap's per-sequence loglik is one join against lens."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS iter, a.user_id AS seq_id, round(a.ll, 6) AS loglik\n"
+        f"FROM alpha{k} a JOIN lens l ON l.user_id = a.user_id AND a.t = l.t_len - 1"
+        for k in range(1, n_iters + 1)
+    )
+    return _gauss_trace_ctes(model, n_iters) + f"\n{union}\n"
+
+
+def _gauss_trace_ctes(model: GaussianHMM, n_iters: int = 2) -> str:
+    """Shared WITH-prefix for the chained-lap oracles (gauss_trace_oracle_sql
+    and gauss_loglik_trace_oracle_sql): per lap k, alpha{k}/beta{k}
+    recursions (alpha carrying the sequential ll accumulator), gamma/xi
+    frames, the m{k} rounded re-estimate, and (for k>1) the mw{k-1} pivot
+    feeding lap k's model. Ends WITHOUT a trailing comma — append the
+    consuming final SELECT after a newline."""
     from baum_welch_spark.hmm.decode import _lit
 
     if n_iters < 1:
@@ -1006,12 +1081,12 @@ alpha{k} AS MATERIALIZED (
   WITH RECURSIVE alpha{k}_r AS (
     SELECT c.user_id, 0 AS t,
            {base_u},
-           ({usum}) AS s, {norm}
+           ({usum}) AS s, ln(s) AS ll, {norm}
     FROM coded c{mjoin} WHERE c.t = 0
     UNION ALL
     SELECT a.user_id, a.t + 1,
            {step_u},
-           ({nusum}) AS ns, {nnorm}
+           ({nusum}) AS ns, a.ll + ln(ns) AS nll, {nnorm}
     FROM alpha{k}_r a
     JOIN coded c ON c.user_id = a.user_id AND c.t = a.t + 1{mjoin}
   ) SELECT * FROM alpha{k}_r
@@ -1063,8 +1138,4 @@ FROM mo{k}
 ),
 """
 
-    sql = sql.rstrip().rstrip(",")
-    union = "\nUNION ALL\n".join(
-        f"SELECT {k} AS iter, kind, i, j, val FROM m{k}" for k in range(1, n_iters + 1)
-    )
-    return sql + f"\n{union}\n"
+    return sql.rstrip().rstrip(",")

@@ -19,9 +19,13 @@ Scale posture (100 TB corpus):
 - Encoding (``bpe_encode``) applies the learned ranks in an Arrow-batched
   kernel over documents — embarrassingly parallel, merges broadcast.
 
-Iterative training is not SQL-expressible: the driver faces are rows-only,
-and correctness is pinned against a reference in-memory BPE implementation
-(exact merge-sequence equality) in tests.
+Correctness: greedy BPE is ALL integer counts and deterministic string
+tie-breaks — no floats — so the distributed trainer is pinned DuckDB-exact
+(not just reference-implementation-pinned): :func:`bpe_merges_oracle_sql`
+unrolls the fixed merge rounds as chained CTEs (the kmeans_parity /
+pagerank_docs_sql fixed-iteration pattern) and must reproduce the trainer's
+merge table bit-for-bit. A reference in-memory BPE implementation
+additionally pins both in tests.
 """
 
 from __future__ import annotations
@@ -126,6 +130,85 @@ def bpe_merges(documents: DataFrame, n_merges: int = 30) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, left string, right string, merged string, pair_freq long"
     ).orderBy("rank")
+
+
+#: separator for the oracle's wrapped-symbol string encoding — U+001F (unit
+#: separator), absent from the corpus (word_vocab text is space-tokenized
+#: prose; a corpus containing \x1f or the EOW marker would break BOTH the
+#: trainer and the oracle identically, so the assumption is shared).
+SEP = "\x1f"
+
+
+def bpe_merges_oracle_sql(n_merges: int = 30) -> str:
+    """DuckDB oracle for :func:`bpe_merges` — the greedy trainer unrolled
+    as ``n_merges`` chained CTE rounds (the clustering.kmeans_parity_sql /
+    graph.pagerank_docs_sql fixed-iteration pattern), pinning the REAL
+    distributed trainer (not a twin) hash-exact: every quantity is integer
+    or string, so there is no cross-engine float surface at all.
+
+    Vocabulary state is a separator-wrapped symbol string: symbols
+    ``[a, b]`` encode as ``\\x1fa\\x1f\\x1fb\\x1f`` (each symbol wrapped in
+    U+001F on both sides). Under that encoding the greedy leftmost
+    non-overlapping merge of adjacent pair (l, r) is EXACTLY SQL
+    ``replace(w, SEP||l||SEP||SEP||r||SEP, SEP||l||r||SEP)``:
+
+    - non-overlapping left-to-right replace = the _merge_adjacent fold
+      (``aaa`` under (a,a) -> ``aa,a``: the second candidate's leading
+      separator is consumed by the first match, exactly as the fold's
+      accumulator head is the merged symbol, never the bare left);
+    - a merged symbol can never re-match as the LEFT of the same pair in
+      one pass (that would need merged == l, i.e. r empty) nor as the
+      RIGHT (l empty), matching the fold's single-pass semantics;
+    - separators align only on symbol boundaries (symbols cannot contain
+      SEP), so no cross-symbol false matches.
+
+    Each round: split the wrapped string back to a symbol list, count
+    adjacent pairs weighted by word freq (lateral generate_series — the
+    zip_with slice pair explode), pick the (freq DESC, l ASC, r ASC)
+    argmax via ROW_NUMBER (binary string order on both engines; corpus is
+    lowercased), stop when the best pair's freq < 2 (empty CTE cascades,
+    mirroring the trainer's break). Counts cast ::BIGINT so DuckDB's
+    HUGEINT sum arrives with the trainer's int64 dtype kind."""
+    ctes = [
+        f"""wv AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) tok
+  WHERE length(word) > 0
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT regexp_replace(word || '{EOW}', '(.)', '{SEP}\\1{SEP}', 'g') AS w, freq
+  FROM wv
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT s[i] AS l, s[i + 1] AS r, freq
+  FROM (
+    SELECT string_split(substring(w, 2, length(w) - 2), '{SEP}{SEP}') AS s, freq
+    FROM v{p}
+  ) syms, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+)""")
+        ctes.append(f"""t{t} AS MATERIALIZED (
+  SELECT l, r, f FROM (
+    SELECT l, r, f, ROW_NUMBER() OVER (ORDER BY f DESC, l ASC, r ASC) AS rn
+    FROM (SELECT l, r, sum(freq)::BIGINT AS f FROM p{t} GROUP BY l, r) cnt
+  ) rk
+  WHERE rn = 1 AND f >= 2
+)""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+  SELECT replace(v.w, '{SEP}' || t.l || '{SEP}{SEP}' || t.r || '{SEP}',
+                 '{SEP}' || t.l || t.r || '{SEP}') AS w, v.freq
+  FROM v{p} v CROSS JOIN t{t} t
+)""")
+    unrolled = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(
+        f'SELECT {t - 1}::BIGINT AS "rank", l AS "left", r AS "right",'
+        f" l || r AS merged, f AS pair_freq FROM t{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return f'WITH {unrolled}\nSELECT * FROM (\n{union}\n) mrg ORDER BY "rank"\n'
 
 
 def bpe_encode(documents: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import re
 import wave
 from typing import Iterator
 
@@ -163,34 +164,48 @@ def encode_y4m(frames: np.ndarray, fps: int = 4) -> bytes:
     return b"".join(out)
 
 
-def _y4m_header(payload: bytes) -> tuple[int, int, int, str, int]:
-    """Parse the Y4M stream header -> (width, height, fps, colorspace,
-    data_start). Colorspaces beyond C444/C420(jpeg/mpeg2/paldv) raise
-    NotImplementedError at the point of use (the honest-boundary rule)."""
+def _y4m_header(payload: bytes) -> tuple[int, int, tuple[int, int], str, int]:
+    """Parse the Y4M stream header -> (width, height, (fps_num, fps_den),
+    colorspace, data_start). Colorspaces beyond C444/C420(jpeg/mpeg2/paldv)
+    raise NotImplementedError at the point of use (the honest-boundary
+    rule).
+
+    Tags are validated as FULL tokens (ADVICE r12): dispatching on the
+    first byte alone would mis-parse an unknown multi-char tag sharing a
+    leading letter with W/H/F/C, so W/H require an all-digit value, F a
+    num:den rational (kept rational here — the int rounding is the
+    CALLER's documented boundary, decode_y4m), and anything not matching
+    a known tag raises unless it is an X extension (which the yuv4mpeg
+    spec reserves for ignorable metadata)."""
     nl = payload.find(b"\n")
     if nl < 0 or not payload.startswith(Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream")
-    w = h = fps = None
+    w = h = None
+    fps = (25, 1)  # the mjpegtools default when no F tag is present
     cspace = "420jpeg"  # the spec default when no C tag is present
     for tok in payload[len(Y4M_MAGIC) : nl].split():
-        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
-        if tag == "W":
+        s = tok.decode("ascii", "replace")
+        tag, val = s[:1], s[1:]
+        if tag == "W" and val.isdigit():
             w = int(val)
-        elif tag == "H":
+        elif tag == "H" and val.isdigit():
             h = int(val)
-        elif tag == "F":
-            num, den = val.split(":")
-            if int(den) <= 0:
-                raise ValueError(f"bad Y4M frame rate {val!r}")  # not ZeroDivision
-            fps = max(1, round(int(num) / int(den)))
+        elif tag == "F" and re.fullmatch(r"\d+:\d+", val):
+            num, den = (int(x) for x in val.split(":"))
+            if den <= 0 or num <= 0:
+                raise ValueError(f"bad Y4M frame rate {val!r}")
+            fps = (num, den)
         elif tag == "C":
             cspace = val
-        # Ip/A/X tags carry no layout information — ignored
+        elif tag in ("I", "A") or tag == "X":
+            pass  # interlacing/aspect/extension: no layout information
+        else:
+            raise ValueError(f"unrecognized Y4M header token {s!r}")
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
     if cspace not in ("444", "420", "420jpeg", "420mpeg2", "420paldv"):
         raise NotImplementedError(f"Y4M colorspace C{cspace} not supported")
-    return w, h, fps or 25, cspace, nl + 1
+    return w, h, fps, cspace, nl + 1
 
 
 def _y4m_planes(payload: bytes):
@@ -218,8 +233,12 @@ def _y4m_planes(payload: bytes):
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
     """Y4M bytes -> ((T, h, w, 3) uint8 RGB frames, fps). C420* chroma is
-    upsampled by pixel-doubling (nearest neighbor)."""
-    w, h, fps, cspace, _ = _y4m_header(payload)
+    upsampled by pixel-doubling (nearest neighbor). fps is the header
+    rational ROUNDED to int (F30000:1001 -> 30) — the frame plan counts
+    frames, not wall-clock timestamps, so the rounding is cosmetic;
+    callers needing the exact rate read _y4m_header directly."""
+    w, h, (fn, fd), cspace, _ = _y4m_header(payload)
+    fps = max(1, round(fn / fd))
     frames = []
     for y, cb, cr in _y4m_planes(payload):
         if cspace != "444":

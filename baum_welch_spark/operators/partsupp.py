@@ -196,7 +196,13 @@ def q9_product_profit(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg((F.sum(amount_e4) / F.lit(10000.0)).alias("sum_profit"))
+        # decimal(38,0) accumulator (ADVICE r12): amount_e4 is ~1e9 per row,
+        # so a LongType sum would silently wrap around ~9e9 rows of one
+        # (nation, year) group while the oracle's 128-bit sum errors on its
+        # ::BIGINT cast — an asymmetric wrong-answer mode. The decimal sum
+        # is overflow-safe to ~1e29 rows; the final /10000.0 stays the same
+        # double division both engines perform.
+        .agg((F.sum(amount_e4.cast("decimal(38,0)")) / F.lit(10000.0)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -561,18 +561,23 @@ def decontaminate_spans(
     (a single chance 8-gram collision is noise; a real leaked span of
     length >= k + w - 1 + gap yields several).
 
-    Scale posture: the eval fingerprint set is benchmark-sized regardless
-    of corpus size, so the match join BROADCASTS (the 100 TB training side
-    streams through map-side, no fingerprint shuffle — the decontaminate
-    pattern); the only keyed shuffle is the per-doc gaps-and-islands span
-    window. Output: (doc_id, span_start, span_end, n_fps).
+    Scale posture: the eval fingerprint set is typically benchmark-sized,
+    but here it is DERIVED FROM THE CORPUS (doc_id % eval_mod), so its size
+    scales with the input — the exact parameterization-dependent class
+    whose forced broadcast stalled decontaminate on the 100x board
+    (corpus.py:201, VERDICT r12). No hint: AQE sizes the build side from
+    the measured distinct-fp count and broadcasts only when it fits; the
+    100 TB posture (benchmark-sized eval set -> map-side join) falls out
+    at runtime instead of being asserted at plan time. The only keyed
+    shuffle is the per-doc gaps-and-islands span window.
+    Output: (doc_id, span_start, span_end, n_fps).
     """
     fpp = winnow_fingerprint_positions(documents, k=k, w=w)
     is_eval = F.col("doc_id") % eval_mod == 0
     eval_fps = fpp.filter(is_eval).select("fp").distinct()
     matches = (
         fpp.filter(~is_eval)
-        .join(F.broadcast(eval_fps), "fp")
+        .join(eval_fps, "fp")
         .select("doc_id", "pos")
         .distinct()
     )

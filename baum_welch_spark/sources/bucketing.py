@@ -17,6 +17,8 @@ results equal the plain-join results.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -57,25 +59,31 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
 
 
-#: pending metastore drops — ONE atexit registration for the process (the
-#: session.scratch_dir pattern): per-invocation callbacks would accumulate
-#: unboundedly in a bench loop and pin the SparkSession in each closure
-_PENDING_DROPS: list[tuple] = []
+#: pending metastore drops — table NAMES only (ADVICE r12: storing the
+#: SparkSession would pin every session for process lifetime; the drop is
+#: best-effort, so resolving whatever session is active at exit suffices).
+#: Registered unconditionally at import — atexit dedupes nothing, but a
+#: single module-level registration can't race parallel test workers the
+#: way a check-then-register on first use could.
+_PENDING_DROPS: list[str] = []
+
+
+def _drop_all_pending() -> None:
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return  # session already stopped — scratch-dir cleanup suffices
+    for tbl in _PENDING_DROPS:
+        try:
+            sess.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:
+            pass  # best-effort
 
 
 def _register_drop(spark: SparkSession, *tables: str) -> None:
-    import atexit
+    _PENDING_DROPS.extend(tables)
 
-    if not _PENDING_DROPS:
-        def _drop_all() -> None:
-            for sess, tbl in _PENDING_DROPS:
-                try:
-                    sess.sql(f"DROP TABLE IF EXISTS {tbl}")
-                except Exception:
-                    pass  # session already stopped — dir cleanup suffices
 
-        atexit.register(_drop_all)
-    _PENDING_DROPS.extend((spark, t) for t in tables)
+atexit.register(_drop_all_pending)
 
 
 def bucketed_segment_spend_with_tables(

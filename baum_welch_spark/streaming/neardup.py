@@ -183,8 +183,12 @@ def decontaminate_stream(
     ``operators.corpus.decontaminate`` for continuously-ingested corpora.
 
     ``eval_grams`` is a static one-column (``g``) DataFrame of the benchmark
-    suite's distinct word n-grams (benchmark-sized, so the stream-static
-    join broadcasts). Output: (doc_id, n_overlap) per contaminated doc —
+    suite's distinct word n-grams — an INPUT CONTRACT: it must be
+    benchmark-sized (not corpus-derived like batch decontaminate's, which
+    goes unhinted for AQE). The hint is deliberate here because streaming
+    plans have no AQE to size the build side at runtime; a caller feeding
+    an unbounded frame would stall every micro-batch, so don't.
+    Output: (doc_id, n_overlap) per contaminated doc —
     stateless except the final per-doc count, which is per-micro-batch
     (each doc's text arrives whole in one row, so no cross-batch state is
     needed and no watermark is required).

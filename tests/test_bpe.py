@@ -81,3 +81,30 @@ def test_bpe_merges_face_schema(spark, documents):
     assert rows and [r["rank"] for r in rows] == list(range(len(rows)))
     for r in rows:
         assert r["merged"] == r["left"] + r["right"] and r["pair_freq"] >= 2
+
+
+def test_bpe_oracle_sql_matches_reference_and_trainer(spark):
+    """The unrolled DuckDB oracle (bpe_merges_oracle_sql) reproduces both
+    the in-memory reference and the distributed trainer exactly — the
+    merge-overlap edge cases ('aaa' under (a,a); re-mergeable chains) are
+    planted in the fixture so the wrapped-string replace() semantics are
+    exercised, not just the easy path."""
+    import duckdb
+
+    from baum_welch_spark.operators.bpe import bpe_merges_oracle_sql
+
+    texts = [
+        (0, "aaa aaa aaaa low low lower lowest newest newest west west west"),
+        (1, "abab abab ab aaa low newest west wider wider"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    freqs = Counter(w for _, t in texts for w in t.lower().split())
+    want = _reference_bpe(freqs, 10)
+    got_trainer = bpe_train(df, n_merges=10)
+    assert got_trainer == want, (got_trainer, want)
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    orc = con.execute(bpe_merges_oracle_sql(10)).fetchall()
+    got_oracle = [(l, r, f) for _, l, r, _, f in orc]
+    assert got_oracle == want, (got_oracle, want)

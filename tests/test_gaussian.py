@@ -270,3 +270,59 @@ def test_ghmm_em_trace_chains_rounded_models_and_matches_duckdb(spark):
 
     with pytest.raises(ValueError):
         ghmm_em_trace(spark, seqs, model, n_iters=0)
+
+
+def test_ghmm_loglik_trace_matches_score_chain_and_duckdb(spark):
+    """ghmm_loglik_trace's lap 1 must equal score_gauss under the init
+    model, lap 2 must equal scoring under lap 1's rounded re-estimate, and
+    the whole trace must be bit-equal to the composed DuckDB oracle (the
+    driver-exact graduation of ghmm_trace's loglik evidence)."""
+    import duckdb
+
+    from baum_welch_spark.hmm.gaussian import (
+        GaussianHMM,
+        _ghmm_reestimate_unchecked,
+        _score_gauss_unchecked,
+        build_value_sequences,
+        gauss_loglik_trace_oracle_sql,
+        gauss_model_from_tidy,
+        ghmm_loglik_trace,
+    )
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF0001, "events")
+    seqs = build_value_sequences(events)
+    model = GaussianHMM.random(4, seed=42, lo=0.0, hi=500.0)
+    trace = ghmm_loglik_trace(spark, seqs, model, n_iters=2).collect()
+    got1 = {r.seq_id: r.loglik for r in trace if r.iter == 1}
+    got2 = {r.seq_id: r.loglik for r in trace if r.iter == 2}
+    assert got1 and set(got1) == set(got2)
+
+    def scored(m):
+        return {
+            r.seq_id: r.loglik
+            for r in _score_gauss_unchecked(spark, seqs, m)
+            .select("seq_id", F.round("loglik", 6).alias("loglik"))
+            .collect()
+        }
+
+    assert scored(model) == got1
+    m1 = gauss_model_from_tidy(
+        [r.asDict() for r in _ghmm_reestimate_unchecked(spark, seqs, model).collect()],
+        4,
+    )
+    assert scored(m1) == got2
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF0001}/events.parquet'")
+    want = {
+        (it, sid): ll
+        for it, sid, ll in con.execute(
+            gauss_loglik_trace_oracle_sql(model, 2)
+        ).fetchall()
+    }
+    got = {(r.iter, r.seq_id): r.loglik for r in trace}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        ghmm_loglik_trace(spark, seqs, model, n_iters=0)

@@ -50,9 +50,10 @@ ALLOWED = {
     # online EM: same model-sized expected-counts collect as fit.py
     "hmm/online.py": {"collect": 1, "toPandas": 0},
     # Gaussian-emission EM: model-sized stripe collect (fit loop) + the
-    # model-codec read (tidy model rows) + ghmm_em_trace's per-lap
-    # chained-model collect (r12 EM-loop pin)
-    "hmm/gaussian.py": {"collect": 3, "toPandas": 0},
+    # model-codec read (tidy model rows) + ghmm_em_trace's and
+    # ghmm_loglik_trace's per-lap chained-model collects (r12/r13
+    # EM-loop pins)
+    "hmm/gaussian.py": {"collect": 4, "toPandas": 0},
     # semi-supervised EM: same model-sized count-stripe collect as fit.py
     "hmm/semisup.py": {"collect": 1, "toPandas": 0},
     # hard EM (segmental k-means): same model-sized count-stripe collect
@@ -74,6 +75,116 @@ ALLOWED = {
     # diagnostic-only, never in an operator path
     "plans/audit.py": {"collect": 1, "toPandas": 0},
 }
+
+
+# file (relative to package root, __spark_entry__.py included) -> allowed
+# F.broadcast() call-site count. RULE (VERDICT r12 #7, generalizing the
+# decontaminate 100x stall): a broadcast HINT asserts at plan time that the
+# build side fits in executor memory at ANY scale factor — so every hinted
+# side must be bounded BY CONSTRUCTION (one-row scalar agg, fixed query/rule
+# set, LIMIT-k, sketch-width rows, dimension table), never proportional to
+# the corpus. A corpus-derived side (eval n-grams, eval fingerprints)
+# must go UNHINTED and let AQE size the build side at runtime — that is
+# exactly the class that stalled the 100x board twice (corpus.py
+# decontaminate, text.py winnow_spans). Adding a site? Name its bound here.
+BROADCAST_ALLOWED = {
+    # one-row weight-scale aggs (x2, cross join) + per-group keep list
+    "operators/sampling.py": 3,
+    # nation/region/supplier dimension legs, one-row scalar aggs (count,
+    # avg balance, max revenue), LIMIT-k region keys, per-partition offset
+    # list, and q20's threshold frame (per-partkey aggregate of the
+    # name-filtered part subset — dimension-scale by the filter)
+    "operators/relational.py": 17,
+    # fixed query set (cross) — RRF fusion scoring
+    "operators/fusion.py": 1,
+    # n_queries query rows for PQ serving
+    "operators/pq.py": 1,
+    # fixed query set (cross) — int8 scoring
+    "operators/quantize.py": 1,
+    # one-row global max (merge watermark)
+    "operators/merge.py": 1,
+    # n_queries x n_probe probe list for IVF serving
+    "operators/clustering.py": 1,
+    # p_brand dimension projection + rule-count-sized ante/cons frames
+    "operators/basket.py": 3,
+    # one-row min/max range agg (cross) — z-order scaling
+    "operators/layout.py": 1,
+    # symbol dictionary (distinct event types) x2
+    "operators/markov.py": 2,
+    # one-row dangling-mass agg per PageRank iteration
+    "operators/graph.py": 1,
+    # derived partsupp: two one-row scalars (fanout index frame is 4 rows,
+    # supplier count 1 row), nation/region/supplier/filtered-part dims,
+    # one-row totals, and q16/q20's filtered part-family frames
+    "operators/partsupp.py": 14,
+    # Bloom words (m/32 rows by construction), one-row top_lang/n_docs/
+    # totals aggs — decontaminate's corpus-derived side is UNHINTED
+    "operators/corpus.py": 4,
+    # one-row row-count agg + per-returnflag means (#groups rows) x2
+    "operators/linalg.py": 3,
+    # fixed query sets (brute cross + LSH bucket-join probe side)
+    "operators/similarity.py": 2,
+    # CMS probe rows (sketch-width-bounded) + fixed member list
+    "operators/sketches.py": 2,
+    # symbol dictionary (distinct event types)
+    "operators/sequences.py": 1,
+    # query-term list, per-term df (<= |query terms|), one-row consts
+    "operators/retrieval.py": 3,
+    # stream-static eval-suite join: streaming plans have no AQE, so the
+    # hint is deliberate — bounded by the INPUT CONTRACT (docstring:
+    # eval_grams is the benchmark suite's n-grams, static and
+    # benchmark-sized), not by corpus-derived construction
+    "streaming/neardup.py": 1,
+}
+
+
+def _broadcast_sites(path: Path) -> int:
+    tree = ast.parse(path.read_text())
+    n = 0
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+        ):
+            n += 1
+    return n
+
+
+def test_broadcast_hints_are_bounded_by_construction():
+    """Every F.broadcast() site must appear in BROADCAST_ALLOWED with its
+    bound named — a new site fails until its build side is argued bounded
+    (see the rule comment above; sparkContext.broadcast of model objects
+    is a different mechanism and is not counted here)."""
+    roots = [PKG, PKG.parent / "__spark_entry__.py"]
+    violations = []
+    for root in roots:
+        paths = sorted(root.rglob("*.py")) if root.is_dir() else [root]
+        for path in paths:
+            rel = str(path.relative_to(PKG)) if root is PKG else path.name
+            # sparkContext.broadcast(model) sites ship pickled models, not
+            # join build sides — exclude by only counting F.broadcast
+            tree = ast.parse(path.read_text())
+            n = 0
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                ):
+                    n += 1
+            allowed = BROADCAST_ALLOWED.get(rel, 0)
+            if n != allowed:
+                violations.append(f"{rel}: {n} F.broadcast() sites (allowlisted {allowed})")
+    assert not violations, (
+        "broadcast-hint sites changed — every hinted build side must be "
+        "bounded by construction (one-row agg / fixed set / LIMIT-k / "
+        "sketch-width / dimension table); corpus-derived sides go UNHINTED "
+        "for AQE (the decontaminate 100x-stall class). Update "
+        "BROADCAST_ALLOWED with the bound named:\n" + "\n".join(violations)
+    )
 
 
 def _call_sites(path: Path) -> dict[str, int]:
@@ -122,21 +233,23 @@ def test_driver_window_stays_oracle_dense():
     assert len(qs) == len(set(qs))
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
     rows_only_in_window = [q for q in qs[:50] if q not in osql]
-    # r12 window (VERDICT-r11 #1 rotation): the window carries this round's
-    # new/changed faces plus 36 r8-vintage exact rotation targets; only
-    # four rows-only faces remain in it, each with its own non-SQL oracle:
+    # r13 window (VERDICT-r12 #1 rotation): the window carries this round's
+    # graduations + changed faces plus 34 r8/r9-vintage exact rotation
+    # targets; only three rows-only faces remain in it, each with its own
+    # non-SQL oracle:
     assert set(rows_only_in_window) <= {
-        # binary-payload multimodal pipeline: planted-duplicate recall and
-        # pixel-exact resize pinned in pytest (tests/test_operators.py);
-        # payload bytes have no SQL twin by nature
+        # binary-payload multimodal pipeline: planted-duplicate recall
+        # pinned in pytest (tests/test_operators.py); payload bytes have
+        # no SQL twin by nature
         "asset_neardup",
-        "asset_resize",
-        # ANN serving: k-means training inside; recall-vs-brute +
-        # partition-pruning pytests (tests/test_pq.py, test_clustering.py)
-        "knn_ivf_kmeans",
-        # engine-specific sketch: KLL has no DuckDB twin; pinned by the
-        # exact-vs-approx error-bound pytest
-        "value_approx_quantiles",
+        # iterative Gaussian EM fit: 1e-8 sequential-NumPy parity pytest;
+        # its chaining and loglik evidence are driver-exact via the
+        # ghmm_em_trace / ghmm_loglik_trace faces
+        "ghmm_fit",
+        # per-iteration TOTAL loglik trace: corpus-order float summation
+        # has no cross-engine pin (see ghmm_loglik_trace, its per-sequence
+        # driver-exact graduation); monotonicity asserted in-face
+        "ghmm_trace",
     }, rows_only_in_window
 
 
