@@ -1758,19 +1758,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trainer now pinned by an unrolled-CTE DuckDB oracle; all-integer,
         # so hash-exact) — plus (B) the faces whose code changed this round:
         # ghmm_em_trace/ghmm_score (shared trace-CTE/score refactors),
-        # q9_product_profit (decimal(38,0) profit accumulator, ADVICE r12),
+        # q9_product_profit + q11_important_stock (decimal(38,0) grand-total
+        # accumulators, ADVICE r12 generalized — per-part sums stay BIGINT,
+        # 4 rows by construction),
         # asset_neardup (full-token Y4M header parse, ADVICE r12),
         # bucketed_segment_spend (atexit holds table names, not sessions,
         # ADVICE r12), decontaminate_spans (winnow eval side unhinted for
         # AQE — the decontaminate 100x-stall class), and the eight stateful
         # streaming faces (stateful-shuffle width pinned to 8 via
-        # _stateful_width — measured 1.4-4x at sf0.1), and (C) 34 of the 41
+        # _stateful_width — measured 1.4-4x at sf0.1), and (C) 33 of the 41
         # stale faces named by VERDICT-r12 #1, stalest first (all 5
-        # r8-vintage + 29 r9-vintage). The 7 r9-vintage faces deferred to
+        # r8-vintage + 28 r9-vintage). The 8 r9-vintage faces deferred to
         # head the r14 rotation: q1_pricing_summary, q3_top_orders,
         # q5_region_revenue, q10_returned_revenue, q14_promo_share,
-        # user_spend_rank, user_spend_deciles (all pure-SQL relational
-        # twins, code-unchanged since r9). Everything below the boundary is
+        # user_spend_rank, user_spend_deciles, cohort_retention (all
+        # pure-SQL relational twins, code-unchanged since r9; the last
+        # displaced by the q11 fix mid-round). Everything below the
+        # boundary is
         # code-unchanged since its last green driver check
         # (manifest-enforced) and green on this round's full local board.
         "ghmm_loglik_trace": _q_ghmm_loglik_trace,
@@ -1795,7 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewers_no_purchase": _q_viewers_no_purchase,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bm25_topk": _q_bm25_topk,
-        "cohort_retention": _q_cohort_retention,
+        "q11_important_stock": _q_q11_important_stock,
         "corpus_report": _q_corpus_report,
         "cosine_neardup": _q_cosine_neardup,
         "decontaminate_bloom": _q_decontaminate_bloom,
@@ -1829,7 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above heads the r14 rotation.
         "em_trace": _q_em_trace,
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q11_important_stock": _q_q11_important_stock,
+        "cohort_retention": _q_cohort_retention,
         "q16_supplier_count": _q_q16_supplier_count,
         "q20_excess_stock": _q_q20_excess_stock,
         "ghmm_reestimate": _q_ghmm_reestimate,

@@ -248,10 +248,17 @@ def q11_important_stock(
         F.broadcast(nation.filter(F.col("n_name") == nation_name)),
         F.col("s_nationkey") == nation.n_nationkey,
     )
+    # per-part sums are 4 rows by construction (the derived-partsupp
+    # fanout) — BIGINT-safe at any SF; the GRAND total scales with part
+    # count, so it accumulates in decimal(38,0) like q9's profit sum
+    # (a LongType wrap near ~9e18 cents would silently flip the HAVING
+    # while the oracle's 128-bit sum errors on its BIGINT cast)
     per_part = nat.groupBy("ps_partkey").agg(
         F.sum(cents * F.col("ps_availqty")).alias("value_cents")
     )
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum(F.col("value_cents").cast("decimal(38,0)")).alias("total_cents")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_cents") * 10000 > F.col("total_cents") * fraction_bp)
