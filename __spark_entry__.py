@@ -23,24 +23,40 @@ def _tables(spark: SparkSession, sf_dir: str, *names: str):
 
 
 @contextmanager
-def _stateful_width(spark: SparkSession, n: int = 8):
-    """Pin spark.sql.shuffle.partitions for a stateful-streaming face.
+def _stateful_width(spark: SparkSession, sf_dir: str | None = None, n: int | None = None):
+    """Size spark.sql.shuffle.partitions to STREAM VOLUME for a
+    stateful-streaming face.
 
     Stateful operators spin one state store PER SHUFFLE PARTITION per
     micro-batch (four for a stream-stream join), so a finite-replay face
-    is state-store-setup-bound at the session's 32-wide default: measured
-    at sf0.1 (r12-r13), width 8 vs 32 is 73 s -> ~9 s cold for the
+    is state-store-setup-bound when partitions outnumber the work: at
+    sf0.1 (2 MB events), width 8 vs 32 is 73 s -> ~9 s cold for the
     stream-stream join and 1.4-2x warm across every applyInPandasWithState
     / windowed-agg face (spend_alerts 3.6 vs 5.6, windowed_counts 1.5 vs
-    2.8, score 2.2 vs 4.1). A real deployment sizes this to stream volume
-    and key cardinality, not to the batch session default.
+    2.8, score 2.2 vs 4.1). The r13 100x board then caught the OPPOSITE
+    failure: an unconditional 8 pinned sessions_stream at 210 s on 182 MB
+    of events where 32 takes 97 s (isolated; 9.5 M session groups) — so
+    the width is now SIZED from the source file (>= 32 MB of events ->
+    the 32-wide session default, else 8), which is the actual lesson of
+    §8.3o: state partitions must be sized to stream volume, neither
+    inherited from the batch session nor frozen to a small-scale constant.
 
     CONCURRENCY (ADVICE r12): this mutates the SESSION-global conf for the
     duration — any query running concurrently on the same session would
-    silently plan 8-wide. Safe under the bench/correctness drivers, which
-    run faces sequentially on one session; a concurrent harness must give
-    streaming faces their own SparkSession.
+    silently plan at this width. Safe under the bench/correctness drivers,
+    which run faces sequentially on one session; a concurrent harness must
+    give streaming faces their own SparkSession.
     """
+    if n is None:
+        n = 8
+        if sf_dir is not None:
+            import os
+
+            try:
+                if os.path.getsize(os.path.join(sf_dir, "events.parquet")) >= (32 << 20):
+                    n = 32
+            except OSError:
+                pass  # non-file source: keep the small-stream width
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -504,7 +520,7 @@ def _q_hll_distinct_stream(spark, sf):
     # order-insensitive, so streaming == batch == SQL
     from baum_welch_spark.streaming.heavyhitters import streaming_hll_distinct
 
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         return streaming_hll_distinct(spark, sf)
 
 
@@ -567,7 +583,7 @@ def _q_ewma_spend_stream(spark, sf):
     from baum_welch_spark.streaming.ewma import ewma_stream
     from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
 
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = ewma_stream(stream_events(spark, sf))
         run_to_memory(stream, "ewma_stream_face", output_mode="update")
     return spark.sql(
@@ -1360,7 +1376,7 @@ def _q_ivm_stream_segment_stats(spark, sf):
 
     # width 8 (see _stateful_width): the per-micro-batch foreachBatch fold
     # shuffles tiny change-batches — 8.8 vs 10.7 s warm at sf0.1
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         return ivm_stream_segment_stats_face(spark, *_tables(spark, sf, "customer", "orders"))
 
 
@@ -1605,7 +1621,7 @@ def _q_windowed_counts_stream(spark, sf):
         windowed_event_counts,
     )
 
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = windowed_event_counts(stream_events(spark, sf), window="5 minutes")
         run_to_memory(stream, "windowed_counts_face", output_mode="complete")
     return spark.sql(
@@ -1628,7 +1644,7 @@ def _q_sessions_stream(spark, sf):
         stream_events,
     )
 
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = session_agg(stream_events(spark, sf), gap="30 minutes", watermark="1 hour")
         run_to_memory(stream, "sessions_face", output_mode="complete")
     return spark.sql(
@@ -1653,7 +1669,7 @@ def _q_view_purchase_stream_join(spark, sf):
     # Width pinned to 8 (see _stateful_width: a stream-stream join spins
     # FOUR state stores per shuffle partition per micro-batch — 73 s at
     # width 32 vs ~9 s at 8 for the same 713 rows at sf0.1).
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = view_purchase_stream_join(stream_events(spark, sf), window_minutes=120)
         run_to_memory(stream, "view_purchase_join_face", output_mode="append")
     return spark.sql(
@@ -1679,7 +1695,7 @@ def _q_score_stream(spark, sf):
 
     sym = symbol_dict(load_table(spark, sf, "events"))
     model = HMM.random(4, len(sym), seed=42)
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = score_stream(stream_events(spark, sf), model, sym)
         run_to_memory(stream, "score_stream_face", output_mode="update")
     return spark.sql(
@@ -1698,7 +1714,7 @@ def _q_spend_alerts(spark, sf):
     from baum_welch_spark.streaming.alerts import spend_alert_stream
     from baum_welch_spark.streaming.sessionize import run_to_memory, stream_events
 
-    with _stateful_width(spark):
+    with _stateful_width(spark, sf):
         stream = spend_alert_stream(stream_events(spark, sf), threshold=500.0)
         run_to_memory(stream, "spend_alerts_face", output_mode="append")
     return spark.sql(

@@ -235,18 +235,28 @@ def decontaminate_bloom(
     """Sketch-based decontamination: the same n-gram-overlap check as
     :func:`decontaminate`, but the eval set is compressed into a Bloom
     filter before the probe — the 100 TB-scale variant for when the eval
-    suite itself is too large to broadcast as strings (a billion held-out
-    n-grams fit in a fixed 8 KB-per-64k-bits bit table instead of tens of
-    GB of strings).
+    suite itself is too large to broadcast as strings: the bit table is
+    FIXED-size per chosen geometry (BLOOM_WORDS*32 bits; ~10 bits per eval
+    gram for ~1% FPR), so a billion held-out n-grams cost ~1.25 GB of
+    bits instead of tens of GB of strings. The committed 64 Ki-bit default
+    is sized for the sf-scale eval sets (~10k grams); an eval set far past
+    it saturates the filter and FPR -> 1 (the r13 100x board measured
+    exactly that: every train doc flagged) — size BLOOM_WORDS to the eval
+    suite, it is a parameter, not a constant of the operator.
 
     Construction is pure relational algebra, so it runs distributed AND has
     a DuckDB-exact oracle: each eval gram sets k=3 bit positions via
     double hashing (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m, h1/h2 =
     the two 30-bit halves of the portable 60-bit MD5 hash); positions pack
     into 32-bit lanes of a ``BLOOM_WORDS``-row (word, bits) table via a
-    ``bit_or`` aggregate. Probing joins each training gram's k probe words
-    against that table (broadcast — the table is fixed-size by
-    construction) and flags the gram when all k bits are set.
+    ``bit_or`` aggregate, densified into ONE row holding the whole bitset
+    as an array (8 KB). Probing is then entirely MAP-SIDE: the one-row
+    bitset cross-joins (broadcast) onto the training grams and all k
+    probes evaluate as ``element_at`` expressions on the array — no probe
+    explode, no (doc_id, gram-string) shuffle. The r13 100x board caught
+    the previous join-per-probe shape at 234x (each train gram shuffled
+    k=3 rows carrying its 5-gram STRING through a groupBy(doc_id, g)
+    bool_and); the rewrite's only shuffle is the final doc_id count.
 
     Output: (doc_id, n_flagged) for training docs with >= 1 flagged
     distinct n-gram. Supersets :func:`decontaminate` (no false negatives);
@@ -291,28 +301,35 @@ def decontaminate_bloom(
     )
     bloom = eval_pos.groupBy("word").agg(F.bit_or("mask").alias("bits"))
 
-    train = with_grams.where(F.col("doc_id") % eval_mod != 0)
-    train_probes = (
-        train.select("doc_id", "g", h1, h2)
-        .select("doc_id", "g", probes.alias("p"))
-        .select(
-            "doc_id",
-            "g",
-            (F.col("p.pos") / 32).cast("int").alias("word"),
-            F.expr("shiftleft(1L, cast(p.pos % 32 as int))").alias("mask"),
-        )
+    # densify the (word, bits) rows into ONE row carrying the whole bitset
+    # as an array — absent words are 0 (the old left-join's coalesce(False))
+    bloom_one = bloom.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias("bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("bm"), i), F.lit(0).cast("long")),
+        ).alias("bits_arr")
     )
-    hits = (
-        train_probes.join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "hit",
-            F.coalesce(F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"), F.lit(False)),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.bool_and("hit").alias("flagged"))
+
+    # map-side probe: all k positions evaluate as element_at expressions on
+    # the broadcast one-row bitset — identical pos/word/mask arithmetic to
+    # the eval side, AND-ed without any probe explode or per-gram shuffle
+    train = (
+        with_grams.where(F.col("doc_id") % eval_mod != 0)
+        .select("doc_id", h1, h2)
+        .crossJoin(F.broadcast(bloom_one))
     )
+    for i in range(BLOOM_HASHES):
+        train = train.withColumn(f"pos{i}", (F.col("h1") + i * F.col("h2")) % _BLOOM_M)
+    hit = (
+        "(element_at(bits_arr, cast(pos{i} / 32 as int) + 1)"
+        " & shiftleft(1L, cast(pos{i} % 32 as int)))"
+        " = shiftleft(1L, cast(pos{i} % 32 as int))"
+    )
+    flagged = F.expr(" AND ".join(hit.format(i=i) for i in range(BLOOM_HASHES)))
     return (
-        hits.where("flagged")
+        train.where(flagged)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_flagged"))
     )

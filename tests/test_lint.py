@@ -117,8 +117,9 @@ BROADCAST_ALLOWED = {
     # supplier count 1 row), nation/region/supplier/filtered-part dims,
     # one-row totals, and q16/q20's filtered part-family frames
     "operators/partsupp.py": 14,
-    # Bloom words (m/32 rows by construction), one-row top_lang/n_docs/
-    # totals aggs — decontaminate's corpus-derived side is UNHINTED
+    # Bloom bitset as ONE row (m/32-element array, 8 KB by construction),
+    # one-row top_lang/n_docs/totals aggs — decontaminate's corpus-derived
+    # side is UNHINTED
     "operators/corpus.py": 4,
     # one-row row-count agg + per-returnflag means (#groups rows) x2
     "operators/linalg.py": 3,
