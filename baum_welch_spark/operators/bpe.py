@@ -177,7 +177,11 @@ def bpe_merges_oracle_sql(n_merges: int = 30) -> str:
   GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT regexp_replace(word || '{EOW}', '(.)', '{SEP}\\1{SEP}', 'g') AS w, freq
+  -- '([\\s\\S])' not '(.)': RE2's dot excludes \\n, while the trainer's
+  -- per-char split wraps EVERY character — a newline inside a word (the
+  -- tokenizer splits on single spaces only) must wrap identically in
+  -- both dialects (ADVICE r13; latent only, current testdata has none)
+  SELECT regexp_replace(word || '{EOW}', '([\\s\\S])', '{SEP}\\1{SEP}', 'g') AS w, freq
   FROM wv
 )"""
     ]

@@ -222,11 +222,25 @@ GROUP BY doc_id
 """
 
 
-#: bloom geometry for :func:`decontaminate_bloom` — 2048 x 32-bit words =
-#: 65536 bits; with k=3 probes this holds ~10k eval n-grams under 1% FPR
-BLOOM_WORDS = 2048
+#: bloom geometry for :func:`decontaminate_bloom` — sized FROM the eval
+#: suite (VERDICT-r13 #6): ~BLOOM_BITS_PER_GRAM bits per distinct eval
+#: gram with k=3 probes gives ~1.7% FPR ((1-e^{-3/10})^3); the floor keeps
+#: tiny demo suites at the old 2048-word/64 Ki-bit shape, the cap bounds
+#: the densified broadcast row (8M words = 64 MB of longs — well under
+#: executor broadcast comfort; past the cap a production deployment shards
+#: the filter by gram-hash prefix rather than letting FPR drift up).
+BLOOM_WORDS_FLOOR = 2048
+BLOOM_WORDS_CAP = 1 << 23
+BLOOM_BITS_PER_GRAM = 10
 BLOOM_HASHES = 3
-_BLOOM_M = BLOOM_WORDS * 32
+
+
+def bloom_words_for(n_eval_grams: int) -> int:
+    """32-bit word count for a given eval-suite size — integer arithmetic
+    shared VERBATIM (greatest/least/ceil-div) with the DuckDB oracle so
+    both dialects derive the identical modulus from the identical count."""
+    words = (BLOOM_BITS_PER_GRAM * n_eval_grams + 31) // 32
+    return min(max(BLOOM_WORDS_FLOOR, words), BLOOM_WORDS_CAP)
 
 
 def decontaminate_bloom(
@@ -235,20 +249,25 @@ def decontaminate_bloom(
     """Sketch-based decontamination: the same n-gram-overlap check as
     :func:`decontaminate`, but the eval set is compressed into a Bloom
     filter before the probe — the 100 TB-scale variant for when the eval
-    suite itself is too large to broadcast as strings: the bit table is
-    FIXED-size per chosen geometry (BLOOM_WORDS*32 bits; ~10 bits per eval
-    gram for ~1% FPR), so a billion held-out n-grams cost ~1.25 GB of
-    bits instead of tens of GB of strings. The committed 64 Ki-bit default
-    is sized for the sf-scale eval sets (~10k grams); an eval set far past
-    it saturates the filter and FPR -> 1 (the r13 100x board measured
-    exactly that: every train doc flagged) — size BLOOM_WORDS to the eval
-    suite, it is a parameter, not a constant of the operator.
+    suite itself is too large to broadcast as strings: ~10 bits per eval
+    gram (k=3, ~1.7% FPR) means a billion held-out n-grams cost ~1.25 GB
+    of bits instead of tens of GB of strings.
+
+    Geometry is SIZED FROM THE EVAL SUITE (VERDICT-r13 #6): one count job
+    over the eval grams (2% of the corpus; production persists the gram
+    set it was about to build the filter from anyway) picks
+    ``bloom_words_for(count)`` — floor 2048 words for demo suites, cap
+    2^23 words (64 MB densified row) past which FPR is allowed to drift
+    rather than the broadcast to grow; the r13 100x board measured the
+    old FIXED 64 Ki-bit geometry saturating at ~1.7M grams (FPR -> 1,
+    every train doc flagged), which is exactly the failure the sizing
+    rule removes.
 
     Construction is pure relational algebra, so it runs distributed AND has
     a DuckDB-exact oracle: each eval gram sets k=3 bit positions via
     double hashing (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m, h1/h2 =
     the two 30-bit halves of the portable 60-bit MD5 hash); positions pack
-    into 32-bit lanes of a ``BLOOM_WORDS``-row (word, bits) table via a
+    into 32-bit lanes of a ``words``-row (word, bits) table via a
     ``bit_or`` aggregate, densified into ONE row holding the whole bitset
     as an array (8 KB). Probing is then entirely MAP-SIDE: the one-row
     bitset cross-joins (broadcast) onto the training grams and all k
@@ -278,21 +297,26 @@ def decontaminate_bloom(
         .select("doc_id", F.explode(grams).alias("g"))
     )
 
+    # size the filter from the suite it holds: one count job over the
+    # (distinct) eval grams — the same set the build scans next
+    eval_grams = (
+        with_grams.where(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+    )
+    words = bloom_words_for(eval_grams.count())
+    m = words * 32
+
     h = portable_hash60("g")
     h1 = (h % (1 << 30)).alias("h1")
     h2 = F.shiftright(h, 30).alias("h2")
     probes = F.explode(
         F.array(*[
-            F.struct(((F.col("h1") + i * F.col("h2")) % _BLOOM_M).alias("pos"))
+            F.struct(((F.col("h1") + i * F.col("h2")) % m).alias("pos"))
             for i in range(BLOOM_HASHES)
         ])
     )
 
     eval_pos = (
-        with_grams.where(F.col("doc_id") % eval_mod == 0)
-        .select("g")
-        .distinct()
-        .select(h1, h2)
+        eval_grams.select(h1, h2)
         .select(probes.alias("p"))
         .select(
             (F.col("p.pos") / 32).cast("int").alias("word"),
@@ -307,7 +331,7 @@ def decontaminate_bloom(
         F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias("bm")
     ).select(
         F.transform(
-            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            F.sequence(F.lit(0), F.lit(words - 1)),
             lambda i: F.coalesce(F.element_at(F.col("bm"), i), F.lit(0).cast("long")),
         ).alias("bits_arr")
     )
@@ -321,7 +345,7 @@ def decontaminate_bloom(
         .crossJoin(F.broadcast(bloom_one))
     )
     for i in range(BLOOM_HASHES):
-        train = train.withColumn(f"pos{i}", (F.col("h1") + i * F.col("h2")) % _BLOOM_M)
+        train = train.withColumn(f"pos{i}", (F.col("h1") + i * F.col("h2")) % m)
     hit = (
         "(element_at(bits_arr, cast(pos{i} / 32 as int) + 1)"
         " & shiftleft(1L, cast(pos{i} % 32 as int)))"
@@ -351,8 +375,17 @@ hashed AS (
          ('0x' || substr(md5(g), 1, 15))::BIGINT // 1073741824 AS h2
   FROM grams
 ),
+-- geometry sized from the eval suite: same greatest/least/ceil-div
+-- integer arithmetic as bloom_words_for(), so both dialects derive the
+-- identical modulus from the identical distinct-gram count
+geom AS (
+  SELECT 32 * least(greatest({BLOOM_WORDS_FLOOR},
+                    ({BLOOM_BITS_PER_GRAM} * count(DISTINCT g) + 31) // 32),
+                    {BLOOM_WORDS_CAP}) AS m
+  FROM hashed WHERE doc_id % 50 = 0
+),
 eval_pos AS (
-  SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
+  SELECT DISTINCT (h1 + i * h2) % (SELECT m FROM geom) AS pos
   FROM (SELECT DISTINCT g, h1, h2 FROM hashed WHERE doc_id % 50 = 0) e,
        unnest(generate_series(0, {BLOOM_HASHES - 1})) AS t(i)
 ),
@@ -362,8 +395,8 @@ bloom AS (
 ),
 train_probes AS (
   SELECT doc_id, g,
-         ((h1 + i * h2) % {_BLOOM_M} // 32)::INTEGER AS word,
-         (1::BIGINT << ((h1 + i * h2) % {_BLOOM_M} % 32)::INTEGER) AS mask
+         ((h1 + i * h2) % (SELECT m FROM geom) // 32)::INTEGER AS word,
+         (1::BIGINT << ((h1 + i * h2) % (SELECT m FROM geom) % 32)::INTEGER) AS mask
   FROM hashed, unnest(generate_series(0, {BLOOM_HASHES - 1})) AS t(i)
   WHERE doc_id % 50 <> 0
 ),

@@ -42,6 +42,27 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Long-session hygiene (VERDICT-r13 #1: faces ran 2-4x hot late in a
+        # 181-face board). Three accumulation channels in one long-lived
+        # local-mode session, each bounded here:
+        #  * ContextCleaner purges shuffle files/broadcasts only when the
+        #    driver JVM GCs; the periodic-GC fallback defaults to 30 MIN, so
+        #    a ~400 s board never gets one and shuffle dirs/driver heap grow
+        #    monotonically. 2 min keeps cleanup inside the board.
+        #  * HDFSBackedStateStoreProvider retains up to minBatchesToRetain
+        #    (default 100) version maps IN EXECUTOR MEMORY per state
+        #    partition; 8 streaming faces x up to 32 partitions x 4 stores
+        #    (stream-stream join) leaves hundreds of retained maps behind.
+        #    Finite-replay faces need only the last committed batch.
+        #  * Providers for STOPPED queries unload only on the maintenance
+        #    tick (default 60 s) — faster tick, faster release between
+        #    back-to-back streaming faces.
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
+        # temp checkpoint dirs (memory-sink faces) are deleted on stop even
+        # if the query errored — no /tmp residue across a long board
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         .getOrCreate()
     )
 
@@ -67,3 +88,21 @@ def scratch_dir(prefix: str) -> str:
         )
     _SCRATCH_DIRS.append(path)
     return path
+
+
+def drain_scratch() -> int:
+    """Eagerly remove every scratch dir registered so far and forget them.
+
+    Board-level hygiene (VERDICT-r13 #1): atexit-only cleanup lets a
+    181-face bench board accumulate every face's index/snapshot scratch in
+    /tmp for the whole run. A sequential harness can call this BETWEEN
+    faces — by the time a face's timing returns, its lazy actions have run,
+    so nothing still reads the scratch. Returns the number of dirs removed.
+    Safe to call with none registered."""
+    import shutil
+
+    n = len(_SCRATCH_DIRS)
+    for p in _SCRATCH_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+    return n

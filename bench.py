@@ -181,11 +181,33 @@ def sidecar_for(sf_dir: str, repo: str) -> str:
     return os.path.join(repo, f"BENCH_parsed_{tag}.json")
 
 
-def load_anchor(sidecar: str) -> dict[str, float]:
+def load_face_hashes(repo: str) -> dict[str, str]:
+    """Current face source-hash manifest (tools/face_manifest.py output) —
+    the identity of each face's computation + oracle."""
+    try:
+        with open(os.path.join(repo, "tests", "fixtures", "face_hashes.json")) as f:
+            d = json.load(f)
+        return {k: v for k, v in d.items() if isinstance(v, str)}
+    except (OSError, ValueError):
+        return {}
+
+
+def load_anchor(sidecar: str, cur_hashes: dict[str, str]) -> dict[str, float]:
     """Best-known per-face record: the rolling ``best`` map merged under the
     last record's ``queries`` (which seeds pre-upgrade sidecars). The anchor
     for the noise-outlier re-run pass — see the module docstring for why the
-    last round's record alone is not a safe anchor."""
+    last round's record alone is not a safe anchor.
+
+    Anchor reset on face REDEFINITION (VERDICT-r13 #2 "what's wrong"): an
+    anchor is the rolling minimum OF A COMPUTATION — when a face's source
+    hash changes (the manifest detects it), the old minimum describes a
+    different face and would mislabel the new one's honest cost as a
+    regression (or mask a real one: bpe_merges kept its old-twin 3.81 s
+    anchor after r13 swapped in the real distributed trainer at ~5.2 s
+    quiet). A face whose recorded hash differs from the current manifest
+    hash is dropped from the anchor map and re-seeds from this run's
+    record. A sidecar with no recorded hashes (pre-upgrade) keeps all
+    anchors — no information is not a redefinition."""
     prior: dict[str, float] = {}
     try:
         with open(sidecar) as f:
@@ -199,6 +221,18 @@ def load_anchor(sidecar: str) -> dict[str, float]:
     for k, v in (rec.get("best", {}) or {}).items():
         if isinstance(v, (int, float)) and (k not in prior or v < prior[k]):
             prior[k] = v
+    old_hashes = rec.get("face_hashes", {}) or {}
+    redefined = [
+        k for k in list(prior)
+        if k in old_hashes and k in cur_hashes and old_hashes[k] != cur_hashes[k]
+    ]
+    for k in redefined:
+        del prior[k]
+    if redefined:
+        print(
+            f"bench: anchors reset for redefined faces: {sorted(redefined)}",
+            file=sys.stderr,
+        )
     return prior
 
 
@@ -247,11 +281,13 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    repo = os.path.dirname(os.path.abspath(__file__))
     # anchor read BEFORE this run overwrites the sidecar
-    sidecar = sidecar_for(sf_dir, os.path.dirname(os.path.abspath(__file__)))
+    sidecar = sidecar_for(sf_dir, repo)
     if os.path.basename(sidecar) != "BENCH_parsed.json":
         print(f"bench: non-default sf dir; sidecar -> {sidecar}", file=sys.stderr)
-    prior = load_anchor(sidecar)
+    cur_hashes = load_face_hashes(repo)
+    prior = load_anchor(sidecar, cur_hashes)
     timings: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     reruns: dict[str, list[float]] = {}
@@ -266,14 +302,31 @@ def main() -> None:
             df.count()
         return time.time() - t0
 
+    def board_hygiene(i: int) -> None:
+        """Between-face cleanup, OUTSIDE any timing (VERDICT-r13 #1: faces
+        ran 2-4x hot only on full-board runs — accumulation, not plans).
+        Eagerly drop finished faces' scratch dirs, and every 20 faces force
+        a driver JVM GC so the ContextCleaner actually releases accumulated
+        shuffle files/broadcasts mid-board instead of waiting for the
+        periodic-GC tick."""
+        from baum_welch_spark.session import drain_scratch
+
+        drain_scratch()
+        if i % 20 == 19:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # py4j hiccup must never cost the board
+
     try:
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
             if name not in qs:  # tolerate a renamed/removed query too
                 continue
             n_runs = 1 if name in SINGLE_RUN else runs
             best = min(time_once(name) for _ in range(n_runs))
             timings[name] = round(best, 3)
             run_counts[name] = n_runs
+            board_hygiene(i)
         # noise-outlier pass: a face >2x its prior-round record (and above a
         # 1 s floor — sub-second jitter is not worth a Spark job) gets ONE
         # more run after the board, when the host window that inflated it has
@@ -309,6 +362,9 @@ def main() -> None:
             # noise-outlier anchor (a contaminated single-round record can
             # only ever RAISE an anchor; the min repairs it)
             "best": best,
+            # face identity at record time: a future run whose manifest
+            # hash differs resets that face's anchor (redefined face)
+            "face_hashes": cur_hashes,
             "timing": "min_of_runs (iterative trainers: single run)",
         }
         if error is not None:
