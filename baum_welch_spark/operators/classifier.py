@@ -201,3 +201,148 @@ def quality_classifier_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def logreg_gd_parity_sql(
+    dialect: str,
+    iters: int = 3,
+    lr: float = 0.5,
+    feat_round: int = 9,
+    prob_round: int = 12,
+    step_round: int = 9,
+) -> str:
+    """Generate the SAME unrolled full-batch gradient-descent logistic
+    regression for both engines — the trainer analogue of
+    ``clustering.kmeans_parity_sql``, pinning the optimizer-step CLASS
+    behind the rows-only ``quality_classifier`` face (whose driver-side
+    5x5 Newton solve is not SQL-expressible) with a DuckDB-exact
+    fixed-iteration twin.
+
+    Model: p = sigmoid(z.w + b) over 4 standardized text features
+    (log_words, mean_word_len, stop_ratio, vowel_ratio — digit/punct
+    ratios are degenerate on the synthetic corpus), label y = (lang='en'),
+    w0 = 0. Step: w -= lr * avg((p - y) * z). Each GD step is ONE
+    map-side-combinable aggregate over the corpus — the same
+    shuffle-O(d)-per-pass economics as the mapInPandas Newton trainer it
+    pins, just expressed relationally.
+
+    Why it can be exact, term by term:
+
+    - features: projections whose only transcendental is ``ln`` — computed
+      on identical inputs then rounded to ``feat_round`` (1e-9 against
+      ~1-ulp libm divergence of ~1e-15 relative);
+    - standardization: mean and ((avg(f*f) - avg(f)^2) population std
+      rounded to ``feat_round`` — the rounding absorbs cross-engine
+      aggregate summation order; z recomputed from ROUNDED stats is then
+      identical on both engines;
+    - sigmoid: the dot product is a left-associated chain on identical
+      doubles (bitwise equal); ``exp`` may diverge by 1 ulp between libm
+      and the JVM, absorbed by rounding p to ``prob_round``;
+    - gradient: avg over identical (p - y) * z values — order absorbed by
+      ``step_round``; the update is arithmetic on identical literals;
+    - readout: coefficients + training accuracy (threshold comparisons on
+      identical rounded p), rounded to 6 with ``+ 0.0`` signed-zero
+      normalization.
+
+    ``dialect``: 'spark' or 'duckdb' — the only splits are the tokenize /
+    list-count idioms; every CTE from ``stats`` down is byte-identical.
+    """
+    stop_list = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'"
+    if dialect == "spark":
+        raw = f"""
+  SELECT doc_id, text, lang, split(lower(text), ' ') AS ws FROM documents"""
+        n_stop = f"size(filter(ws, w -> w IN ({stop_list})))"
+        n_words = "size(ws)"
+        n_vowel = "length(regexp_replace(lower(text), '[^aeiou]', ''))"
+    elif dialect == "duckdb":
+        raw = """
+  SELECT doc_id, text, lang, string_split(lower(text), ' ') AS ws FROM documents"""
+        n_stop = f"len(list_filter(ws, w -> w IN ({stop_list})))"
+        n_words = "len(ws)"
+        n_vowel = "length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))"
+    else:
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
+
+    fr = feat_round
+    stages = [
+        f"""raw AS ({raw}),
+feats AS (
+  SELECT doc_id,
+         round(ln({n_words} + 1.0), {fr}) AS f1,
+         round(CAST(length(text) AS DOUBLE) / {n_words}, {fr}) AS f2,
+         round(CAST({n_stop} AS DOUBLE) / {n_words}, {fr}) AS f3,
+         round(CAST({n_vowel} AS DOUBLE) / length(text), {fr}) AS f4,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM raw WHERE length(text) > 0
+),
+stats AS (
+  SELECT round(avg(f1), {fr}) AS m1, round(avg(f2), {fr}) AS m2,
+         round(avg(f3), {fr}) AS m3, round(avg(f4), {fr}) AS m4,
+         round(sqrt(avg(f1 * f1) - avg(f1) * avg(f1)), {fr}) AS s1,
+         round(sqrt(avg(f2 * f2) - avg(f2) * avg(f2)), {fr}) AS s2,
+         round(sqrt(avg(f3 * f3) - avg(f3) * avg(f3)), {fr}) AS s3,
+         round(sqrt(avg(f4 * f4) - avg(f4) * avg(f4)), {fr}) AS s4
+  FROM feats
+),
+z AS (
+  SELECT doc_id, y,
+         round((f1 - m1) / s1, {fr}) AS z1,
+         round((f2 - m2) / s2, {fr}) AS z2,
+         round((f3 - m3) / s3, {fr}) AS z3,
+         round((f4 - m4) / s4, {fr}) AS z4
+  FROM feats CROSS JOIN stats
+),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b)"""
+    ]
+    sig = (
+        "round(1.0 / (1.0 + exp(-(z1 * w1 + z2 * w2 + z3 * w3 + z4 * w4 + b))), "
+        f"{prob_round})"
+    )
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""p{t} AS (
+  SELECT doc_id, y, z1, z2, z3, z4, {sig} AS p
+  FROM z CROSS JOIN w{p}
+),
+g{t} AS (
+  SELECT round(avg((p - y) * z1), {step_round}) AS g1,
+         round(avg((p - y) * z2), {step_round}) AS g2,
+         round(avg((p - y) * z3), {step_round}) AS g3,
+         round(avg((p - y) * z4), {step_round}) AS g4,
+         round(avg(p - y), {step_round}) AS gb
+  FROM p{t}
+),
+w{t} AS (
+  SELECT round(w1 - {lr} * g1, {step_round}) AS w1,
+         round(w2 - {lr} * g2, {step_round}) AS w2,
+         round(w3 - {lr} * g3, {step_round}) AS w3,
+         round(w4 - {lr} * g4, {step_round}) AS w4,
+         round(b - {lr} * gb, {step_round}) AS b
+  FROM w{p} CROSS JOIN g{t}
+)""")
+    unrolled = ",\n".join(stages)
+    return f"""
+WITH {unrolled},
+score AS (
+  SELECT y, {sig} AS p FROM z CROSS JOIN w{iters}
+)
+SELECT coef, round(value, 6) + 0.0 AS value FROM (
+  SELECT 'w_log_words' AS coef, w1 AS value FROM w{iters}
+  UNION ALL SELECT 'w_mean_word_len', w2 FROM w{iters}
+  UNION ALL SELECT 'w_stop_ratio', w3 FROM w{iters}
+  UNION ALL SELECT 'w_vowel_ratio', w4 FROM w{iters}
+  UNION ALL SELECT 'bias', b FROM w{iters}
+  UNION ALL SELECT 'train_acc',
+    avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) FROM score
+) t
+ORDER BY coef
+"""
+
+
+def logreg_gd_parity(spark, documents: DataFrame, **kw) -> DataFrame:
+    """Run the Spark dialect of :func:`logreg_gd_parity_sql` over the given
+    documents frame (registered as the ``documents`` temp view). The
+    mapInPandas Newton trainer (:func:`fit_logreg`) stays the throughput
+    path; this twin pins gradient-step SEMANTICS against DuckDB exactly."""
+    documents.createOrReplaceTempView("documents")
+    return spark.sql(logreg_gd_parity_sql("spark", **kw))

@@ -502,3 +502,102 @@ SELECT l_returnflag,
        round((b1 * s1y + b2 * s2y + b3 * s3y) / syy, 6) + 0.0 AS r2
 FROM coefs ORDER BY l_returnflag
 """
+
+
+def pca_power_parity_sql(
+    dialect: str,
+    iters: int = 3,
+    d: int = 64,
+    cov_round: int = 6,
+    step_round: int = 9,
+) -> str:
+    """Generate the SAME unrolled power iteration for both engines — the
+    linear-algebra analogue of ``clustering.kmeans_parity_sql``'s
+    fixed-iteration CTE pattern, pinning the iterative kernel CLASS behind
+    the rows-only ``emb_pca`` face (whose driver-side ``eigh`` is not
+    SQL-expressible) with a DuckDB-exact two-dialect twin.
+
+    The iteration is genuinely distributed-shaped: the covariance is the
+    (i, j, cov) edge list (an outer-product aggregate — at 100 TB this is
+    the one corpus-sized shuffle, O(d^2) output), and each matvec is a
+    broadcast-sized join-aggregate ``sum(cov * v_j) GROUP BY i`` — the
+    same shape PageRank uses, O(d^2) work per step, corpus-independent.
+
+    Why it can be exact, term by term:
+
+    - covariance: two-pass centered ``sum((xi-mi)(xj-mj))/n`` rounded to
+      ``cov_round`` (exactly the proven emb_covariance contract — the
+      rounding absorbs cross-engine float-summation order), then mirrored
+      to the full matrix so the matvec needs no triangle bookkeeping;
+    - v0: uniform 1/sqrt(d) — a literal, engine-independent;
+    - matvec u = C.v: the only cross-engine surface is SUM order in the
+      GROUP BY — absorbed by rounding u to ``step_round`` each step;
+    - normalization: norm2 = sum of IDENTICAL rounded squares (order
+      absorbed by ``step_round``), and sqrt/division are correctly-rounded
+      IEEE ops on identical operands — bitwise equal on both engines;
+    - readout: Rayleigh-quotient-free eigenvalue estimate ||C.v|| (v is
+      unit), loadings and eigenvalue rounded to 6 with the ``+ 0.0``
+      signed-zero normalization (emb_covariance r5 lesson).
+
+    ``dialect``: 'spark' or 'duckdb' — the only splits are the array
+    explode idiom and int->double cast spelling; every CTE below ``x`` is
+    byte-identical SQL.
+    """
+    if dialect == "spark":
+        x = (
+            "SELECT vec_id, i, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v"
+        )
+    elif dialect == "duckdb":
+        x = (
+            "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+            "unnest(embedding)::DOUBLE AS v FROM embeddings"
+        )
+    else:
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
+
+    v0 = 1.0 / d ** 0.5
+    stages = [
+        f"""x AS ({x}),
+means AS (SELECT i, avg(v) AS m FROM x GROUP BY i),
+c AS (
+  SELECT x.vec_id, x.i, x.v - means.m AS v
+  FROM x JOIN means ON x.i = means.i
+),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         round(sum(a.v * b.v) / count(*), {cov_round}) + 0.0 AS cv
+  FROM c a JOIN c b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+v0 AS (SELECT i, CAST({v0!r} AS DOUBLE) AS v FROM means)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        stages.append(f"""u{t} AS (
+  SELECT cov.i AS i, round(sum(cov.cv * v.v), {step_round}) AS u
+  FROM cov JOIN v{p} v ON cov.j = v.i
+  GROUP BY cov.i
+),
+n{t} AS (SELECT round(sum(u * u), {step_round}) AS s FROM u{t}),
+v{t} AS (
+  SELECT i, round(u / sqrt((SELECT s FROM n{t})), {step_round}) AS v FROM u{t}
+)""")
+    unrolled = ",\n".join(stages)
+    return f"""
+WITH {unrolled}
+SELECT CAST(i AS BIGINT) AS i,
+       round(v, 6) + 0.0 AS loading,
+       round(sqrt((SELECT s FROM n{iters})), 6) + 0.0 AS eigenvalue
+FROM v{iters}
+ORDER BY i
+"""
+
+
+def pca_power_parity(spark, embeddings: DataFrame, **kw) -> DataFrame:
+    """Run the Spark dialect of :func:`pca_power_parity_sql` over the given
+    embeddings frame (registered as the ``embeddings`` temp view). The
+    driver-side ``eigh`` in :func:`pca_components` stays the throughput
+    path; this twin pins the power-iteration SEMANTICS DuckDB-exact."""
+    embeddings.createOrReplaceTempView("embeddings")
+    return spark.sql(pca_power_parity_sql("spark", **kw))

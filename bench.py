@@ -157,6 +157,8 @@ HEADLINE = [
     "zorder_events",
     "emb_covariance",
     "emb_pca",
+    "pca_power_parity",
+    "logreg_gd_parity",
     "quality_classifier",
     "bpe_merges",
     "vocab_topk_cms",

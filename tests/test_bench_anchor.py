@@ -37,7 +37,7 @@ def test_anchor_prefers_best_over_last_record(bench, tmp_path):
         "queries": {"hmm_fit": 20.6, "q1": 0.9},
         "best": {"hmm_fit": 2.1},
     }))
-    prior = bench.load_anchor(str(p))
+    prior = bench.load_anchor(str(p), {})
     assert prior["hmm_fit"] == 2.1  # the clean min, not the inflated record
     assert prior["q1"] == 0.9  # queries still seed faces absent from best
 
@@ -45,17 +45,17 @@ def test_anchor_prefers_best_over_last_record(bench, tmp_path):
 def test_anchor_seeds_from_queries_on_pre_upgrade_sidecar(bench, tmp_path):
     p = tmp_path / "BENCH_parsed.json"
     p.write_text(json.dumps({"queries": {"q1": 1.5}}))
-    assert bench.load_anchor(str(p)) == {"q1": 1.5}
+    assert bench.load_anchor(str(p), {"q1": "h"}) == {"q1": 1.5}
 
 
 def test_anchor_tolerates_missing_or_corrupt_sidecar(bench, tmp_path):
-    assert bench.load_anchor(str(tmp_path / "absent.json")) == {}
+    assert bench.load_anchor(str(tmp_path / "absent.json"), {}) == {}
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
-    assert bench.load_anchor(str(bad)) == {}
+    assert bench.load_anchor(str(bad), {}) == {}
     typed = tmp_path / "typed.json"
     typed.write_text(json.dumps({"queries": {"q1": "fast"}, "best": {"q2": None}}))
-    assert bench.load_anchor(str(typed)) == {}
+    assert bench.load_anchor(str(typed), {}) == {}
 
 
 def test_roll_best_repairs_contaminated_anchor(bench):
@@ -79,3 +79,21 @@ def test_sidecar_routing_isolates_non_default_scale(bench, tmp_path):
     ten_x = bench.sidecar_for("/tmp/sf0.1_x10_mut", repo)
     assert ten_x.endswith("/BENCH_parsed_sf0.1_x10_mut.json")
     assert ten_x != bench.sidecar_for("/root/testdata/sf0.1", repo)
+
+
+def test_anchor_resets_on_face_hash_change(bench, tmp_path):
+    """VERDICT-r13: a redefined face (manifest hash changed) must not keep
+    the old computation's rolling minimum as its anchor; absence of
+    recorded hashes (pre-upgrade sidecar) must keep every anchor."""
+    p = tmp_path / "BENCH_parsed.json"
+    p.write_text(json.dumps({
+        "queries": {"redefined": 3.8, "stable": 1.0, "unhashed": 2.0},
+        "best": {"redefined": 3.5},
+        "face_hashes": {"redefined": "old", "stable": "same"},
+    }))
+    prior = bench.load_anchor(
+        str(p), {"redefined": "NEW", "stable": "same", "unhashed": "h"}
+    )
+    assert "redefined" not in prior  # re-seeds from this run's record
+    assert prior["stable"] == 1.0  # unchanged hash keeps its anchor
+    assert prior["unhashed"] == 2.0  # no recorded hash = no information

@@ -112,3 +112,58 @@ def test_empty_text_doc_does_not_poison_features(spark):
     rows = {r["doc_id"]: r for r in doc_features(docs).collect()}
     assert rows[1]["digit_ratio"] == 0.0 and rows[3]["digit_ratio"] == 0.0
     assert all(rows[d]["mean_word_len"] is not None for d in rows)
+
+
+def test_logreg_gd_parity_matches_independent_numpy_replica(spark, documents):
+    """The DuckDB-exact parity twin (logreg_gd_parity_sql) against a THIRD
+    implementation: a numpy replica of the same spec — features rounded to
+    9, standardization from rounded mean/std, sigmoid rounded to 12,
+    gradients and weight updates rounded to 9, lr=0.5 for 3 steps.
+    Engine-vs-engine equality is the driver's check; this pins the SQL
+    against independent arithmetic."""
+    from baum_welch_spark.operators.classifier import logreg_gd_parity
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+    rows = documents.select("doc_id", "text", "lang").collect()
+    feats, ys = [], []
+    for r in rows:
+        if len(r["text"]) == 0:
+            continue
+        ws = r["text"].lower().split(" ")
+        n_words = len(ws)
+        n_stop = sum(1 for w in ws if w in stop)
+        n_vowel = sum(1 for ch in r["text"].lower() if ch in "aeiou")
+        feats.append([
+            round(np.log(n_words + 1.0), 9),
+            round(len(r["text"]) / n_words, 9),
+            round(n_stop / n_words, 9),
+            round(n_vowel / len(r["text"]), 9),
+        ])
+        ys.append(1.0 if r["lang"] == "en" else 0.0)
+    Xf = np.array(feats)
+    y = np.array(ys)
+    m = np.round(Xf.mean(axis=0), 9)
+    s = np.round(np.sqrt((Xf * Xf).mean(axis=0) - Xf.mean(axis=0) ** 2), 9)
+    Z = np.round((Xf - m) / s, 9)
+    w = np.zeros(4)
+    b = 0.0
+    for _ in range(3):
+        p = np.round(1.0 / (1.0 + np.exp(-(Z @ w + b))), 12)
+        g = np.round(((p - y)[:, None] * Z).mean(axis=0), 9)
+        gb = round(float((p - y).mean()), 9)
+        w = np.round(w - 0.5 * g, 9)
+        b = round(b - 0.5 * gb, 9)
+    p = np.round(1.0 / (1.0 + np.exp(-(Z @ w + b))), 12)
+    acc = float(((p >= 0.5) == (y == 1.0)).mean())
+
+    got = {r["coef"]: r["value"] for r in logreg_gd_parity(spark, documents).collect()}
+    expect = {
+        "w_log_words": w[0], "w_mean_word_len": w[1],
+        "w_stop_ratio": w[2], "w_vowel_ratio": w[3],
+        "bias": b, "train_acc": acc,
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        # numpy's reassociated dot/avg sums vs the spec's: compare at the
+        # readout rounding minus one guard digit
+        assert abs(got[k] - round(float(v), 6)) < 1e-5, (k, got[k], v)

@@ -134,3 +134,44 @@ def test_linreg_multi_matches_numpy_lstsq(spark):
         # r2 must be in [0, 1] and at least the bivariate fit's (adding
         # regressors never reduces in-sample R^2)
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_pca_power_parity_matches_independent_numpy_replica(spark, embeddings):
+    """The DuckDB-exact parity twin (pca_power_parity_sql) against a THIRD
+    implementation: a numpy replica of the same spec — round(cov, 6),
+    uniform 1/sqrt(d) init, matvec rounded to 9, norm2 rounded to 9,
+    normalized v rounded to 9 per step. Engine-vs-engine equality is the
+    driver's check; this pins the SQL against independent arithmetic."""
+    from baum_welch_spark.operators.linalg import pca_power_parity
+
+    X = _X(embeddings)
+    d = X.shape[1]
+    C = np.round(np.cov(X, rowvar=False, bias=True), 6)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(3):
+        u = np.round(C @ v, 9)
+        n2 = round(float((u * u).sum()), 9)
+        v = np.round(u / np.sqrt(n2), 9)
+    lam = round(float(np.sqrt(n2)), 6)
+
+    rows = pca_power_parity(spark, embeddings).collect()
+    assert len(rows) == d
+    got = {r["i"]: (r["loading"], r["eigenvalue"]) for r in rows}
+    for i in range(d):
+        # numpy's reassociated matvec sums vs the spec's: compare at the
+        # readout rounding minus one guard digit
+        assert abs(got[i][0] - round(float(v[i]), 6)) < 1e-5, (i, got[i], v[i])
+        assert abs(got[i][1] - lam) < 1e-5
+
+
+def test_pca_power_parity_eigenvalue_estimate_is_sane(spark, embeddings):
+    """||C.v|| after 3 steps from uniform init must be positive and must
+    not exceed the true top eigenvalue (power iteration approaches the
+    spectral norm from below for symmetric PSD C)."""
+    from baum_welch_spark.operators.linalg import pca_power_parity
+
+    X = _X(embeddings)
+    C = np.cov(X, rowvar=False, bias=True)
+    lam_true = float(np.linalg.eigvalsh(C)[-1])
+    lam_est = pca_power_parity(spark, embeddings).first()["eigenvalue"]
+    assert 0.0 < lam_est <= lam_true + 1e-6, (lam_est, lam_true)

@@ -365,3 +365,61 @@ def test_session_window_exact_gap_boundary_matches_oracle(spark, tmp_path):
         ).collect()
     )
     assert spark_rows == want
+
+
+def test_stateful_width_sizes_from_source_volume(spark, tmp_path):
+    """VERDICT-r13 #7: the width helper must size from the face's ACTUAL
+    stream source, sum part files for directory parquet (getsize on a dir
+    returns the inode size — the silent width-8 regression ADVICE r13
+    flagged), keep width 8 for unreadable/missing sources, and honor an
+    explicit n= pin."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __spark_entry__ import _stateful_width
+
+    def width_under(**kw):
+        with _stateful_width(spark, **kw):
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # single small file -> 8
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "events.parquet").write_bytes(b"x" * 1024)
+    assert width_under(sf_dir=str(small)) == 8
+
+    # single large file -> 32
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "events.parquet").write_bytes(b"x" * (33 << 20))
+    assert width_under(sf_dir=str(big)) == 32
+
+    # DIRECTORY parquet whose part files sum past the threshold -> 32
+    # (the getsize-on-a-dir trap: inode size is ~4 KB regardless of content)
+    spark_dir = tmp_path / "sparkdir"
+    (spark_dir / "events.parquet").mkdir(parents=True)
+    for i in range(3):
+        (spark_dir / "events.parquet" / f"part-{i}.parquet").write_bytes(
+            b"x" * (12 << 20)
+        )
+    assert width_under(sf_dir=str(spark_dir)) == 32
+
+    # a different source name is honored
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    (alt / "changes.parquet").write_bytes(b"x" * (33 << 20))
+    assert width_under(sf_dir=str(alt)) == 8  # default source absent -> 8
+    assert width_under(sf_dir=str(alt), source="changes.parquet") == 32
+
+    # explicit pin wins regardless of volume
+    assert width_under(sf_dir=str(big), n=8) == 8
+
+    # the real sf0.1 events stream (>= 32 MB) plans at 32, sf0.01 at 8
+    import os.path
+
+    sf01 = "/root/testdata/sf0.1"
+    if os.path.exists(os.path.join(sf01, "events.parquet")):
+        expected = 32 if os.path.getsize(os.path.join(sf01, "events.parquet")) >= (32 << 20) else 8
+        assert width_under(sf_dir=sf01) == expected
+    assert width_under(sf_dir="/root/testdata/sf0.01") == 8
