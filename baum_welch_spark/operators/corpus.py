@@ -112,7 +112,13 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # materialize the per-doc bigram table once (guide §3.3, same cut as
+    # trigram_lm_score): it feeds the count chain AND the scoring join, so
+    # without it the tokenize + explode + agg runs twice from the scan
+    doc_bg = doc_bg.localCheckpoint(eager=False)
     c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    # bigram count table feeds c1 and the probs join — same cut
+    c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     probs = c12.join(c1, "w1")
     scored = doc_bg.join(probs, ["w1", "w2"])
@@ -302,6 +308,10 @@ def decontaminate_bloom(
     eval_grams = (
         with_grams.where(F.col("doc_id") % eval_mod == 0).select("g").distinct()
     )
+    # materialize the distinct eval grams ONCE (guide §3.3): the count job
+    # below and the bit-position build both consume this frame — without
+    # the cut the 2%-slice tokenize + explode + distinct runs twice
+    eval_grams = eval_grams.localCheckpoint(eager=True)
     words = bloom_words_for(eval_grams.count())
     m = words * 32
 
@@ -809,8 +819,18 @@ def trigram_lm_score(documents: DataFrame, train_mod: int = 5) -> DataFrame:
         .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # materialize the per-doc trigram table once (guide §3.3): it feeds the
+    # training-count chain AND the scoring join side — without the cut,
+    # every count table below re-runs the tokenize + explode + count
+    # aggregation from the corpus scan (measured 52 Exchanges / 14 scans in
+    # the static plan). One pass builds it; everything downstream is
+    # joins/aggs over distinct-trigram rows.
+    doc_tg = doc_tg.localCheckpoint(eager=False)
     train = doc_tg.where(F.col("doc_id") % train_mod != 0)
     c3 = train.groupBy("w1", "w2", "w3").agg(F.sum("cnt").alias("c3"))
+    # the trigram count table feeds c2ctx/c2e/c1 and the scored join — same
+    # cut (distinct-trigram-sized, far smaller than doc_tg)
+    c3 = c3.localCheckpoint(eager=False)
     c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
     c2e = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("c2e"))
     # unigram counts from the same trigram stream (center position), plus

@@ -147,7 +147,17 @@ def _pair_intersections(documents: DataFrame, max_doc_freq: int) -> DataFrame:
     not quadratic; only the post-filter pair transform is k^2)
     """
     sh = _shingles(documents)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc set size WITHOUT a shuffle: |distinct shingles of doc| is just
+    # the length of the (already-distinct) shingle array, so it is a
+    # map-side projection — the old groupBy(doc_id).count() re-exploded and
+    # re-SHUFFLED every shingle instance a second time only to count rows
+    # per doc (guide §2.4: remove shuffles outright). Identical values by
+    # construction: explode emits exactly the array's elements.
+    sizes = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size(F.col("ws")) >= 3)
+        .select("doc_id", F.size(shingle_array(3)).alias("n"))
+    )
     lists = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -478,6 +488,12 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_cols).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # materialize the (doc_id, band, bkey) table once (guide §3.3): it feeds
+    # BOTH self-join sides, which otherwise re-run the whole
+    # shingle-explode + 32-hash signature aggregation twice (the dominant
+    # cost of the operator); the banded table is id+two-ints per (doc, band)
+    # — decision-sized, never text-sized
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -490,6 +506,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # candidate id-pairs feed three consumers (cand_docs via the union, and
+    # the verify join) — materialize once, id-only rows
+    candidates = candidates.localCheckpoint(eager=False)
     # verify ONLY the candidate pairs: shingle sets of candidate docs are
     # semi-join-pruned, collected per doc, and compared with array_intersect.
     # The full all-pairs shingle join never runs — that's the 100 TB point.

@@ -416,24 +416,31 @@ def cosine_neardup_lsh(
             for p in range(tables * bits)
         ]
 
-    def proj_sign(col, plane: int):
-        proj = F.aggregate(
-            F.zip_with(
-                col,
-                F.array(*[F.lit(s) for s in signs[plane]]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The per-plane projection fold, built as ONE parsed SQL expression per
+    # plane instead of a py4j call per literal: constructing this through
+    # Column operators costs 2048 F.lit round-trips plus nested lambda
+    # conversions — measured ~7 s of DRIVER time per invocation at 32x64,
+    # vs ~0.02 s for the identical expression parsed from text (guide §1:
+    # the cost was plan CONSTRUCTION, not execution). The generated tree is
+    # operation-for-operation the old one — zip_with multiply, left-fold
+    # add from 0.0, CASE on > offset — so results are bit-identical.
+    def _dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def proj_bit(plane: int, weight: int):
+        arr = ",".join(_dlit(s) for s in signs[plane])
+        return F.expr(
+            f"CASE WHEN aggregate(zip_with(v, array({arr}), (x, s) -> x * s), "
+            f"0.0D, (acc, x) -> acc + x) > {_dlit(offsets[plane])} "
+            f"THEN {weight} ELSE 0 END"
         )
-        return F.when(proj > F.lit(offsets[plane]), F.lit(1)).otherwise(F.lit(0))
 
     keys = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
                 sum(
-                    (proj_sign(F.col("v"), t * bits + b) * F.lit(1 << b) for b in range(bits)),
+                    (proj_bit(t * bits + b, 1 << b) for b in range(bits)),
                     F.lit(0),
                 ).alias("key"),
             )
@@ -443,6 +450,16 @@ def cosine_neardup_lsh(
     bucketed = v.select("vec_id", F.explode(keys).alias("tk")).select(
         "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key")
     )
+    # Materialize the bucket table ONCE (guide §3.3: truncate the plan).
+    # The 32-plane projection fold is an interpreted Catalyst aggregate-HOF
+    # over every component — the most expensive expression in the operator —
+    # and `bucketed` feeds THREE consumers (the bucket-size count and both
+    # self-join sides), each of which would otherwise re-scan the table and
+    # re-run the fold (measured: 44 parquet scans / 72 Exchanges in the
+    # static plan; 8.45 s isolated at sf0.1). The checkpointed frame is
+    # (vec_id, tbl, key) — 16 B x n x tables, corpus-ID-sized, never
+    # vector-sized — so this is exactly the "decide on small rows" shape.
+    bucketed = bucketed.localCheckpoint(eager=False)
     # hot-bucket cap: one combinable count, then drop over-full buckets
     # BEFORE the self-join — bounds the per-key pair blowup at k^2/2 with
     # k <= max_bucket (degenerate embeddings collapse buckets otherwise)
@@ -464,6 +481,10 @@ def cosine_neardup_lsh(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # same plan-truncation move for the candidate id-pairs: they feed THREE
+    # consumers (cand_ids twice via the union, and the verify join) — id-only
+    # rows, so the materialization is bytes-per-pair, never vector bytes
+    candidates = candidates.localCheckpoint(eager=False)
     # prune the vector table to candidate ids BEFORE the verify joins (the
     # id-only semi-join side stays tiny), and let Catalyst/AQE pick the join
     # strategy: a forced broadcast of the full corpus-sized vector table
@@ -475,6 +496,9 @@ def cosine_neardup_lsh(
         .distinct()
     )
     vc = v.join(cand_ids, "vec_id", "left_semi")
+    # ...and for the candidate-pruned vector slice, which both verify sides
+    # read: without this the scan + semi-join runs twice (once per side)
+    vc = vc.localCheckpoint(eager=False)
     va = vc.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = vc.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     paired = candidates.join(va, "vec_a").join(vb, "vec_b")

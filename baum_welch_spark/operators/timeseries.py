@@ -77,21 +77,39 @@ def ewma_user_spend(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
     )
     one_minus = 1.0 - alpha
 
-    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        x = pdf["spend"].to_numpy(dtype="float64")
-        y = x.copy()
-        # explicit recursion (not pandas .ewm) so the op sequence is the
-        # literal one the SQL oracle replays: two multiplies + one add
-        for t in range(1, len(y)):
-            y[t] = one_minus * y[t - 1] + alpha * x[t]
-        pdf["ewma_spend"] = y
-        return pdf[["user_id", "day", "spend", "ewma_spend"]]
+    # Partition-wise recursion instead of groupBy().applyInPandas (guide
+    # §4.2/§4.5): the per-key chains are KB-scale, so per-GROUP pandas
+    # dispatch (one DataFrame construction + one Arrow batch per key)
+    # dominated the face — ~1500 tiny groups cost ~8 s of pure overhead at
+    # sf0.1 where one pass over the same 16k daily rows is milliseconds.
+    # Hash-partition by user, sort (user, day) within each partition, and
+    # run ONE vectorized pass per Arrow batch, carrying (last_uid, last_y)
+    # across batch boundaries inside the partition (a key's chain can
+    # straddle batches; batches of one partition arrive in order). The
+    # recursion's op sequence per key is unchanged — two literal-coefficient
+    # multiplies + one add on float64, in day order — so the output stays
+    # bit-identical to the oracle's recursive CTE. Day strings sort
+    # lexicographically == chronologically (YYYY-MM-DD), exactly like the
+    # old per-group sort_values("day").
+    def ewma_partition(pdfs):
+        last_uid, last_y = None, 0.0
+        for pdf in pdfs:
+            uids = pdf["user_id"].to_numpy()
+            x = pdf["spend"].to_numpy(dtype="float64")
+            y = x.copy()
+            for t in range(len(y)):
+                if uids[t] == last_uid:
+                    y[t] = one_minus * last_y + alpha * x[t]
+                last_uid, last_y = uids[t], y[t]
+            out = pdf[["user_id", "day", "spend"]].copy()
+            out["ewma_spend"] = y
+            yield out
 
     return (
-        daily.groupBy("user_id")
-        .applyInPandas(
-            ewma_group,
+        daily.repartition("user_id")
+        .sortWithinPartitions("user_id", "day")
+        .mapInPandas(
+            ewma_partition,
             schema="user_id bigint, day string, spend double, ewma_spend double",
         )
         .orderBy("user_id", "day")
