@@ -1891,13 +1891,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": _q_transition_model,
         "q13_customer_distribution": _q_q13,
         "q15_top_supplier": _q_q15,
+        # batch-2 OPTIMIZATION rewrites (rows-only trainers): fit_grouped's
+        # in-task EM now runs the batched length-bucketed kernel
+        # (hmm_fit_grouped, grouped_decode), and the candidate/restart
+        # sweeps overlap as driver threads (hmm_select, hmm_fit_restarts) —
+        # rotated in for driver evidence, displacing the code-unchanged
+        # q17/q18/q19/q22 (r15 rotation head with the other displaced faces)
+        "hmm_fit_grouped": _q_hmm_fit_grouped,
+        "grouped_decode": _q_grouped_decode,
+        "hmm_select": _q_hmm_select,
+        "hmm_fit_restarts": _q_hmm_fit_restarts,
+        # ---- driver's 50-entry window ends here (r14). The faces below
+        # were driver-verified green in r9-r13 and are code-unchanged
+        # since their last check (face-hash manifest).
         "q17_small_quantity_revenue": _q_q17,
         "q18_large_volume_customers": _q_q18,
         "q19_bracket_revenue": _q_q19,
         "q22_dormant_customers": _q_q22,
-        # ---- driver's 50-entry window ends here (r14). The faces below
-        # were driver-verified green in r9-r13 and are code-unchanged
-        # since their last check (face-hash manifest).
         "q7_volume_shipping": _q_q7,
         "q8_market_share": _q_q8,
         "scd2_history": _q_scd2_history,
@@ -2009,8 +2019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_generate": _q_hmm_generate,
         "emb_pca": _q_emb_pca,
         "quality_classifier": _q_quality_classifier,
-        "hmm_fit_grouped": _q_hmm_fit_grouped,
-        "grouped_decode": _q_grouped_decode,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         "posterior_sample": _q_posterior_sample,
@@ -2027,10 +2035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "hmm_fit": _q_hmm_fit,
         "hmm_fit_bakis": _q_hmm_fit_bakis,
-        "hmm_fit_restarts": _q_hmm_fit_restarts,
         "hmm_fit_semisup": _q_hmm_fit_semisup,
         "hmm_online": _q_hmm_online,
-        "hmm_select": _q_hmm_select,
     }
 
 

@@ -388,9 +388,12 @@ def fit_restarts(
 
     The sequence corpus is persisted ONCE here and shared by every restart
     (fit respects a caller-managed cache), so n_restarts costs n_restarts
-    EM loops over cached data, not n_restarts corpus reads. Restarts run
-    sequentially; per-restart work is already cluster-wide parallel, so
-    concurrency across restarts would only contend for the same executors.
+    EM loops over cached data, not n_restarts corpus reads. Restarts run as
+    a small pool of overlapping driver threads (2-3 jobs in flight,
+    optimization guide §2.6): FIFO scheduling lets one restart's tiny
+    per-iteration stages back-fill executors idled by another's stage
+    tail — on a saturated cluster this degrades gracefully to the
+    sequential cost, never worse.
 
     Selection compares the FINAL log-likelihood of each trained model —
     P(O | λ_r) from the same E-step, but not necessarily at the same
@@ -411,11 +414,23 @@ def fit_restarts(
     if not caller_persisted:
         sequences = sequences.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # Restarts are independent EM loops over the same cached corpus —
+        # overlap them as driver threads (optimization guide §2.6) so each
+        # restart's tiny per-iteration stages back-fill executors idled by
+        # another restart's stage tail. pool.map preserves restart order, so
+        # `finals` and the first-max tiebreak are identical to the
+        # sequential sweep; per-restart arithmetic is untouched.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(r: int) -> FitResult:
+            init = HMM.random(n_hidden, n_observed, seed=base_seed + r)
+            return fit(spark, sequences, init, max_iter=max_iter, tol=tol)
+
+        with ThreadPoolExecutor(max_workers=min(3, n_restarts)) as pool:
+            results = list(pool.map(one, range(n_restarts)))
         best: FitResult | None = None
         finals: list[float] = []
-        for r in range(n_restarts):
-            init = HMM.random(n_hidden, n_observed, seed=base_seed + r)
-            res = fit(spark, sequences, init, max_iter=max_iter, tol=tol)
+        for res in results:
             finals.append(res.loglik_trace[-1])
             if best is None or res.loglik_trace[-1] > best.loglik_trace[-1]:
                 best = res

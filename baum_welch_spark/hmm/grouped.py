@@ -3,9 +3,10 @@ model per domain / user segment / language" extension of the single-model
 reference dataflow (reference trains exactly one HMM; SURVEY §2.4 D2).
 
 Spark shape: ``applyInPandas`` over ``groupBy(group_col)`` — each group's
-sequences land in one task, which runs the NumPy sequential EM
-(``kernel.sequential_baum_welch``, the same kernel the distributed fit is
-verified against to 1e-8). This is the right tool when models are many and
+sequences land in one task, which runs the NumPy batched EM
+(``kernel.batched_baum_welch`` — the same length-bucketed vectorized E-step
+the distributed fit's Arrow batches run, pinned against the per-sequence
+``sequential_baum_welch`` oracle in tests). This is the right tool when models are many and
 each group's data fits a task (the common per-domain case); the distributed
 ``fit`` remains the tool for one model over an unbounded corpus.
 
@@ -48,15 +49,17 @@ def fit_grouped(
     pi0, A0, B0 = init.pi.copy(), init.A.copy(), init.B.copy()
 
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
-        from baum_welch_spark.hmm.kernel import sequential_baum_welch
+        from baum_welch_spark.hmm.kernel import batched_baum_welch
 
         group = str(pdf["group"].iloc[0])
         # fixed accumulation order: rows reach the task in partition-
         # dependent order, and float count-summation order would otherwise
-        # leak ulp differences into the trained model
+        # leak ulp differences into the trained model (the batched kernel's
+        # length-bucketing is deterministic given this sorted order, so the
+        # result stays partitioning-invariant)
         pdf = pdf.sort_values("seq_id")
         seqs = [np.asarray(o, dtype=np.int64) for o in pdf["obs"]]
-        model, trace = sequential_baum_welch(
+        model, trace = batched_baum_welch(
             HMM(pi=pi0.copy(), A=A0.copy(), B=B0.copy()), seqs, max_iter=max_iter
         )
         rows = []

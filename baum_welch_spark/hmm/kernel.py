@@ -147,6 +147,38 @@ def sequential_baum_welch(
     return model, trace
 
 
+def batched_baum_welch(
+    init: HMM,
+    sequences: list[np.ndarray],
+    max_iter: int = 10,
+    tol: float = 0.0,
+) -> tuple[HMM, list[float]]:
+    """EM to the same fixed point as :func:`sequential_baum_welch`, with the
+    E-step vectorized ACROSS sequences (:func:`e_step_counts_batch` — the
+    same length-bucketed kernel the distributed fit's Arrow batches run).
+    Identical quantities modulo float summation order; parity with the
+    per-sequence loop is pinned in tests at the same tolerance class as the
+    distributed-vs-sequential pin. This is the in-task trainer for
+    ``grouped.fit_grouped``: one task per group, where the per-sequence
+    Python loop (T Python-level steps per sequence per iteration) was the
+    dominant cost."""
+    model = init.validate()
+    seqs = [np.asarray(o, dtype=np.int64) for o in sequences if len(o) > 0]
+    trace: list[float] = []
+    for _ in range(max_iter):
+        cpi = np.zeros(model.n_hidden)
+        cA = np.zeros((model.n_hidden, model.n_hidden))
+        cB = np.zeros((model.n_hidden, model.n_observed))
+        ll = e_step_counts_batch(model.pi, model.A, model.B, seqs, cpi, cA, cB)
+        trace.append(ll)
+        new_model = m_step(cpi, cA, cB)
+        delta = model.distance(new_model)
+        model = new_model
+        if tol > 0 and delta < tol:
+            break
+    return model, trace
+
+
 def _length_buckets(lens: list[int]) -> list[list[int]]:
     """Octave length-bucketing for the batched E-step (VERDICT-r9 #5 /
     SURVEY §7 hard part #1): indices grouped by bit_length(T), so within a

@@ -68,14 +68,26 @@ def select_n_hidden(
                 "select_n_hidden: corpus has zero observations (empty frame "
                 "or all-empty obs arrays) — BIC's ln(T) term is undefined"
             )
-        fits: dict[int, FitResult] = {}
-        rows = []
-        for n in candidates:
-            res = fit(
+        # Candidates are INDEPENDENT EM loops over the same cached corpus, so
+        # run them as overlapping driver threads (optimization guide §2.6):
+        # Spark schedules concurrent jobs FIFO and each candidate's tiny
+        # per-iteration stages back-fill the executors the previous
+        # candidate's stage tail leaves idle. Per-candidate arithmetic is
+        # untouched (each fit broadcasts its own model and collects its own
+        # counts), so results are bit-identical to the sequential sweep.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def train(n: int) -> tuple[int, FitResult]:
+            return n, fit(
                 spark, sequences, HMM.random(n, n_observed, seed=seed),
                 max_iter=max_iter, tol=tol,
             )
-            fits[n] = res
+
+        with ThreadPoolExecutor(max_workers=min(3, len(candidates))) as pool:
+            fits = dict(pool.map(train, candidates))
+        rows = []
+        for n in candidates:
+            res = fits[n]
             ll = res.loglik_trace[-1] if res.loglik_trace else float("nan")
             p = free_params(n, n_observed)
             rows.append(

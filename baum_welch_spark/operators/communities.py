@@ -143,6 +143,11 @@ def label_prop_docs(
         pairs = neardup_jaccard(documents, threshold=threshold)
     else:
         pairs = pair_generator(documents)
+    # materialize the id-pair table once before the symmetric union — its
+    # two branches would otherwise each re-run the whole pair pipeline
+    # inside label_propagation's edge persist (guide §3.3; same fix as
+    # pagerank_docs)
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -153,10 +153,18 @@ def _pair_intersections(documents: DataFrame, max_doc_freq: int) -> DataFrame:
     # re-SHUFFLED every shingle instance a second time only to count rows
     # per doc (guide §2.4: remove shuffles outright). Identical values by
     # construction: explode emits exactly the array's elements.
+    # materialized once (localCheckpoint): the table joins in TWICE below
+    # (sa for doc_a, sb for doc_b), and without an Exchange in its subtree
+    # there is no ReuseExchange to dedup the two sides — each would re-scan
+    # documents and re-run the shingle-array fold (r14: pagerank_docs, whose
+    # symmetric edge union doubles the pair pipeline again, measured 2x hot
+    # from exactly this recompute). The frame is (id, int) per corpus doc —
+    # decision-sized, never text-sized.
     sizes = (
         documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size(F.col("ws")) >= 3)
         .select("doc_id", F.size(shingle_array(3)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     lists = (
         sh.groupBy("s")

@@ -162,6 +162,11 @@ def pagerank_docs(
         pairs = neardup_jaccard(documents, threshold=threshold)
     else:
         pairs = pair_generator(documents)
+    # materialize the id-pair table once before the symmetric union: the
+    # union's two branches would otherwise each re-run the whole pair
+    # pipeline (shingle explode + pair gen + verify joins) inside the
+    # pagerank edge persist's first materialization (guide §3.3)
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
