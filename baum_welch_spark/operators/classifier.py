@@ -339,10 +339,113 @@ ORDER BY coef
 """
 
 
-def logreg_gd_parity(spark, documents: DataFrame, **kw) -> DataFrame:
+def logreg_gd_parity(
+    spark,
+    documents: DataFrame,
+    iters: int = 3,
+    lr: float = 0.5,
+    feat_round: int = 9,
+    prob_round: int = 12,
+    step_round: int = 9,
+) -> DataFrame:
     """Run the Spark dialect of :func:`logreg_gd_parity_sql` over the given
-    documents frame (registered as the ``documents`` temp view). The
-    mapInPandas Newton trainer (:func:`fit_logreg`) stays the throughput
-    path; this twin pins gradient-step SEMANTICS against DuckDB exactly."""
+    documents frame — STEPWISE. Spark inlines every CTE reference, so the
+    single unrolled query (which DuckDB executes as-is for the oracle)
+    exploded to 428 Exchanges / 172 duplicate parquet scans at iters=3:
+    every p{t} re-expands the full raw→feats→stats→z feature pipeline and
+    the w-chain doubles the subtree per step (r14 optimization round,
+    guide §3.3). Here the standardized feature table z is materialized
+    ONCE (localCheckpoint — doc_id + 4 doubles + label, the standard
+    feature-table artifact a production trainer persists anyway) and each
+    gradient step runs as its own tiny query against it, with the 1-row
+    weight frame checkpointed between steps. Per-stage SQL text is the
+    generator's verbatim; every stage boundary is already rounded
+    (feat/prob/step_round) precisely so execution/summation-order
+    differences cannot reach the output — the same argument that makes
+    the face cross-engine exact makes the stepwise plan value-identical
+    to the inlined one. Proven hash-exact against the unchanged DuckDB
+    oracle after the rewrite.
+
+    The mapInPandas Newton trainer (:func:`fit_logreg`) stays the
+    throughput path; this twin pins gradient-step SEMANTICS."""
     documents.createOrReplaceTempView("documents")
-    return spark.sql(logreg_gd_parity_sql("spark", **kw))
+    stop_list = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on'"
+    n_stop = f"size(filter(ws, w -> w IN ({stop_list})))"
+    n_words = "size(ws)"
+    n_vowel = "length(regexp_replace(lower(text), '[^aeiou]', ''))"
+    fr = feat_round
+    z = spark.sql(
+        f"""WITH raw AS (
+  SELECT doc_id, text, lang, split(lower(text), ' ') AS ws FROM documents),
+feats AS (
+  SELECT doc_id,
+         round(ln({n_words} + 1.0), {fr}) AS f1,
+         round(CAST(length(text) AS DOUBLE) / {n_words}, {fr}) AS f2,
+         round(CAST({n_stop} AS DOUBLE) / {n_words}, {fr}) AS f3,
+         round(CAST({n_vowel} AS DOUBLE) / length(text), {fr}) AS f4,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM raw WHERE length(text) > 0
+),
+stats AS (
+  SELECT round(avg(f1), {fr}) AS m1, round(avg(f2), {fr}) AS m2,
+         round(avg(f3), {fr}) AS m3, round(avg(f4), {fr}) AS m4,
+         round(sqrt(avg(f1 * f1) - avg(f1) * avg(f1)), {fr}) AS s1,
+         round(sqrt(avg(f2 * f2) - avg(f2) * avg(f2)), {fr}) AS s2,
+         round(sqrt(avg(f3 * f3) - avg(f3) * avg(f3)), {fr}) AS s3,
+         round(sqrt(avg(f4 * f4) - avg(f4) * avg(f4)), {fr}) AS s4
+  FROM feats
+)
+SELECT doc_id, y,
+       round((f1 - m1) / s1, {fr}) AS z1,
+       round((f2 - m2) / s2, {fr}) AS z2,
+       round((f3 - m3) / s3, {fr}) AS z3,
+       round((f4 - m4) / s4, {fr}) AS z4
+FROM feats CROSS JOIN stats"""
+    ).localCheckpoint(eager=False)
+    z.createOrReplaceTempView("logreg_parity_z")
+    # w0 spelled exactly as the generator's (decimal-literal zeros: the
+    # first step's arithmetic must see the same operand types)
+    spark.sql(
+        "SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS b"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("logreg_parity_w")
+    sig = (
+        "round(1.0 / (1.0 + exp(-(z1 * w1 + z2 * w2 + z3 * w3 + z4 * w4 + b))), "
+        f"{prob_round})"
+    )
+    for _ in range(iters):
+        w = spark.sql(
+            f"""WITH p AS (
+  SELECT doc_id, y, z1, z2, z3, z4, {sig} AS p
+  FROM logreg_parity_z CROSS JOIN logreg_parity_w
+),
+g AS (
+  SELECT round(avg((p - y) * z1), {step_round}) AS g1,
+         round(avg((p - y) * z2), {step_round}) AS g2,
+         round(avg((p - y) * z3), {step_round}) AS g3,
+         round(avg((p - y) * z4), {step_round}) AS g4,
+         round(avg(p - y), {step_round}) AS gb
+  FROM p
+)
+SELECT round(w1 - {lr} * g1, {step_round}) AS w1,
+       round(w2 - {lr} * g2, {step_round}) AS w2,
+       round(w3 - {lr} * g3, {step_round}) AS w3,
+       round(w4 - {lr} * g4, {step_round}) AS w4,
+       round(b - {lr} * gb, {step_round}) AS b
+FROM logreg_parity_w CROSS JOIN g"""
+        ).localCheckpoint(eager=True)
+        w.createOrReplaceTempView("logreg_parity_w")
+    return spark.sql(
+        f"""WITH score AS (
+  SELECT y, {sig} AS p FROM logreg_parity_z CROSS JOIN logreg_parity_w
+)
+SELECT coef, round(value, 6) + 0.0 AS value FROM (
+  SELECT 'w_log_words' AS coef, w1 AS value FROM logreg_parity_w
+  UNION ALL SELECT 'w_mean_word_len', w2 FROM logreg_parity_w
+  UNION ALL SELECT 'w_stop_ratio', w3 FROM logreg_parity_w
+  UNION ALL SELECT 'w_vowel_ratio', w4 FROM logreg_parity_w
+  UNION ALL SELECT 'bias', b FROM logreg_parity_w
+  UNION ALL SELECT 'train_acc',
+    avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) FROM score
+) t
+ORDER BY coef"""
+    )

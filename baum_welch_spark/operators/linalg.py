@@ -594,10 +594,80 @@ ORDER BY i
 """
 
 
-def pca_power_parity(spark, embeddings: DataFrame, **kw) -> DataFrame:
+def pca_power_parity(
+    spark,
+    embeddings: DataFrame,
+    iters: int = 3,
+    d: int = 64,
+    cov_round: int = 6,
+    step_round: int = 9,
+) -> DataFrame:
     """Run the Spark dialect of :func:`pca_power_parity_sql` over the given
-    embeddings frame (registered as the ``embeddings`` temp view). The
-    driver-side ``eigh`` in :func:`pca_components` stays the throughput
-    path; this twin pins the power-iteration SEMANTICS DuckDB-exact."""
+    embeddings frame — STEPWISE. Spark inlines every CTE reference, so the
+    single unrolled query (which DuckDB executes as-is for the oracle)
+    exploded to 384 Exchanges / 192 duplicate parquet scans at iters=3:
+    each u{t} re-expands cov (itself a self-join of the centered table),
+    and the subtree doubles per unrolled step (r14 optimization round,
+    guide §3.3 "materialise an intermediate to truncate the plan").
+
+    Here each stage runs as its own query over MATERIALIZED inputs: cov
+    (d^2 rows) is localCheckpoint'ed once, each step's v (d rows) likewise.
+    The per-stage SQL text is the generator's verbatim, and every stage
+    boundary is already rounded (cov_round/step_round) precisely so that
+    execution/summation-order differences cannot reach the output — the
+    same argument that makes the face cross-engine exact makes the
+    stepwise plan value-identical to the inlined one. Proven hash-exact
+    against the unchanged DuckDB oracle after the rewrite.
+
+    The driver-side ``eigh`` in :func:`pca_components` stays the
+    throughput path; this twin pins the power-iteration SEMANTICS."""
     embeddings.createOrReplaceTempView("embeddings")
-    return spark.sql(pca_power_parity_sql("spark", **kw))
+    x = (
+        "SELECT vec_id, i, CAST(v AS DOUBLE) AS v "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v"
+    )
+    cov = spark.sql(
+        f"""WITH x AS ({x}),
+means AS (SELECT i, avg(v) AS m FROM x GROUP BY i),
+c AS (
+  SELECT x.vec_id, x.i, x.v - means.m AS v
+  FROM x JOIN means ON x.i = means.i
+)
+SELECT a.i AS i, b.i AS j,
+       round(sum(a.v * b.v) / count(*), {cov_round}) + 0.0 AS cv
+FROM c a JOIN c b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i"""
+    ).localCheckpoint(eager=False)
+    cov.createOrReplaceTempView("pca_parity_cov")
+    v0 = 1.0 / d ** 0.5
+    # v0's i-domain: the generator reads it off `means`; every i appears in
+    # cov by construction (the self-join emits all (i, j) pairs), so the
+    # materialized cov supplies the identical domain without re-scanning
+    spark.sql(
+        f"SELECT i, CAST({v0!r} AS DOUBLE) AS v "
+        "FROM (SELECT DISTINCT i FROM pca_parity_cov)"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("pca_parity_v")
+    step = f"""WITH u AS (
+  SELECT cov.i AS i, round(sum(cov.cv * v.v), {step_round}) AS u
+  FROM pca_parity_cov cov JOIN pca_parity_v v ON cov.j = v.i
+  GROUP BY cov.i
+),
+n AS (SELECT round(sum(u * u), {step_round}) AS s FROM u)
+"""
+    for _ in range(1, iters):
+        v = spark.sql(
+            step
+            + f"SELECT i, round(u / sqrt((SELECT s FROM n)), {step_round}) AS v FROM u"
+        ).localCheckpoint(eager=True)
+        v.createOrReplaceTempView("pca_parity_v")
+    return spark.sql(
+        step
+        + f""", v AS (
+  SELECT i, round(u / sqrt((SELECT s FROM n)), {step_round}) AS v FROM u
+)
+SELECT CAST(i AS BIGINT) AS i,
+       round(v, 6) + 0.0 AS loading,
+       round(sqrt((SELECT s FROM n)), 6) + 0.0 AS eigenvalue
+FROM v
+ORDER BY i"""
+    )
