@@ -292,10 +292,82 @@ ORDER BY cluster
 """
 
 
-def kmeans_parity(spark, embeddings: DataFrame, **kw) -> DataFrame:
+def kmeans_parity(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    seed: int = 11,
+    d: int = 64,
+    centroid_round: int = 9,
+) -> DataFrame:
     """Run the Spark dialect of :func:`kmeans_parity_sql` over the given
-    embeddings frame (registered as the ``embeddings`` temp view). The
-    numpy-kernel :func:`kmeans_fit` stays the throughput path; this twin
-    exists to pin Lloyd's SEMANTICS against DuckDB exactly."""
+    embeddings frame — STEPWISE. Spark inlines every CTE reference, so
+    the single unrolled query (which DuckDB executes as-is for the
+    oracle) re-expanded the whole a{t}→c{t-1} chain per step: 48
+    Exchanges / 30 duplicate parquet scans at iters=3 (r14 optimization
+    round, guide §3.3 truncate-the-plan). Here ``vecs`` (vec_id + d
+    doubles) is materialized ONCE (localCheckpoint) and each Lloyd
+    iteration runs assign→mean→carry as its own query against it, with
+    the k-row centroid frame checkpointed between steps. Per-stage SQL
+    text is the generator's verbatim; every centroid coordinate is
+    rounded to ``centroid_round`` each iteration by the face's own
+    cross-engine design, so execution/summation-order differences cannot
+    reach the output — the same argument that makes the face DuckDB-exact
+    makes the stepwise plan value-identical to the inlined one. Proven
+    hash-exact against the unchanged oracle after the rewrite.
+
+    The numpy-kernel :func:`kmeans_fit` stays the throughput path; this
+    twin exists to pin Lloyd's SEMANTICS against DuckDB exactly."""
     embeddings.createOrReplaceTempView("embeddings")
-    return spark.sql(kmeans_parity_sql("spark", **kw))
+    xcols = ", ".join(
+        f"CAST(embedding[{i - 1}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
+    )
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), ':"
+        + str(seed)
+        + "')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    d2 = " + ".join(f"(x{i} - c{i}) * (x{i} - c{i})" for i in range(1, d + 1))
+    c0_cols = ", ".join(f"x{i} AS c{i}" for i in range(1, d + 1))
+    mean_cols = ", ".join(
+        f"round(avg(x{i}), {centroid_round}) AS c{i}" for i in range(1, d + 1)
+    )
+    carry_cols = ", ".join(
+        f"coalesce(m.c{i}, p.c{i}) AS c{i}" for i in range(1, d + 1)
+    )
+    vecs = spark.sql(
+        f"SELECT vec_id, {xcols} FROM embeddings"
+    ).localCheckpoint(eager=False)
+    vecs.createOrReplaceTempView("kmeans_parity_vecs")
+    spark.sql(
+        f"""WITH hashed AS (SELECT vec_id, {h} AS hh FROM embeddings)
+SELECT ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cluster, {c0_cols}
+FROM kmeans_parity_vecs JOIN hashed USING (vec_id)
+ORDER BY hh, vec_id LIMIT {k}"""
+    ).localCheckpoint(eager=True).createOrReplaceTempView("kmeans_parity_c")
+    assign = f"""a AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT v.vec_id, c.cluster, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM kmeans_parity_vecs v CROSS JOIN kmeans_parity_c c
+  ) ranked WHERE rn = 1
+)"""
+    for _ in range(1, iters):
+        c = spark.sql(
+            f"""WITH {assign},
+m AS (
+  SELECT cluster, {mean_cols}
+  FROM a JOIN kmeans_parity_vecs USING (vec_id) GROUP BY cluster
+)
+SELECT p.cluster, {carry_cols}
+FROM kmeans_parity_c p LEFT JOIN m ON m.cluster = p.cluster"""
+        ).localCheckpoint(eager=True)
+        c.createOrReplaceTempView("kmeans_parity_c")
+    return spark.sql(
+        f"""WITH {assign}
+SELECT cluster, count(*) AS n, round(avg(d2), 6) AS avg_d2
+FROM a
+GROUP BY cluster
+ORDER BY cluster"""
+    )

@@ -987,6 +987,12 @@ def minhash_lsh_pairs_incremental(
         )
         .select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_base"))
         .distinct()
+        # materialized once (r14 optimization round, guide §3.3): three
+        # consumers (both cand_sets prunes + the final verify join) each
+        # re-expanded BOTH banded-signature pipelines — 16 parquet scans in
+        # the static plan; the id-pair frame is candidate-sized (tiny by
+        # LSH construction), so checkpointing it truncates all three
+        .localCheckpoint(eager=False)
     )
 
     def cand_sets(docs: DataFrame, ids: DataFrame) -> DataFrame:

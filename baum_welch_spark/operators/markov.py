@@ -152,21 +152,33 @@ def model_half_distance(events: DataFrame) -> DataFrame:
     BaumWelchUtils.java:237-266). Missing (i, j) cells count as prob 0 via
     the full outer join + coalesce.
     """
-    def half_model(df: DataFrame) -> DataFrame:
-        w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        w_norm = Window.partitionBy("i")
-        pairs = df.withColumn("j", F.lead("sym").over(w_ord))
-        return (
-            pairs.filter(F.col("j").isNotNull())
-            .groupBy(F.col("sym").alias("i"), "j")
-            .agg(F.count(F.lit(1)).cast("double").alias("w"))
-            .withColumn("prob", F.col("w") / F.sum("w").over(w_norm))
-            .select("i", "j", "prob")
-        )
-
+    # ONE pass over the corpus (r14 optimization round, guide §2.3/§3.3):
+    # the old per-half `half_model(coded.filter(parity))` calls each
+    # re-expanded the whole coded subtree — events scan + dictionary
+    # aggregate + broadcast join + sequence window ran TWICE (8 parquet
+    # scans in the static plan). The parity filter commutes with the
+    # per-user lead window (removing other users cannot change a lead
+    # within a user's rows), so both halves now come from one windowed
+    # pass grouped by (half, i, j); the vocab²-sized count table is
+    # materialized once and each half's normalization runs over it.
+    # Value-identical: counts are integer-exact doubles, and the window
+    # sum over (half, i) adds integer-valued doubles — exact at any
+    # summation order below 2^53.
     coded = _coded(events)
-    m1 = half_model(coded.filter(F.col("user_id") % 2 == 0)).withColumnRenamed("prob", "p1")
-    m2 = half_model(coded.filter(F.col("user_id") % 2 == 1)).withColumnRenamed("prob", "p2")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        coded.withColumn("j", F.lead("sym").over(w_ord))
+        .filter(F.col("j").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("half"), F.col("sym").alias("i"), "j"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    w_norm = Window.partitionBy("half", "i")
+    model = counts.withColumn("prob", F.col("w") / F.sum("w").over(w_norm))
+    m1 = model.filter(F.col("half") == 0).select("i", "j", F.col("prob").alias("p1"))
+    m2 = model.filter(F.col("half") == 1).select("i", "j", F.col("prob").alias("p2"))
     joined = m1.join(m2, ["i", "j"], "full_outer").select(
         F.coalesce("p1", F.lit(0.0)).alias("p1"), F.coalesce("p2", F.lit(0.0)).alias("p2")
     )

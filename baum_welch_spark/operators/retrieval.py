@@ -75,18 +75,38 @@ def bm25_topk(
     )
     term_set = sorted({t for _, qtext in qrows for t in qtext.split()})
 
-    toks = documents.select("doc_id", F.explode(_words()).alias("token"))
+    # ONE tokenize pass (r14 optimization round, guide §2.3/§3.3): the old
+    # explode-based `toks` subtree fed doc_len→consts, doc_len→scored and
+    # tf→df_t, tf→scored — Catalyst inlined it per consumer, so the corpus
+    # was scanned and tokenized 4x per invocation. `split` never returns an
+    # empty array (split('', ' ') is ['']), so size(ws) equals the exploded
+    # token count EXACTLY and per-doc lengths stay integer-exact (avg over
+    # longs sums exactly — order-independent); filtering the array to query
+    # terms before the only explode keeps the corpus-side shuffle at
+    # matching postings only, same rows as the old isin() filter. The
+    # doc-sized projection (id + int + matched-terms array) is materialized
+    # once and shared by all consumers.
+    base = (
+        documents.select("doc_id", _words().alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("len_d"),
+            F.filter("ws", lambda w: w.isin(term_set)).alias("qtoks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    doc_len = base.select("doc_id", "len_d")
     # corpus constants: one combinable pass, 1 row, broadcast back
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len_d"))
-    consts = doc_len.agg(
+    consts = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len_d").alias("avgdl")
     )
     # postings restricted to query terms BEFORE the (doc, term) shuffle —
     # the corpus never shuffles for terms nobody asked about
     tf = (
-        toks.where(F.col("token").isin(term_set))
+        base.select("doc_id", F.explode("qtoks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
 
