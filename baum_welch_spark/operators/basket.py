@@ -61,6 +61,11 @@ def basket_rules(
               F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
+        # materialized once (r14 optimization round, guide §3.3): the basket
+        # size-cap below consumes the deduped table twice (the size aggregate
+        # and the join's left side), and each consumer otherwise re-runs the
+        # line-scale dedup shuffle
+        .localCheckpoint(eager=False)
     )
     # cap pathological baskets BEFORE pair generation (C(k,2) growth)
     sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("k"))

@@ -82,10 +82,15 @@ def bpe_train(documents: DataFrame, n_merges: int = 30) -> list[tuple[str, str, 
     # the logical plan string itself blow the JVM heap when AQE renders it.
     # Checkpointing truncates the lineage to the materialized partitions, so
     # every iteration starts from a flat plan.
+    # eager=False (r14 optimization round, guide §1.4/§3.3): the checkpoint
+    # then materializes INSIDE the next pair-count job instead of as its own
+    # job — one pass over the vocab table per iteration instead of two
+    # (rewrite job + count job), and the final iteration's rewrite (whose
+    # vocab nobody reads) never runs at all: 2N+1 jobs -> N for N merges.
     vocab = (
         word_vocab(documents)
         .select(F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "freq")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -112,7 +117,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 30) -> list[tuple[str, str, 
         merges.append((l, r, f))
         new_vocab = vocab.select(
             _merge_adjacent(F.col("syms"), l, r).alias("syms"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # checkpoint blocks are freed by the ContextCleaner once the previous
         # DataFrame's RDD is unreferenced — dropping our reference here is
         # the cleanup (unpersist() does not remove checkpoint blocks)

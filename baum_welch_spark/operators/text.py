@@ -432,7 +432,14 @@ def copy_spans(
     """
     from baum_welch_spark.functions.columns import pair_structs
 
-    fpp = winnow_fingerprint_positions(documents, k=k, w=w)
+    # materialized once (r14 optimization round, guide §3.3): the positional
+    # fingerprint frame feeds BOTH the df-cap/pair stage and the position
+    # join below — without the checkpoint Catalyst inlines the whole
+    # winnowing scan (k-gram hash + two windows over the corpus) per
+    # consumer, so "one winnowing scan" was only true of the source text
+    fpp = winnow_fingerprint_positions(documents, k=k, w=w).localCheckpoint(
+        eager=False
+    )
     docfp = fpp.select("doc_id", "fp").distinct()
     lists = (
         docfp.groupBy("fp")

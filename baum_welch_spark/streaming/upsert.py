@@ -910,7 +910,12 @@ def _cdc_demo_log(
         (F.year("o_orderdate").cast("long") * F.lit(1000000000) + F.col("o_orderkey")).alias("ts"),
         F.year("o_orderdate").alias("_y"),
     ).filter(F.col("_y") >= since_year)
-    return base, log
+    # materialized once (r14 optimization round, guide §3.3): every CDC face
+    # consumes the log several times — the distinct-years collect plus one
+    # per-year filter per merge generation — and each consumer otherwise
+    # re-scans and re-projects the orders table; the capped log is
+    # change-batch-sized by construction
+    return base, log.localCheckpoint(eager=False)
 
 
 def cdc_apply_batch_face(

@@ -251,6 +251,18 @@ def test_driver_window_stays_oracle_dense():
         # has no cross-engine pin (see ghmm_loglik_trace, its per-sequence
         # driver-exact graduation); monotonicity asserted in-face
         "ghmm_trace",
+        # r14 OPTIMIZATION rotation (manifest rule: changed faces must be
+        # in-window the round they change): to-convergence EM trainers whose
+        # internals changed this round — fit_grouped's batched in-task
+        # kernel (1e-12 parity pytest vs the per-sequence kernel) and the
+        # threaded candidate/restart sweeps (bit-identical outputs, NumPy
+        # replica pytests). Rows-only by nature (convergence iteration
+        # counts are engine-private); their step semantics stay pinned by
+        # the driver-exact em_trace/ghmm_em_trace and parity faces.
+        "hmm_fit_grouped",
+        "grouped_decode",
+        "hmm_select",
+        "hmm_fit_restarts",
     }, rows_only_in_window
 
 
