@@ -393,6 +393,12 @@ def main() -> None:
             slim.pop("runs", None)
             slim.pop("reruns", None)
             slim.pop("best", None)
+            # the 183-face hash manifest is ~17 KB — keeping it here blew
+            # the 1900-char budget before the FIRST query entry fit, so the
+            # printed line carried "queries": {} (and, being ~18 KB, would
+            # not even survive the driver's 2000-char stdout tail). It
+            # lives in the sidecar; the printed line needs the timings.
+            slim.pop("face_hashes", None)
             slim["n_reruns"] = len(reruns)  # full detail in BENCH_parsed.json
             by_cost = sorted(timings, key=timings.get, reverse=True)
             slim["n_queries"] = len(timings)
