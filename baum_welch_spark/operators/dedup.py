@@ -160,6 +160,13 @@ def _pair_intersections(documents: DataFrame, max_doc_freq: int) -> DataFrame:
     # symmetric edge union doubles the pair pipeline again, measured 2x hot
     # from exactly this recompute). The frame is (id, int) per corpus doc —
     # decision-sized, never text-sized.
+    # (r14 optimization round, measured and REJECTED: carrying n inside the
+    # collect_list structs to delete this table and the sa/sb joins — one
+    # tokenize pass, zero size joins — is ~30% SLOWER matched-load at sf0.1
+    # (6.23 vs 4.84 s min-of-4 alternating): struct collect/sort plus the
+    # (doc_a, doc_b, na, nb) grouping key tax the 1.3M-row pair exchange
+    # more than the lazy second tokenize + two AQE-broadcast joins cost.
+    # The simhash lesson again: measure, don't pattern-match.)
     sizes = (
         documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size(F.col("ws")) >= 3)
@@ -743,10 +750,19 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("n_comp"))
             )
+            # carry the pre-round label through as `prev`: labels only ever
+            # DECREASE, so "did this round change anything" is exactly
+            # component != prev on the new frame — a filter over the
+            # just-checkpointed blocks instead of the old node-sized
+            # new-vs-old shuffle JOIN that ran as its own 2-exchange job
+            # every round (guide §1.4 job accounting; r14 A/B: the join job
+            # was ~0.1-0.2 s per round on label frames of any size, and at
+            # 100 TB it shuffled two corpus-sized label tables per round)
             cand = (
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
+                    F.col("component").alias("prev"),
                     F.least(
                         F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                     ).alias("component"),
@@ -758,10 +774,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
             jump = cand.select(
                 F.col("node").alias("jnode"), F.col("component").alias("jcomp")
             )
-            new_labels = (
+            new_full = (
                 cand.join(jump, cand.component == jump.jnode, "left")
                 .select(
                     "node",
+                    "prev",
                     F.least(
                         F.col("component"), F.coalesce(F.col("jcomp"), F.col("component"))
                     ).alias("component"),
@@ -770,18 +787,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
             )
             cand.unpersist()
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+                new_full.filter(F.col("component") != F.col("prev")).limit(1).count()
             )
             # free the previous round's checkpointed blocks now that the
             # convergence check has consumed them — otherwise every round's
             # node-sized labels stay resident until session end (only the
             # final, returned labels remain checkpointed)
             labels.unpersist()
-            labels = new_labels
+            labels = new_full
             if changed == 0:
                 break
         if changed != 0:
