@@ -611,6 +611,13 @@ def em_trace(
     frames = []
     cur = model
     schema = "iter int, kind string, i int, j int, prob double"
+    # one sequence build shared by every chained lap (r15, guide §3.3): lap
+    # 1's collect materializes it, later laps (and the caller's action on
+    # the returned last-lap frame) read the checkpoint instead of re-running
+    # the corpus groupBy/collect_list per lap. Lazy and session-scoped —
+    # nothing persists across invocations (the r12 review posture holds).
+    if n_iters > 1:
+        sequences = sequences.localCheckpoint(eager=False)
     for it in range(1, n_iters + 1):
         step = em_reestimate(spark, sequences, cur)
         if it < n_iters:

@@ -353,7 +353,14 @@ def fit_gaussian(
     model = init.validate()
     trace: list[float] = []
     converged = False
-    src = sequences.select("obs")
+    # materialize the sequence build once across EM iterations (the discrete
+    # fit()'s persist pattern, guide §3.3/§5): without it every iteration's
+    # E-step re-runs the corpus groupBy/collect_list from the events scan —
+    # max_iter corpus shuffles for one build's worth of work. Lazy local
+    # checkpoint: the first E-step materializes it; partitioning equals the
+    # un-checkpointed plan's post-AQE layout, so per-task accumulation order
+    # (and hence every float) is unchanged.
+    src = sequences.select("obs").localCheckpoint(eager=False)
     it = 0
     for it in range(1, max_iter + 1):
         bc = spark.sparkContext.broadcast(model)
@@ -871,6 +878,11 @@ def ghmm_em_trace(
     cur = model.validate()
     n = cur.pi.shape[0]
     schema = "iter int, kind string, i int, j int, val double"
+    # one sequence build shared by every chained lap (guide §3.3): lap 1's
+    # collect materializes it, lap 2+ (and the caller's final action) read
+    # the checkpoint instead of re-running the corpus groupBy per lap
+    if n_iters > 1:
+        sequences = sequences.localCheckpoint(eager=False)
     for it in range(1, n_iters + 1):
         step = _ghmm_reestimate_unchecked(spark, sequences, cur)
         if it < n_iters:
@@ -915,6 +927,10 @@ def ghmm_loglik_trace(
     cur = model.validate()
     n = cur.pi.shape[0]
     frames = []
+    # one sequence build shared by the 2*n_iters-1 consumers (each lap's
+    # score pass + each non-final lap's re-estimate; guide §3.3)
+    if n_iters > 1:
+        sequences = sequences.localCheckpoint(eager=False)
     for it in range(1, n_iters + 1):
         frames.append(
             _score_gauss_unchecked(spark, sequences, cur).select(

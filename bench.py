@@ -28,6 +28,7 @@ must never become the yardstick that hides the next contamination.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -181,6 +182,15 @@ def sidecar_for(sf_dir: str, repo: str) -> str:
         return os.path.join(repo, "BENCH_parsed.json")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "alt"
     return os.path.join(repo, f"BENCH_parsed_{tag}.json")
+
+
+def names_digest(timings: dict[str, float]) -> str:
+    """Integrity digest of the COMPLETE timed-name set (VERDICT-r14 #2):
+    travels on the printed line next to the slowest-62 map so a consumer
+    can tell "fell out of the slowest-map" (digest unchanged) from
+    "silently dropped" (digest changes). Order-insensitive, timing-
+    insensitive by construction."""
+    return hashlib.sha256(",".join(sorted(timings)).encode()).hexdigest()[:16]
 
 
 def load_face_hashes(repo: str) -> dict[str, str]:
@@ -369,6 +379,13 @@ def main() -> None:
             "face_hashes": cur_hashes,
             "timing": "min_of_runs (iterative trainers: single run)",
         }
+        # Integrity signal for the PRINTED line (VERDICT-r14 #2): the line
+        # keeps only the ~62 slowest faces, so a consumer diffing two rounds'
+        # printed maps sees slowest-map churn as "dropped"/"new" queries. A
+        # digest of the COMPLETE sorted timed-name set travels with the line
+        # (additions-only): a genuinely missing face changes the digest, a
+        # face that merely got faster does not.
+        out["names_sha256"] = names_digest(timings)
         if error is not None:
             out["error"] = error
         # Sidecar with the full parsed result: the driver's BENCH_r{N}.json

@@ -97,3 +97,15 @@ def test_anchor_resets_on_face_hash_change(bench, tmp_path):
     assert "redefined" not in prior  # re-seeds from this run's record
     assert prior["stable"] == 1.0  # unchanged hash keeps its anchor
     assert prior["unhashed"] == 2.0  # no recorded hash = no information
+
+
+def test_names_digest_is_set_and_timing_insensitive(bench):
+    # VERDICT-r14 #2: the printed line's integrity digest must change when a
+    # face disappears and must NOT change when timings (and hence slowest-map
+    # membership) move.
+    a = bench.names_digest({"q1": 1.0, "q2": 9.9})
+    b = bench.names_digest({"q2": 0.1, "q1": 55.0})  # order/timing shuffled
+    c = bench.names_digest({"q1": 1.0})  # q2 silently dropped
+    assert a == b
+    assert a != c
+    assert len(a) == 16 and all(ch in "0123456789abcdef" for ch in a)
