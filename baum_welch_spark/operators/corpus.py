@@ -580,7 +580,7 @@ def clean_corpus(
     iterative clustering are then skipped entirely.
     """
     from baum_welch_spark.operators.dedup import connected_components, neardup_jaccard
-    from baum_welch_spark.operators.text import doc_quality
+    from baum_welch_spark.operators.text import quality_score_col
 
     if components is not None:
         comp = components
@@ -593,19 +593,21 @@ def clean_corpus(
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    quality_ok = (
-        doc_quality(documents)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
-    )
+    # quality gate as a map-side FILTER on the corpus scan (r15, guide
+    # §2.4 remove shuffles outright): doc_quality is a shuffle-free
+    # projection, so the old semi-join against its filtered doc_id list
+    # re-scanned the corpus once more and paid a join for what is a pure
+    # predicate. doc_id is unique, so semi-join == filter; the expression
+    # is the same quality_score_col doc_quality itself uses — values
+    # bit-identical by construction.
     lm_ok = (
         bigram_lm_score(documents)
         .filter(F.col("cross_entropy") <= max_cross_entropy)
         .select("doc_id")
     )
     return (
-        documents.join(drop, "doc_id", "left_anti")
-        .join(quality_ok, "doc_id", "left_semi")
+        documents.filter(quality_score_col() >= min_quality)
+        .join(drop, "doc_id", "left_anti")
         .join(lm_ok, "doc_id", "left_semi")
         .select("doc_id", "lang", "source")
     )
@@ -666,11 +668,18 @@ def prepare_training_corpus(
     Output: surviving corpus rows (doc_id, lang, source, component, split),
     ordered by doc_id.
     """
-    from baum_welch_spark.operators.dedup import leakage_safe_split, neardup_jaccard
+    from baum_welch_spark.operators.dedup import neardup_jaccard, split_label_col
     from baum_welch_spark.operators.dq import dq_report
 
     from baum_welch_spark.operators.dedup import connected_components
 
+    if not (0.0 < train and 0.0 <= valid and train + valid < 1.0):
+        # the same guard leakage_safe_split applies — the split label is now
+        # computed inline (below) so the guard must live here too
+        raise ValueError(
+            f"need 0 < train and 0 <= valid and train + valid < 1 to leave "
+            f"test mass; got train={train}, valid={valid}"
+        )
     if pair_generator is None:
         pairs = neardup_jaccard(documents, threshold=jaccard_threshold)
     else:
@@ -690,15 +699,16 @@ def prepare_training_corpus(
             max_cross_entropy=max_cross_entropy,
             components=comp,
         )
-        splits = leakage_safe_split(
-            documents,
-            train=train,
-            valid=valid,
-            threshold=jaccard_threshold,
-            salt=salt,
-            components=comp,
-        )
         contaminated = decontaminate(documents, eval_mod=eval_mod).select("doc_id")
+        # split assignment computed INLINE on the kept rows (r15, guide
+        # §2.4): the old leakage_safe_split(...) call scanned the corpus a
+        # second time, joined comp, SORTED by doc_id (an ordering the
+        # subsequent join immediately destroyed), and was then inner-joined
+        # back on doc_id. The label depends only on (doc_id, component), so
+        # joining comp once onto the kept frame and applying the shared
+        # split_label_col expression is value-identical for every surviving
+        # row — one corpus scan, one join, and one full sort removed.
+        node = comp.select(F.col("node").alias("doc_id"), "component")
         # persist the result BEFORE the gate: the gate's aggregate action
         # materializes it, so the caller's eventual collect/write reads the
         # cache instead of re-running the whole composition (id + short
@@ -707,7 +717,9 @@ def prepare_training_corpus(
         out = (
             kept.filter(F.col("doc_id") % eval_mod != 0)
             .join(contaminated, "doc_id", "left_anti")
-            .join(splits, "doc_id")
+            .join(node, "doc_id", "left")
+            .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+            .withColumn("split", split_label_col(F.col("component"), train, valid, salt))
             .select("doc_id", "lang", "source", "component", "split")
             .orderBy("doc_id")
             .persist()

@@ -1140,8 +1140,6 @@ def leakage_safe_split(
     Output: (doc_id, component, split) — component is the cluster
     representative (min doc_id; the doc's own id for singletons).
     """
-    from baum_welch_spark.functions.columns import portable_hash60
-
     if not (0.0 < train and 0.0 <= valid and train + valid < 1.0):
         raise ValueError(
             f"need 0 < train and 0 <= valid and train + valid < 1 to leave "
@@ -1158,8 +1156,6 @@ def leakage_safe_split(
         else:
             pairs = pair_generator(documents)
         comp = connected_components(pairs)
-    cut_train = int(train * _HASH60_SPACE)
-    cut_valid = int((train + valid) * _HASH60_SPACE)
     labelled = (
         documents.select("doc_id")
         .join(comp, documents.doc_id == comp.node, "left")
@@ -1168,17 +1164,30 @@ def leakage_safe_split(
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
     )
-    h = portable_hash60(
-        F.concat(F.lit(salt + ":"), F.col("component").cast("string"))
-    )
     return labelled.select(
         "doc_id",
         "component",
+        split_label_col(F.col("component"), train, valid, salt).alias("split"),
+    ).orderBy("doc_id")
+
+
+def split_label_col(component, train: float, valid: float, salt: str):
+    """The salted 60-bit split-assignment expression as a Column over a
+    component id — the single source of truth shared by
+    :func:`leakage_safe_split` and ``prepare_training_corpus`` (r15: the
+    pipeline computes the label inline on its already-joined component
+    column instead of joining a separately-scanned splits table —
+    bit-identical values because it is literally the same expression)."""
+    from baum_welch_spark.functions.columns import portable_hash60
+
+    cut_train = int(train * _HASH60_SPACE)
+    cut_valid = int((train + valid) * _HASH60_SPACE)
+    h = portable_hash60(F.concat(F.lit(salt + ":"), component.cast("string")))
+    return (
         F.when(h < F.lit(cut_train), F.lit("train"))
         .when(h < F.lit(cut_valid), F.lit("valid"))
         .otherwise(F.lit("test"))
-        .alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 def leakage_split_sql(

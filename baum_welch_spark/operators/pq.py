@@ -350,24 +350,40 @@ def ivfpq_train(
     ever reaches the driver. Returns (centroids (n_cells, d),
     books (m, n_codes, d/m)).
     """
-    from baum_welch_spark.operators.clustering import kmeans_fit
-
     src = _normalized(embeddings).persist()
     try:
-        centroids, _ = kmeans_fit(
-            src.select("vec_id", F.col("nv").alias("embedding")),
-            k=n_cells,
-            max_iter=coarse_iter,
-            seed=seed,
-        )
-        res = _residuals(src, centroids).persist()
-        try:
-            books = _train_books(res.select("vec_id", "nv"), m, n_codes, pq_iter, seed, 1e-6)
-        finally:
-            res.unpersist()
-        return centroids, books
+        return _ivfpq_train_on(src, n_cells, m, n_codes, coarse_iter, pq_iter, seed)
     finally:
         src.unpersist()
+
+
+def _ivfpq_train_on(
+    src: DataFrame,
+    n_cells: int,
+    m: int,
+    n_codes: int,
+    coarse_iter: int,
+    pq_iter: int,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ivfpq_train body over a CALLER-persisted normalized (vec_id, nv)
+    frame — split out (r15) so ivfpq_write_index can share ONE persisted
+    normalized frame between the training loops and the encode+write pass
+    instead of re-scanning + re-normalizing the corpus for the encode."""
+    from baum_welch_spark.operators.clustering import kmeans_fit
+
+    centroids, _ = kmeans_fit(
+        src.select("vec_id", F.col("nv").alias("embedding")),
+        k=n_cells,
+        max_iter=coarse_iter,
+        seed=seed,
+    )
+    res = _residuals(src, centroids).persist()
+    try:
+        books = _train_books(res.select("vec_id", "nv"), m, n_codes, pq_iter, seed, 1e-6)
+    finally:
+        res.unpersist()
+    return centroids, books
 
 
 def ivfpq_encode(
@@ -377,12 +393,23 @@ def ivfpq_encode(
     codes in ONE shuffle-free Arrow pass (both models broadcast). At scale
     the output would be written partitioned by ``cell`` so a search probing
     n_probe cells partition-prunes the scan."""
-    sc = embeddings.sparkSession.sparkContext
+    return _encode_normalized(_normalized(embeddings), centroids, books)
+
+
+def _encode_normalized(
+    src: DataFrame, centroids: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """ivfpq_encode body over an already-normalized (vec_id, nv) frame —
+    split out (r15) so ivfpq_write_index can feed the encode from the SAME
+    persisted normalized frame the training loops scanned (one corpus
+    normalize pass per index build instead of two; identical per-row
+    arithmetic either way)."""
+    sc = src.sparkSession.sparkContext
     bc = sc.broadcast((centroids, books))
+    mm, kk, dd = books.shape
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C, B = bc.value
-        mm, kk, dd = B.shape
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -411,7 +438,7 @@ def ivfpq_encode(
                 }
             )
 
-    return _normalized(embeddings).mapInPandas(
+    return src.select("vec_id", "nv").mapInPandas(
         go, schema="vec_id bigint, cell int, codes array<int>"
     )
 
@@ -521,65 +548,83 @@ def ivfpq_write_index(
     import pyarrow as pa
     import pyarrow.parquet as pq_file
 
-    centroids, books = ivfpq_train(
-        embeddings, n_cells=n_cells, m=m, n_codes=n_codes, seed=seed
-    )
-    mm, kk, dd = books.shape
-    # model tables are driver-sized (n_cells*d + m*k*(d/m) doubles) — write
-    # them with pyarrow directly instead of two one-task Spark jobs, whose
-    # fixed job/commit overhead dwarfed the bytes (measured ~11 s vs <0.1 s
-    # for identical files; Spark reads them back identically)
-    nc, d = centroids.shape
-    ci, pi = np.meshgrid(np.arange(nc), np.arange(d), indexing="ij")
-    os.makedirs(f"{path}/centroids", exist_ok=True)
-    pq_file.write_table(
-        pa.table(
-            {
-                "cell": pa.array(ci.ravel(), type=pa.int32()),
-                "pos": pa.array(pi.ravel(), type=pa.int32()),
-                "val": pa.array(centroids.ravel(), type=pa.float64()),
-            }
-        ),
-        f"{path}/centroids/part-0.parquet",
-    )
-    sj, sc_, sp = np.meshgrid(
-        np.arange(mm), np.arange(kk), np.arange(dd), indexing="ij"
-    )
-    os.makedirs(f"{path}/books", exist_ok=True)
-    pq_file.write_table(
-        pa.table(
-            {
-                "subspace": pa.array(sj.ravel(), type=pa.int32()),
-                "code": pa.array(sc_.ravel(), type=pa.int32()),
-                "pos": pa.array(sp.ravel(), type=pa.int32()),
-                "val": pa.array(books.ravel(), type=pa.float64()),
-            }
-        ),
-        f"{path}/books/part-0.parquet",
-    )
-    ivfpq_encode(embeddings, centroids, books).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
-    return centroids, books
+    # one persisted normalized frame shared by the training loops AND the
+    # encode+write pass (r15): the encode previously re-scanned and
+    # re-normalized the corpus after ivfpq_train had already unpersisted
+    # its own copy — one corpus read per index build, not two
+    src = _normalized(embeddings).persist()
+    try:
+        centroids, books = _ivfpq_train_on(
+            src, n_cells, m, n_codes, coarse_iter=6, pq_iter=8, seed=seed
+        )
+        mm, kk, dd = books.shape
+        # model tables are driver-sized (n_cells*d + m*k*(d/m) doubles) —
+        # write them with pyarrow directly instead of two one-task Spark
+        # jobs, whose fixed job/commit overhead dwarfed the bytes (measured
+        # ~11 s vs <0.1 s for identical files; read back identically)
+        nc, d = centroids.shape
+        ci, pi = np.meshgrid(np.arange(nc), np.arange(d), indexing="ij")
+        os.makedirs(f"{path}/centroids", exist_ok=True)
+        pq_file.write_table(
+            pa.table(
+                {
+                    "cell": pa.array(ci.ravel(), type=pa.int32()),
+                    "pos": pa.array(pi.ravel(), type=pa.int32()),
+                    "val": pa.array(centroids.ravel(), type=pa.float64()),
+                }
+            ),
+            f"{path}/centroids/part-0.parquet",
+        )
+        sj, sc_, sp = np.meshgrid(
+            np.arange(mm), np.arange(kk), np.arange(dd), indexing="ij"
+        )
+        os.makedirs(f"{path}/books", exist_ok=True)
+        pq_file.write_table(
+            pa.table(
+                {
+                    "subspace": pa.array(sj.ravel(), type=pa.int32()),
+                    "code": pa.array(sc_.ravel(), type=pa.int32()),
+                    "pos": pa.array(sp.ravel(), type=pa.int32()),
+                    "val": pa.array(books.ravel(), type=pa.float64()),
+                }
+            ),
+            f"{path}/books/part-0.parquet",
+        )
+        # the encode+write ACTION runs here, while src is still persisted —
+        # it reads the cached normalized vectors instead of re-scanning and
+        # re-normalizing the corpus (same per-row arithmetic either way)
+        _encode_normalized(src, centroids, books).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/codes")
+        return centroids, books
+    finally:
+        src.unpersist()
 
 
 def ivfpq_read_index(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
     """(centroids, books, codes DataFrame) from :func:`ivfpq_write_index`.
-    Models are tiny tidy tables (model-sized collects); codes stay a lazy
-    cell-partitioned frame."""
-    c_rows = spark.read.parquet(f"{path}/centroids").collect()
-    n_cells = max(r.cell for r in c_rows) + 1
-    d = max(r.pos for r in c_rows) + 1
-    centroids = np.zeros((n_cells, d))
-    for r in c_rows:
-        centroids[r.cell, r.pos] = r.val
-    b_rows = spark.read.parquet(f"{path}/books").collect()
-    mm = max(r.subspace for r in b_rows) + 1
-    kk = max(r.code for r in b_rows) + 1
-    dd = max(r.pos for r in b_rows) + 1
-    books = np.zeros((mm, kk, dd))
-    for r in b_rows:
-        books[r.subspace, r.code, r.pos] = r.val
+    The model tables are driver-sized tidy parquet written by pyarrow —
+    read them back with pyarrow too (r15, guide §1.4 job accounting: each
+    ``spark.read.parquet(...).collect()`` of a few-hundred-row model table
+    was a whole 2-stage Spark job, ~0.4 s of pure scheduling per call and
+    TWO calls per read_index; a serving face pays read_index up to twice).
+    Values are identical doubles either way. Codes stay a lazy
+    cell-partitioned Spark frame — that side is corpus-sized."""
+    import pyarrow.parquet as pq_file
+
+    ct = pq_file.read_table(f"{path}/centroids")
+    cell = ct.column("cell").to_numpy()
+    cpos = ct.column("pos").to_numpy()
+    cval = ct.column("val").to_numpy()
+    centroids = np.zeros((int(cell.max()) + 1, int(cpos.max()) + 1))
+    centroids[cell, cpos] = cval
+    bt = pq_file.read_table(f"{path}/books")
+    sub = bt.column("subspace").to_numpy()
+    code = bt.column("code").to_numpy()
+    bpos = bt.column("pos").to_numpy()
+    bval = bt.column("val").to_numpy()
+    books = np.zeros((int(sub.max()) + 1, int(code.max()) + 1, int(bpos.max()) + 1))
+    books[sub, code, bpos] = bval
     return centroids, books, spark.read.parquet(f"{path}/codes")
 
 

@@ -53,6 +53,28 @@ FROM documents
 """
 
 
+def quality_score_col():
+    """The quality_score expression as a Column over a ``text`` column —
+    the single source of truth shared by :func:`doc_quality` and the
+    corpus gates (r15: ``clean_corpus`` applies it as a map-side FILTER on
+    the corpus scan instead of a semi-join against a separately-scanned
+    doc_quality projection — one less corpus scan and one less join,
+    bit-identical values because it is literally the same expression)."""
+    w = _words()
+    n_words = F.size(w)
+    n_stop = _n_stop(w)
+    return F.round(
+        F.when((F.length("text") >= 100) & (F.length("text") <= 2000), 0.5).otherwise(0.0)
+        + F.when(n_stop / n_words > 0.02, 0.5).otherwise(0.0),
+        1,
+    )
+
+
+def _n_stop(w):
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+
+
 def doc_quality(documents: DataFrame) -> DataFrame:
     """Quality scoring: length, word count, mean word length, stopword ratio.
 
@@ -61,20 +83,15 @@ def doc_quality(documents: DataFrame) -> DataFrame:
     LLM training text.
     """
     w = _words()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_words = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_stop = _n_stop(w)
     return documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_words.alias("n_words"),
         F.round((F.length("text") - n_words + 1) / n_words, 6).alias("avg_word_len"),
         F.round(n_stop / n_words, 6).alias("stopword_ratio"),
-        F.round(
-            F.when((F.length("text") >= 100) & (F.length("text") <= 2000), 0.5).otherwise(0.0)
-            + F.when(n_stop / n_words > 0.02, 0.5).otherwise(0.0),
-            1,
-        ).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 
