@@ -239,30 +239,30 @@ def test_driver_window_stays_oracle_dense():
     # targets; only three rows-only faces remain in it, each with its own
     # non-SQL oracle:
     assert set(rows_only_in_window) <= {
-        # binary-payload multimodal pipeline: planted-duplicate recall
-        # pinned in pytest (tests/test_operators.py); payload bytes have
-        # no SQL twin by nature
-        "asset_neardup",
         # iterative Gaussian EM fit: 1e-8 sequential-NumPy parity pytest;
         # its chaining and loglik evidence are driver-exact via the
-        # ghmm_em_trace / ghmm_loglik_trace faces
+        # ghmm_em_trace / ghmm_loglik_trace faces. In-window for r15: its
+        # sequence build is now materialized once across EM laps.
         "ghmm_fit",
         # per-iteration TOTAL loglik trace: corpus-order float summation
         # has no cross-engine pin (see ghmm_loglik_trace, its per-sequence
-        # driver-exact graduation); monotonicity asserted in-face
+        # driver-exact graduation); monotonicity asserted in-face. Same
+        # r15 sequence-materialization change as ghmm_fit.
         "ghmm_trace",
-        # r14 OPTIMIZATION rotation (manifest rule: changed faces must be
-        # in-window the round they change): to-convergence EM trainers whose
-        # internals changed this round — fit_grouped's batched in-task
-        # kernel (1e-12 parity pytest vs the per-sequence kernel) and the
-        # threaded candidate/restart sweeps (bit-identical outputs, NumPy
-        # replica pytests). Rows-only by nature (convergence iteration
-        # counts are engine-private); their step semantics stay pinned by
-        # the driver-exact em_trace/ghmm_em_trace and parity faces.
-        "hmm_fit_grouped",
-        "grouped_decode",
-        "hmm_select",
-        "hmm_fit_restarts",
+        # r15 OPTIMIZATION rotation (manifest rule: changed faces must be
+        # in-window the round they change): the IVF-PQ serving family —
+        # ivfpq_read_index now loads the model tables via pyarrow and
+        # ivfpq_write_index shares one persisted normalized frame between
+        # training and encode (identical doubles; pytest pins recall vs
+        # knn_brute, the pruned-scan plan shape, and byte-identical
+        # appends). Rows-only by nature (k-means + residual-PQ training).
+        # r14's rotated trainer block (hmm_fit_grouped/grouped_decode/
+        # hmm_select/hmm_fit_restarts) and asset_neardup rotated OUT,
+        # code-unchanged with r14 driver evidence — the window is DENSER
+        # in exact faces than r14's (5 rows-only vs 7).
+        "knn_ivfpq",
+        "knn_ivfpq_query",
+        "ivfpq_append",
     }, rows_only_in_window
 
 
