@@ -120,7 +120,17 @@ def pagerank(
             # The frame is node-count-sized; one eager checkpoint per
             # iteration is cheap and also truncates lineage, so no separate
             # periodic checkpoint is needed.
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY checkpoint (r15, the bpe_merges job-count lesson): eager
+            # ran one dedicated materialization job per iteration; lazy
+            # folds the materialization into the iteration's own dangling-
+            # broadcast/step job — the checkpoint still truncates lineage at
+            # compile time and each partition is computed exactly once (the
+            # two consumers read the cached blocks). Nothing unpersists
+            # intermediate rank checkpoints, so there is no lost-block
+            # hazard (the connected_components counter-case). Matched-load
+            # min-of-4 A/B: 6.42 vs 6.75 s on pagerank_docs, every lazy run
+            # under its paired eager run.
+            ranks = ranks.localCheckpoint(eager=False)
             ranks = _pagerank_step(ranks, nd, edges, damping, n)
         # final eager checkpoint: the persisted inputs are unpersisted on
         # the way out, so the returned frame must not keep them (or the
